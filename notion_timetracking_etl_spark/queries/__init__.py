@@ -1,0 +1,21 @@
+"""Oracle-checked query registry.
+
+Each module in this package registers :class:`QuerySpec` entries — a PySpark
+DataFrame builder plus (where SQL-expressible) the equivalent DuckDB oracle SQL.
+``__spark_entry__.py`` and the parity tests both consume :data:`REGISTRY`, so
+the Spark query and its oracle can never drift apart.
+"""
+
+from .registry import REGISTRY, QuerySpec, register
+
+# Import for registration side effects (order = SURVEY §2 family order).
+from . import core  # noqa: E402,F401
+from . import spines  # noqa: E402,F401
+from . import occupancy  # noqa: E402,F401
+from . import scalars  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,68 @@
+"""Cross-engine parity helpers.
+
+The driver hash-compares Spark results against DuckDB values, so every
+floating-point aggregate must be bit-identical across engines. Conventions:
+
+- **Sums of doubles**: cast the (double) operand to DECIMAL(38,6) per row —
+  a deterministic half-up rounding both engines share — SUM exactly in decimal
+  (order-independent, immune to Spark's nondeterministic partition order), and
+  cast the total back to double. ``dsum`` / ``DSUM_SQL``.
+- **Averages**: exact decimal sum divided by COUNT in double: one IEEE divide,
+  identical both sides. ``davg`` / ``DAVG_SQL``.
+- **Timestamps in outputs**: render to strings (``yyyy-MM-dd HH:mm:ss``) so
+  tz-naive DuckDB values and tz-aware Spark values cannot diverge.
+- **Integral outputs**: cast to BIGINT both sides (DuckDB ``year()`` etc.
+  return BIGINT; Spark's return INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+DATE_FMT_SPARK = "yyyy-MM-dd"
+DATE_FMT_DUCK = "%Y-%m-%d"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent, cross-engine-exact sum of a double expression."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Cross-engine-exact average: exact decimal sum / count, one double divide."""
+    return (
+        F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col)
+    ).cast("double")
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def davg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE) AS {alias}"
+    )
+
+
+def fmt_ts(col: Column) -> Column:
+    """Render a timestamp column as a parity-safe string (UTC session tz)."""
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+def fmt_ts_sql(expr: str) -> str:
+    return f"strftime(({expr}), '{TS_FMT_DUCK}')"
+
+
+def la_local(col: Column) -> Column:
+    """UTC instant → America/Los_Angeles wall-clock (SURVEY F29/F33)."""
+    return F.from_utc_timestamp(col, "America/Los_Angeles")
+
+
+def la_local_sql(expr: str) -> str:
+    """DuckDB twin of :func:`la_local` for naive-UTC timestamps."""
+    return f"timezone('America/Los_Angeles', timezone('UTC', ({expr})))"

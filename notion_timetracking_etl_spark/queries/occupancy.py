@@ -1,0 +1,262 @@
+"""Interval / occupancy / throughput queries (SURVEY §2 J4, A1–A3, J5, P6–P8).
+
+This family re-expresses the reference's analytical core — hourly stage
+occupancy (derive/index.ts:452-530) and daily stage throughput
+(derive/index.ts:532-643) — over the ``events`` testdata table. Events are
+turned into deterministic ``[start, end]`` intervals (duration = 5 + event_id
+% 240 minutes: pure integer arithmetic, bit-identical in any engine).
+
+**Scale strategy for the interval-point join (J4):** the reference does an
+O(frames × intervals) nested loop. Here each interval is exploded to its
+covered hour frames (``sequence`` + ``explode``) and the containment theta-join
+becomes a plain hash aggregation on (hour, key) — linear in interval-hours,
+fully Catalyst-native, shuffles once on the group keys, and parallelizes
+per-interval (no frames×intervals blowup at 100 TB). An open-ended interval
+cannot explode the generator because durations are bounded by construction;
+the production operator (operators/intervals.py) clamps + counts, mirroring
+the reference's V7 skip counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..sources.tpch import load_table
+from .helpers import la_local, la_local_sql
+from .registry import register
+
+# Deterministic interval construction shared by this family.
+_IV_SQL = """
+  SELECT
+    event_id, user_id, event_type,
+    ts AS start_ts,
+    ts + INTERVAL 1 MINUTE * CAST(5 + event_id % 240 AS BIGINT) AS end_ts
+  FROM events
+"""
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dur_min = (F.lit(5) + F.col("event_id") % 240).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        # micro-exact: unix_timestamp() would truncate sub-second precision
+        F.timestamp_micros(F.unix_micros("ts") + dur_min * 60_000_000).alias("end_ts"),
+    )
+
+
+def _hourly_frames(iv: DataFrame) -> DataFrame:
+    """Explode intervals to covered hour frames: h in [ceil_h(start), floor_h(end)].
+
+    Generated from floor_h(start) then filtered h >= start — equivalent to the
+    reference's inclusive start<=frame<=end containment (derive/index.ts:507).
+    """
+    return iv.select(
+        "user_id",
+        "event_type",
+        "start_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc("hour", "end_ts"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("h"),
+    ).filter(F.col("h") >= F.col("start_ts"))
+
+
+_FRAMES_SQL = f"""
+  WITH iv AS ({_IV_SQL})
+  SELECT iv.user_id, iv.event_type, g.h
+  FROM iv, LATERAL (
+    SELECT unnest(generate_series(date_trunc('hour', iv.start_ts),
+                                  date_trunc('hour', iv.end_ts),
+                                  INTERVAL 1 HOUR)) AS h
+  ) g
+  WHERE g.h >= iv.start_ts
+"""
+
+
+@register(
+    "occupancy_hourly",
+    "J4,A1,P6,P8,F34",
+    "Hourly occupancy: exact count of distinct users whose interval contains "
+    "each hour frame, per event_type; empty (frame,key) rows suppressed "
+    "(reference: StageOccupancy_Hourly, derive/index.ts:452-530).",
+    oracle=f"""
+        SELECT
+          strftime(h, '%Y-%m-%d %H:%M:%S') AS frame_ts,
+          event_type,
+          COUNT(DISTINCT user_id) AS item_count
+        FROM ({_FRAMES_SQL}) fr
+        GROUP BY h, event_type
+        ORDER BY frame_ts, event_type
+    """,
+)
+def occupancy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _hourly_frames(_intervals(spark, sf_dir))
+    return (
+        frames.groupBy("h", "event_type")
+        .agg(F.countDistinct("user_id").alias("item_count"))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("frame_ts"),
+            "event_type",
+            "item_count",
+        )
+        .orderBy("frame_ts", "event_type")
+    )
+
+
+@register(
+    "throughput_daily",
+    "A2,A3,J5,J6,P7,F29",
+    "Daily throughput: entries (interval starts) and exits (interval ends) per "
+    "America/Los_Angeles calendar day × event_type, full-outer merged with "
+    "daily occupancy peak/avg, all-zero rows suppressed "
+    "(reference: StageThroughput_Daily, derive/index.ts:532-643).",
+    oracle=f"""
+        WITH iv AS ({_IV_SQL}),
+        entries AS (
+          SELECT strftime({la_local_sql('start_ts')}, '%Y-%m-%d') AS bucket_day,
+                 event_type, COUNT(*) AS entry_count
+          FROM iv GROUP BY 1, 2
+        ),
+        exits AS (
+          SELECT strftime({la_local_sql('end_ts')}, '%Y-%m-%d') AS bucket_day,
+                 event_type, COUNT(*) AS exit_count
+          FROM iv GROUP BY 1, 2
+        ),
+        occ_h AS (
+          SELECT h, event_type, COUNT(DISTINCT user_id) AS item_count
+          FROM ({_FRAMES_SQL}) fr GROUP BY h, event_type
+        ),
+        occ_d AS (
+          SELECT strftime({la_local_sql('h')}, '%Y-%m-%d') AS bucket_day,
+                 event_type,
+                 max(item_count) AS occupancy_peak,
+                 CAST(SUM(item_count) AS DOUBLE) / COUNT(*) AS occupancy_avg
+          FROM occ_h GROUP BY 1, 2
+        ),
+        merged AS (
+          SELECT
+            COALESCE(e.bucket_day, x.bucket_day, o.bucket_day) AS bucket_day,
+            COALESCE(e.event_type, x.event_type, o.event_type) AS event_type,
+            COALESCE(e.entry_count, 0) AS entry_count,
+            COALESCE(x.exit_count, 0) AS exit_count,
+            COALESCE(o.occupancy_peak, 0) AS occupancy_peak,
+            COALESCE(o.occupancy_avg, 0.0) AS occupancy_avg
+          FROM entries e
+          FULL JOIN exits x USING (bucket_day, event_type)
+          FULL JOIN occ_d o ON o.bucket_day = COALESCE(e.bucket_day, x.bucket_day)
+                           AND o.event_type = COALESCE(e.event_type, x.event_type)
+        )
+        SELECT bucket_day, event_type,
+               CAST(strftime(bucket_day::DATE, '%Y%m%d') AS BIGINT) AS bucket_n,
+               entry_count, exit_count, occupancy_peak, occupancy_avg
+        FROM merged
+        WHERE entry_count > 0 OR exit_count > 0 OR occupancy_peak > 0 OR occupancy_avg > 0
+        ORDER BY bucket_day, event_type
+    """,
+)
+def throughput_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _intervals(spark, sf_dir)
+    la_day = lambda c: F.date_format(la_local(F.col(c)), "yyyy-MM-dd")  # noqa: E731
+    entries = iv.groupBy(
+        la_day("start_ts").alias("bucket_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("entry_count"))
+    exits = iv.groupBy(
+        la_day("end_ts").alias("bucket_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("exit_count"))
+    occ_h = (
+        _hourly_frames(iv)
+        .groupBy("h", "event_type")
+        .agg(F.countDistinct("user_id").alias("item_count"))
+    )
+    occ_d = occ_h.groupBy(la_day("h").alias("bucket_day"), "event_type").agg(
+        F.max("item_count").alias("occupancy_peak"),
+        (F.sum("item_count").cast("double") / F.count(F.lit(1))).alias("occupancy_avg"),
+    )
+    merged = (
+        entries.join(exits, ["bucket_day", "event_type"], "full_outer")
+        .join(occ_d, ["bucket_day", "event_type"], "full_outer")
+        .na.fill({"entry_count": 0, "exit_count": 0, "occupancy_peak": 0, "occupancy_avg": 0.0})
+    )
+    return (
+        merged.filter(
+            (F.col("entry_count") > 0)
+            | (F.col("exit_count") > 0)
+            | (F.col("occupancy_peak") > 0)
+            | (F.col("occupancy_avg") > 0)
+        )
+        .select(
+            "bucket_day",
+            "event_type",
+            F.date_format(F.col("bucket_day").cast("date"), "yyyyMMdd")
+            .cast("long")
+            .alias("bucket_n"),
+            "entry_count",
+            "exit_count",
+            "occupancy_peak",
+            "occupancy_avg",
+        )
+        .orderBy("bucket_day", "event_type")
+    )
+
+
+@register(
+    "sessionize_events",
+    "W-ext",
+    "Sessionization via window functions (engine extension beyond the "
+    "reference, FIXTURES.md §7): per-user sessions split on >30 min gaps; "
+    "one row per session with bounds and event count.",
+    oracle="""
+        WITH ordered AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, ts, event_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_n
+          FROM ordered
+        )
+        SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_n
+        ORDER BY user_id, session_n
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_n",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_n").cast("long").alias("session_n"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_n")
+    )
