@@ -1,0 +1,62 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
+ "sf": <sf>}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+shared session warm-up, so the numbers reflect steady-state engine throughput
+rather than JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from notion_timetracking_etl_spark.queries import REGISTRY  # noqa: E402
+from notion_timetracking_etl_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_session(app_name="bench")
+    # Warm up the JVM/codegen path outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        # count() executes the full plan without driver-side row transfer cost
+        spec.spark(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock over registered queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
