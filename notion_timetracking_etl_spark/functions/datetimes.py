@@ -24,8 +24,12 @@ _OLE_EPOCH_MS = -2209161600000
 
 
 def parse_iso(col: Column) -> Column:
-    """F24 — ISO-8601 string → timestamp; unparseable → null (Date.parse NaN)."""
-    return F.to_timestamp(col)
+    """F24 — ISO-8601 string → timestamp; unparseable → null (Date.parse NaN).
+
+    try_to_timestamp: ANSI mode must not abort the job on one malformed
+    string — the reference nulls it and the quality layer reports it.
+    """
+    return F.try_to_timestamp(col)
 
 
 def round_half_up(col: Column) -> Column:
