@@ -1,0 +1,177 @@
+"""Deduplication operators (engine extension, BASELINE.json north star).
+
+Large-scale training-data dedup over a ``documents``-shaped table:
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the digest,
+  keep min-id representative.
+- **MinHash + LSH near-dup**: word n-gram shingles → K minhashes → banded
+  signatures → candidate pairs via band-bucket self-join → exact Jaccard
+  verification on the candidates only. At 100 TB the band join shuffles
+  only (doc, band-hash) pairs and candidate verification touches a tiny
+  fraction of the corpus — never the O(n²) pair space.
+- **SimHash**: per-word hash bit-voting → compact signature; equal-signature
+  buckets are near-dup candidates.
+
+All hashing is sha256/md5-based (not Spark's murmur) so signatures are
+engine-independent — the DuckDB oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; short docs (<n words) shingle to the whole text."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def hash64(prefix: Column | str, value: Column) -> Column:
+    """Deterministic 32-bit-range hash: first 8 hex chars of sha256, as BIGINT.
+
+    Cross-engine reproducible (DuckDB: CAST(concat('0x', substr(sha256(..),1,8))
+    AS BIGINT)) — unlike Spark's xxhash64/murmur.
+    """
+    p = F.lit(prefix) if isinstance(prefix, str) else prefix
+    return F.conv(F.substring(F.sha2(F.concat(p, value), 256), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by sha256(text): one row per digest (min id), dup count."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """doc → K minhash values (one groupBy; map-side partial min)."""
+    aggs = [
+        F.min(hash64(f"{j}:", F.col("sh"))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    return shingles.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 12, bands: int = 3
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs (a < b)."""
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        parts.append(
+            signatures.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bh"),
+            )
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    left = buckets.select(F.col("doc").alias("a"), "band", "bh")
+    right = buckets.select(F.col("doc").alias("b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only; returns (a, b, jaccard)."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(
+            shingles.select(F.col("doc").alias("a"), F.col("sh").alias("sh")), "a"
+        )
+        .join(
+            shingles.select(F.col("doc").alias("b"), F.col("sh").alias("sh")),
+            ["b", "sh"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup: shingle → minhash → LSH bands → Jaccard verify."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_verify(cands, sh, threshold)
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over word hashes (bit-voting), engine-independent."""
+    w = F.array_distinct(words(text))
+    hashes = F.transform(w, lambda x: hash64("w:", x))
+    bits = []
+    for b in range(16):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit(1 << b)).otherwise(0))
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out + bit
+    return out.cast("long")

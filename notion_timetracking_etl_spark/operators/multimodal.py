@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (engine extension).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata struct.
+The Spark-side plumbing is real — schema, partition-parallel Arrow-batched
+``mapInPandas`` decode, deterministic batch shapes — while the actual codec
+step is STUBBED (this container has no image/audio libraries): the default
+``decode_fn`` derives fake-but-deterministic features from the bytes, and
+``decode_fn=None`` raises ``NotImplementedError`` where a real libjpeg/ffmpeg
+call would go.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),  # 'image'|'audio'|'video'
+        StructField("payload", BinaryType(), True),  # opaque encoded bytes
+        StructField("byte_length", LongType(), True),
+        StructField("content_sha", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("byte_length", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize an opaque media payload from a text column (testdata has no
+    real binaries): payload = utf-8 bytes, typed metadata alongside. The
+    binary column plumbing (BinaryType schema, pruning, partitioning) is
+    identical to real image bytes."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_length"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )
+
+
+def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic fake decode: features derived from byte length only.
+
+    Replace with PIL/ffmpeg in production — the Spark-side contract
+    (per-batch Arrow transfer, DECODED_SCHEMA) does not change.
+    """
+    n = len(payload) if payload is not None else 0
+    if media_type == "image":
+        return (n % 640 + 1, n % 480 + 1, 1)
+    if media_type == "audio":
+        return (0, 0, n % 1000 + 1)
+    return (n % 320 + 1, n % 240 + 1, n % 100 + 1)
+
+
+def decode_media(
+    df: DataFrame,
+    decode_fn: Callable[[bytes, str], tuple[int, int, int]] | None = _stub_decode,
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Arrow-batched decode via ``mapInPandas`` — the real 100 TB shape:
+    each partition streams pandas batches through Python once, no per-row
+    UDF overhead, decode parallelism = partition count."""
+    if decode_fn is None:
+        raise NotImplementedError(
+            "real media decode requires an image/audio library not present in "
+            "this environment; pass decode_fn (see _stub_decode)"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                decode_fn(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_length": pdf["byte_length"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (engine extension).
+
+- **Brute-force cosine top-k** — the exact baseline: query-set × corpus join,
+  FP-exact cosine, window top-k. Scales as |Q|·|C|; fine for small query sets,
+  and the corpus side stays fully partition-parallel (queries broadcast).
+- **IVF top-k** — the scale path: corpus pre-bucketed by ``label`` (the
+  testdata's cluster id; in production, a KMeans assignment), one deterministic
+  representative per bucket; a query probes only its nearest bucket. Search
+  cost drops to |Q|·(buckets + bucket_size).
+
+Cosine uses the decimal-fold trick (see queries/helpers.py): per-element
+double products cast to DECIMAL(38,12), summed exactly (order-independent),
+final divide in double — bit-identical across engines and across Spark
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+
+def _dec_fold(arr: Column) -> Column:
+    """Order-independent exact sum of a double array via DECIMAL(38,12)."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: acc + x.cast("decimal(38,12)"),
+    ).cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _dec_fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm_sq(a: Column) -> Column:
+    return _dec_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+
+
+def topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries``: (query_id, query_vec); ``corpus``: (vec_id, embedding).
+    Ties break on vec_id ascending for determinism.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def bucket_representatives(corpus: DataFrame) -> DataFrame:
+    """One deterministic representative vector per label bucket (min vec_id).
+
+    A production IVF uses centroids; the min-id representative keeps the
+    operator FP-exact and oracle-checkable while exercising the same plan
+    shape (tiny broadcastable routing table).
+    """
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("embedding").alias("rep_vec"))
+    )
+
+
+def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """IVF-style top-k: route each query to its nearest bucket representative,
+    then exact top-k within that bucket only."""
+    reps = bucket_representatives(corpus)
+    routed = (
+        queries.crossJoin(F.broadcast(reps))
+        .select(
+            "query_id",
+            "query_vec",
+            "label",
+            cosine(F.col("query_vec"), F.col("rep_vec")).alias("rep_cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("rep_cos").desc(), F.col("label").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "query_vec", "label")
+    )
+    scored = corpus.join(F.broadcast(routed), "label").select(
+        "query_id",
+        "label",
+        "vec_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "label", "rank", "vec_id", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label bucket (a < b).
+
+    Blocking bounds the pair space to within-bucket; at scale the label comes
+    from LSH/KMeans so buckets stay small and the self-join shuffles per
+    bucket, never the full O(n²)."""
+    left = corpus.select(
+        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    right = corpus.select(
+        F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    return (
+        left.join(right, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select("label", "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,100 @@
+"""Text analysis operators (engine extension): language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions (regexp/aggregate built-ins) — shuffle-free per
+document, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# Marker-word profiles for the n-gram/keyword language-ID heuristic. The
+# testdata corpus is synthetic word-soup, so profiles are domain word families;
+# swapping in real per-language stopword lists is a config change, not a code
+# change.
+LANG_MARKERS: dict[str, list[str]] = {
+    "dataish": ["data", "row", "column"],
+    "flowish": ["stream", "batch", "window"],
+    "joinish": ["join", "merge", "hash"],
+    "sqlish": ["query", "filter", "scan"],
+}
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def marker_count(text: Column, word: str) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = marker_count(text, markers[0])
+        for m in markers[1:]:
+            score = score + marker_count(text, m)
+        out[lang] = score
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of marker-profile scores; ties break to the alphabetically
+    first profile (evaluation in sorted order)."""
+    scores = lang_scores(text)
+    names = sorted(scores)  # alphabetical tie-break
+    expr = None
+    for i, name in enumerate(names):
+        cond = None
+        for other in names[i + 1 :]:
+            c = scores[name] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(name)
+        if cond is None:
+            expr = expr.otherwise(branch) if expr is not None else branch
+        else:
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr
+
+
+def token_count(text: Column) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+    return punct / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    stops = (
+        F.regexp_count(F.lower(text), F.lit(r"\bthe\b"))
+        + F.regexp_count(F.lower(text), F.lit(r"\ba\b"))
+    ).cast("double")
+    return stops / F.greatest(word_count(text).cast("double"), F.lit(1.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score: length sweet spot, low punctuation,
+    moderate stopword rate — the usual pre-training heuristics."""
+    n = F.length(text).cast("double")
+    length_score = F.least(n / 200.0, F.lit(1.0))
+    return (
+        length_score * 0.5
+        + (1.0 - F.least(punct_ratio(text) * 10.0, F.lit(1.0))) * 0.25
+        + F.least(stopword_ratio(text) * 5.0, F.lit(1.0)) * 0.25
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint of whitespace/case-normalized text."""
+    return F.sha2(normalized_text(text), 256)

@@ -1,1 +1,171 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication queries over the ``documents`` table (engine extension).
+
+Covers the training-data dedup family from BASELINE.json: exact hash dedup,
+MinHash+LSH near-dup with exact n-gram-Jaccard verification, and SimHash
+signature bucketing. Every stage is hash/sha256-based (never Spark-internal
+murmur/xxhash) so the DuckDB oracles reproduce the pipelines bit-for-bit.
+
+Scale notes (100 TB posture):
+- exact dedup is one shuffle on the 64-hex digest — uniformly distributed
+  keys, no skew, map-side partial agg.
+- minhash signatures are one groupBy(doc) with K partial mins; the LSH band
+  join shuffles only (band, band-hash) pairs, and exact Jaccard runs on the
+  candidate set only — the O(n²) pair space is never materialized.
+- simhash is shuffle-free per doc (bit-voting over a word array), then one
+  tiny signature-histogram aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash16,
+)
+from ..sources.tpch import load_table
+from .registry import register
+
+# DuckDB twins of operators/dedup.py primitives, shared across oracles below.
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_SHINGLES_CTE = f"""
+  w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           unnest(CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(1, len(ws) - 2),
+                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                  ELSE [array_to_string(ws, ' ')] END) AS sh
+    FROM w
+  )
+"""
+
+
+def _hash64_sql(prefix: str, expr: str) -> str:
+    """DuckDB twin of operators.dedup.hash64 (first 8 sha256 hex chars as i64)."""
+    return (
+        f"CAST(concat('0x', substr(sha256(concat('{prefix}', {expr})), 1, 8)) AS BIGINT)"
+    )
+
+
+@register(
+    "dedup_exact",
+    "A6,F20",
+    "Exact dedup by sha256(text): one row per content digest with the kept "
+    "(min) doc id and copy count. Single shuffle on a uniform 64-hex key.",
+    oracle="""
+        SELECT sha256(text) AS content_sha,
+               min(doc_id) AS keep_id,
+               count(*) AS copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY content_sha
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("content_sha")
+
+
+@register(
+    "dedup_minhash_lsh",
+    "A6,F20,J8",
+    "MinHash+LSH near-duplicate detection: word 3-gram shingles → 12 sha256 "
+    "minhashes → 3-band LSH candidate pairs → exact n-gram Jaccard "
+    "verification at >= 0.5. Candidate-only verification keeps the pair "
+    "space linear in true near-dups.",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+          SELECT doc,
+                 {", ".join(f"min({_hash64_sql(f'{j}:', 'sh')}) AS h{j}" for j in range(12))}
+          FROM sh GROUP BY doc
+        ),
+        buckets AS (
+          {" UNION ALL ".join(
+            "SELECT doc, " + str(b) + " AS band, md5(concat_ws(',', "
+            + ", ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4))
+            + ")) AS bh FROM sigs"
+            for b in range(3)
+          )}
+        ),
+        cands AS (
+          SELECT DISTINCT l.doc AS a, r.doc AS b
+          FROM buckets l JOIN buckets r ON l.band = r.band AND l.bh = r.bh
+          WHERE l.doc < r.doc
+        ),
+        sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cands c
+          JOIN sh sa ON sa.doc = c.a
+          JOIN sh sb ON sb.doc = c.b AND sb.sh = sa.sh
+          GROUP BY c.a, c.b
+        )
+        SELECT inter.a, inter.b,
+               CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = inter.a
+        JOIN sizes sb ON sb.doc = inter.b
+        WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+        ORDER BY a, b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
+    ).orderBy("a", "b")
+
+
+@register(
+    "dedup_simhash",
+    "A6,A7,F20",
+    "SimHash signature profile: 16-bit bit-voting signature per doc (word-hash "
+    "majority vote), aggregated to a signature histogram. Equal-signature "
+    "buckets with bucket_size > 1 are the near-dup candidate sets.",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws FROM documents
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(ws, x -> {_hash64_sql("w:", "x")}) AS hl
+          FROM w
+        ),
+        sig AS (
+          SELECT doc_id,
+                 ({" + ".join(
+                    f"(CASE WHEN list_sum(list_transform(hl, "
+                    f"h -> CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)) > 0 "
+                    f"THEN {1 << b} ELSE 0 END)"
+                    for b in range(16)
+                 )}) AS simhash
+          FROM hs
+        )
+        SELECT CAST(simhash AS BIGINT) AS simhash,
+               count(*) AS bucket_size,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM sig
+        GROUP BY 1
+        ORDER BY simhash
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id"), simhash16(F.col("text")).alias("simhash")
+        )
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("simhash")
+    )
