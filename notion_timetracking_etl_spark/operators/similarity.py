@@ -8,10 +8,9 @@
   representative per bucket; a query probes only its nearest bucket. Search
   cost drops to |Q|·(buckets + bucket_size).
 
-Cosine uses the decimal-fold trick (see queries/helpers.py): per-element
-double products cast to DECIMAL(38,12), summed exactly (order-independent),
-final divide in double — bit-identical across engines and across Spark
-partitionings.
+Cosine uses a strict left-to-right IEEE double fold over the array (order
+fixed per row → deterministic under any partitioning), matching DuckDB's
+``list_reduce`` bit-for-bit; final sqrt/divide are single IEEE ops.
 """
 
 from __future__ import annotations
@@ -21,21 +20,23 @@ import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
 
-def _dec_fold(arr: Column) -> Column:
-    """Order-independent exact sum of a double array via DECIMAL(38,12)."""
-    return F.aggregate(
-        arr,
-        F.lit(0).cast("decimal(38,12)"),
-        lambda acc, x: acc + x.cast("decimal(38,12)"),
-    ).cast("double")
+def _seq_fold(arr: Column) -> Column:
+    """Strict left-to-right IEEE double sum of an array.
+
+    Array order is fixed per row, so this is deterministic regardless of
+    partitioning — and it is bit-identical to DuckDB's ``list_reduce`` fold
+    (decimal rounding of arbitrary doubles is NOT cross-engine stable, so the
+    helpers.dsum convention doesn't apply to embeddings).
+    """
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def dot(a: Column, b: Column) -> Column:
-    return _dec_fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+    return _seq_fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
 
 def norm_sq(a: Column) -> Column:
-    return _dec_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    return _seq_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -98,3 +98,13 @@ def normalized_text(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Content fingerprint of whitespace/case-normalized text."""
     return F.sha2(normalized_text(text), 256)
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: sha256 of the sorted distinct word set.
+
+    Order-insensitive — catches shuffled/reordered near-copies that the exact
+    content fingerprint misses (ASCII-binary sort order on both engines).
+    """
+    ws = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+")))
+    return F.sha2(F.concat_ws(" ", ws), 256)

@@ -1,1 +1,172 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity-search queries over the ``embeddings`` table (engine extension).
+
+Covers the ANN family from BASELINE.json: brute-force cosine top-k (the exact
+baseline), IVF-style bucketed top-k (the scale path), and embedding-cosine
+near-dup pairs (blocked self-join).
+
+Cross-engine FP parity: cosine folds the per-element double products strictly
+left-to-right (array order is fixed per row, so partitioning cannot perturb
+it); DuckDB's ``list_reduce`` replays the identical IEEE add sequence, then
+one double sqrt/divide each side.
+
+Scale notes (100 TB posture):
+- brute-force broadcasts the (tiny) query set; the corpus scan stays fully
+  partition-parallel with no shuffle — cost |Q|·|C| but embarrassingly
+  parallel and the right exactness baseline.
+- IVF probes one bucket per query: the routing table (1 row per bucket) is
+  broadcast, and only the probed bucket's partitions are scanned after the
+  broadcast-join filter. Search cost |Q|·(buckets + bucket_size).
+- near-dup blocks the self-join by bucket label, so the shuffle key is the
+  label and the pair space is per-bucket, never O(n²) corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.similarity import embedding_near_dup_pairs, topk_bruteforce, topk_ivf
+from ..sources.tpch import load_table
+from .registry import register
+
+# DuckDB twin of operators.similarity.cosine: strict left-to-right double
+# fold, with an explicit 0.0 head so the fold order matches Spark's
+# aggregate(arr, 0.0, +) exactly (list_reduce seeds from the first element).
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# Query vectors: a fixed, sf-independent slice of the corpus itself.
+_QUERY_PRED = "vec_id < 5"
+
+
+def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "similarity_topk_bruteforce",
+    "J4-analog,A1,O3",
+    "Exact cosine top-10 per query vector (5 query vecs vs full corpus): "
+    "broadcast the query set, score every corpus vector, window top-k with "
+    "vec_id tie-break. The exactness baseline for ANN.",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS query_vec
+          FROM embeddings WHERE {_QUERY_PRED}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 {_cosine_sql("q.query_vec", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id, cos
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    return topk_bruteforce(corpus, _query_set(spark, sf_dir), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    "J4-analog,A1,O3",
+    "IVF-style top-10: corpus pre-bucketed by label, one deterministic "
+    "representative per bucket (min vec_id), each query probes only its "
+    "nearest bucket. The broadcast routing table prunes the corpus scan — "
+    "the 100 TB scale path for ANN.",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS query_vec
+          FROM embeddings WHERE {_QUERY_PRED}
+        ),
+        reps AS (
+          SELECT label, embedding AS rep_vec
+          FROM (
+            SELECT label, embedding,
+                   row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+            FROM embeddings
+          ) WHERE rn = 1
+        ),
+        routed AS (
+          SELECT query_id, query_vec, label
+          FROM (
+            SELECT q.query_id, q.query_vec, reps.label,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {_cosine_sql("q.query_vec", "reps.rep_vec")} DESC,
+                              reps.label ASC
+                   ) AS rn
+            FROM q CROSS JOIN reps
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT r.query_id, r.label, c.vec_id,
+                 {_cosine_sql("r.query_vec", "c.embedding")} AS cos
+          FROM routed r JOIN embeddings c ON c.label = r.label
+        ),
+        ranked AS (
+          SELECT query_id, label, vec_id, cos,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT query_id, label, rank, vec_id, cos
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", "label")
+    return topk_ivf(corpus, _query_set(spark, sf_dir), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "similarity_embedding_near_dup",
+    "J8,A6",
+    "Embedding-cosine near-dup pairs at >= 0.3, blocked by label bucket: the "
+    "self-join shuffles on the bucket key only, so the pair space is "
+    "per-bucket, never corpus-wide O(n²).",
+    oracle=f"""
+        SELECT l.label, l.vec_id AS a, r.vec_id AS b,
+               {_cosine_sql("l.embedding", "r.embedding")} AS cos
+        FROM embeddings l
+        JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+        WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.3
+        ORDER BY a, b
+    """,
+)
+def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", "label")
+    return embedding_near_dup_pairs(corpus, threshold=0.3).orderBy("a", "b")

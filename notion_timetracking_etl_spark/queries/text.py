@@ -1,1 +1,194 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis queries over the ``documents`` table (engine extension).
+
+Covers the training-data text family from BASELINE.json: language-ID
+(marker-word n-gram heuristic), quality scoring, token counting (BPE-ish
+regex), and document fingerprinting (normalized-content hash).
+
+Everything is pure regexp/length Column arithmetic — shuffle-free per
+document, embarrassingly parallel at 100 TB; the only shuffles are the
+final tiny aggregations (histogram / fingerprint groupBy on a uniform
+sha256 key).
+
+FP parity: quality_score is a fixed left-to-right chain of IEEE double
+ops; the DuckDB oracle spells out the identical expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.text import (
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    bow_fingerprint,
+    fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_count,
+)
+from ..sources.tpch import load_table
+from .registry import register
+
+# ---- DuckDB twins of operators/text.py (regexp_count == len(extract_all)) --
+
+
+def _count_sql(expr: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        _count_sql("lower(text)", rf"\b{m}\b") for m in LANG_MARKERS[lang]
+    )
+
+
+def _language_id_sql() -> str:
+    names = sorted(LANG_MARKERS)
+    branches = []
+    for i, name in enumerate(names):
+        conds = [
+            f"({_lang_score_sql(name)}) >= ({_lang_score_sql(other)})"
+            for other in names[i + 1 :]
+        ]
+        if conds:
+            branches.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+        else:
+            branches.append(f"ELSE '{name}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+_WORD_COUNT_SQL = r"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
+_TOKEN_COUNT_SQL = _count_sql("lower(text)", TOKEN_PATTERN)
+_PUNCT_COUNT_SQL = _count_sql("text", r"[^\w\s]")
+_THE_COUNT_SQL = _count_sql("lower(text)", r"\bthe\b")
+_A_COUNT_SQL = _count_sql("lower(text)", r"\ba\b")
+_PUNCT_RATIO_SQL = (
+    f"CAST({_PUNCT_COUNT_SQL} AS DOUBLE)"
+    " / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))"
+)
+_STOPWORD_RATIO_SQL = (
+    f"CAST({_THE_COUNT_SQL} + {_A_COUNT_SQL} AS DOUBLE)"
+    f" / greatest(CAST({_WORD_COUNT_SQL} AS DOUBLE), CAST(1.0 AS DOUBLE))"
+)
+# Identical op order to operators.text.quality_score: each product/sum spelled
+# in the same sequence so every IEEE double op matches Spark's bit-for-bit.
+_QUALITY_SCORE_SQL = (
+    f"least(CAST(length(text) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+    f" * CAST(0.5 AS DOUBLE)"
+    f" + (CAST(1.0 AS DOUBLE) - least(({_PUNCT_RATIO_SQL}) * CAST(10.0 AS DOUBLE),"
+    f" CAST(1.0 AS DOUBLE))) * CAST(0.25 AS DOUBLE)"
+    f" + least(({_STOPWORD_RATIO_SQL}) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+    f" * CAST(0.25 AS DOUBLE)"
+)
+_FINGERPRINT_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+@register(
+    "text_profile",
+    "P2-analog,F15,F20",
+    "Per-document text-analysis profile: language-ID (marker-word argmax), "
+    "BPE-ish token count, word count, punctuation/stopword ratios, composite "
+    "quality score, and normalized-content fingerprint. Pure per-row regexp "
+    "arithmetic — shuffle-free at any scale.",
+    oracle=f"""
+        SELECT doc_id,
+               {_language_id_sql()} AS lang_id,
+               CAST({_TOKEN_COUNT_SQL} AS BIGINT) AS n_tokens,
+               CAST({_WORD_COUNT_SQL} AS BIGINT) AS n_words,
+               {_PUNCT_RATIO_SQL} AS punct_ratio,
+               {_STOPWORD_RATIO_SQL} AS stopword_ratio,
+               {_QUALITY_SCORE_SQL} AS quality,
+               {_FINGERPRINT_SQL} AS fp
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        language_id(t).alias("lang_id"),
+        token_count(t).alias("n_tokens"),
+        word_count(t).alias("n_words"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_language_histogram",
+    "A7",
+    "Corpus language histogram with mean quality per detected language — the "
+    "standard pre-training corpus composition report. One tiny groupBy on the "
+    "4-value language key (map-side partial agg).",
+    oracle=f"""
+        SELECT {_language_id_sql()} AS lang_id,
+               count(*) AS n_docs,
+               CAST(SUM(CAST(floor(({_QUALITY_SCORE_SQL}) * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_quality
+        FROM documents
+        GROUP BY 1
+        ORDER BY lang_id
+    """,
+)
+def text_language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality is floored to exact integer micro-units before summing: BIGINT
+    # sums are order-independent and cross-engine exact, where decimal
+    # rounding of arbitrary doubles is not (cf. queries/helpers.py caveat).
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            language_id(t).alias("lang_id"),
+            F.floor(quality_score(t) * 1000000.0).cast("long").alias("q_micro"),
+        )
+        .groupBy("lang_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("q_micro").cast("double") / F.count(F.lit(1)) / 1000000.0
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang_id")
+    )
+
+
+_BOW_FINGERPRINT_SQL = (
+    r"sha256(array_to_string(list_sort(list_distinct("
+    r"regexp_split_to_array(trim(lower(text)), '\s+'))), ' '))"
+)
+
+
+@register(
+    "text_fingerprint_dups",
+    "A6,F20",
+    "Bag-of-words fingerprint duplicate buckets: sha256 of the sorted "
+    "distinct word set — order-insensitive dedup that catches shuffled "
+    "near-copies exact hashing misses. One shuffle on the uniform sha256 "
+    "fingerprint; bucket_size > 1 rows are the dup sets.",
+    oracle=f"""
+        SELECT {_BOW_FINGERPRINT_SQL} AS fp,
+               count(*) AS bucket_size,
+               min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) > 1
+        ORDER BY fp
+    """,
+)
+def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", bow_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("bucket_size") > 1)
+        .orderBy("fp")
+    )

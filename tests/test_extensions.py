@@ -1,0 +1,66 @@
+"""Unit tests for the training-data extension operators (dedup / similarity /
+text / multimodal) beyond the registry-wide oracle parity checks."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    word_shingles,
+)
+from notion_timetracking_etl_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    attach_media_columns,
+    decode_media,
+)
+from notion_timetracking_etl_spark.operators.similarity import cosine
+
+
+def test_decode_media_without_codec_raises(spark):
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    media = attach_media_columns(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decode_fn=None)
+
+
+def test_decode_media_schema_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(0, "x" * 100), (1, "y" * 10), (2, "z" * 7)], "doc_id long, text string"
+    )
+    out = decode_media(attach_media_columns(docs, "doc_id", "text"))
+    assert out.schema == DECODED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[0].media_type == "image" and rows[0].n_frames == 1
+    assert rows[1].media_type == "audio" and rows[1].width == 0
+    assert rows[2].media_type == "video" and rows[2].n_frames == 7 % 100 + 1
+    assert rows[0].width == 100 % 640 + 1 and rows[0].height == 100 % 480 + 1
+
+
+def test_short_doc_shingles_to_whole_text(spark):
+    df = spark.createDataFrame([("a b",)], "text string").select(
+        word_shingles(F.col("text"), 3).alias("sh")
+    )
+    assert df.collect()[0].sh == ["a b"]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, "completely different words about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([0.5, -0.25, 0.125],)], "v array<double>")
+    val = df.select(cosine(F.col("v"), F.col("v")).alias("c")).collect()[0].c
+    assert val == pytest.approx(1.0, abs=1e-12)
