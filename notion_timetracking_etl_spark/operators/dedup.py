@@ -29,7 +29,17 @@ def words(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles; short docs (<n words) shingle to the whole text."""
-    w = words(text)
+    return shingles_from_words(words(text), n)
+
+
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a pre-tokenized word array.
+
+    Prefer binding ``w`` to a materialized column: every reference here is
+    repeated (3×n inside the gram transform), and inlining a full tokenizer
+    expression at each reference bloats the generated code (slow Janino
+    compiles) and re-tokenizes per gram.
+    """
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     grams = F.transform(
         idx,
@@ -63,44 +73,86 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    """(id, shingle) pairs, distinct per doc.
+
+    Repartitions the input first: document files are small relative to
+    ``spark.sql.files.maxPartitionBytes``, so a raw scan often lands on a
+    handful of partitions and the (CPU-heavy) shingle+hash work would not
+    fan out across the cluster. One cheap row shuffle buys full parallelism.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .repartition(parallelism, F.col("doc"))
+        .select("doc", words(F.col("_text")).alias("_w"))
+        .select(
+            "doc",
+            F.explode(F.array_distinct(shingles_from_words(F.col("_w"), n))).alias(
+                "sh"
+            ),
+        )
     )
 
 
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 12
 ) -> DataFrame:
-    """doc → K minhash values (one groupBy; map-side partial min)."""
-    aggs = [
-        F.min(hash64(f"{j}:", F.col("sh"))).alias(f"h{j}") for j in range(num_hashes)
-    ]
-    return shingles.groupBy("doc").agg(*aggs)
+    """doc → K minhash values (one groupBy; map-side partial min).
+
+    The K hash functions are disjoint 8-hex-char (32-bit) windows of
+    ``ceil(K/8)`` sha256 digests — 2 digests yield 12 independent hashes
+    instead of 12 separate sha256 evaluations, cutting both per-row hashing
+    and generated-code size. The digests are materialized as columns before
+    the aggregate so each window references a bound column.
+    """
+    n_digests = (num_hashes + 7) // 8
+    with_digests = shingles.select(
+        "doc",
+        *[
+            F.sha2(F.concat(F.lit(f"{d}:"), F.col("sh")), 256).alias(f"_d{d}")
+            for d in range(n_digests)
+        ],
+    )
+    aggs = []
+    for j in range(num_hashes):
+        d, w = divmod(j, 8)
+        window = F.conv(F.substring(F.col(f"_d{d}"), w * 8 + 1, 8), 16, 10).cast(
+            "long"
+        )
+        aggs.append(F.min(window).alias(f"h{j}"))
+    return with_digests.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 12, bands: int = 3
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band hash become candidate pairs (a < b)."""
+    """Banded LSH: docs sharing any band hash become candidate pairs (a < b).
+
+    All bands are emitted in ONE pass over the signatures (explode of a
+    (band, band-hash) struct array) — a per-band union would re-evaluate the
+    upstream minhash aggregation once per band.
+    """
     rows_per_band = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [
-            F.col(f"h{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        parts.append(
-            signatures.select(
-                F.col("doc"),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bh"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
             )
-        )
-    buckets = parts[0]
-    for p in parts[1:]:
-        buckets = buckets.unionByName(p)
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col("doc"), F.explode(band_structs).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     left = buckets.select(F.col("doc").alias("a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("b"), "band", "bh")
     return (
@@ -151,17 +203,31 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """End-to-end near-dup: shingle → minhash → LSH bands → Jaccard verify."""
-    sh = shingle_table(df, id_col, text_col, shingle_n)
+    """End-to-end near-dup: shingle → minhash → LSH bands → Jaccard verify.
+
+    The shingle table feeds four downstream consumers (signature mins, both
+    sides of the intersection join, and the per-doc sizes) — persist it so the
+    explode+hash work runs once. On a cluster this would be a checkpoint of
+    the shingle shuffle; in-memory persistence is the local[] equivalent.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
     return jaccard_verify(cands, sh, threshold)
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over word hashes (bit-voting), engine-independent."""
-    w = F.array_distinct(words(text))
-    hashes = F.transform(w, lambda x: hash64("w:", x))
+def word_hashes(text: Column) -> Column:
+    """Per-distinct-word 32-bit hashes (sha256-derived), as an array<long>."""
+    return F.transform(F.array_distinct(words(text)), lambda x: hash64("w:", x))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash from a pre-materialized word-hash array (bit-voting).
+
+    Bind ``hashes`` to a real column: the 16 bit-vote aggregates each
+    reference it, and inlining tokenize+sha256 at all 16 sites would hash
+    every word 16× per row and bloat codegen.
+    """
     bits = []
     for b in range(16):
         votes = F.aggregate(
@@ -175,3 +241,8 @@ def simhash16(text: Column) -> Column:
     for bit in bits[1:]:
         out = out + bit
     return out.cast("long")
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over word hashes (bit-voting), engine-independent."""
+    return simhash_from_hashes(word_hashes(text))

@@ -23,7 +23,8 @@ import pyspark.sql.functions as F
 from ..operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
-    simhash16,
+    simhash_from_hashes,
+    word_hashes,
 )
 from ..sources.tpch import load_table
 from .registry import register
@@ -73,16 +74,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     "A6,F20,J8",
-    "MinHash+LSH near-duplicate detection: word 3-gram shingles → 12 sha256 "
-    "minhashes → 3-band LSH candidate pairs → exact n-gram Jaccard "
-    "verification at >= 0.5. Candidate-only verification keeps the pair "
-    "space linear in true near-dups.",
+    "MinHash+LSH near-duplicate detection: word 3-gram shingles → 12 minhashes "
+    "(8-hex windows of 2 sha256 digests) → 3-band LSH candidate pairs → exact "
+    "n-gram Jaccard verification at >= 0.5. Candidate-only verification keeps "
+    "the pair space linear in true near-dups.",
     oracle=f"""
         WITH {_SHINGLES_CTE},
+        digs AS (
+          SELECT doc,
+                 sha256(concat('0:', sh)) AS d0,
+                 sha256(concat('1:', sh)) AS d1
+          FROM sh
+        ),
         sigs AS (
           SELECT doc,
-                 {", ".join(f"min({_hash64_sql(f'{j}:', 'sh')}) AS h{j}" for j in range(12))}
-          FROM sh GROUP BY doc
+                 {", ".join(
+                    f"min(CAST(concat('0x', substr(d{j // 8}, {(j % 8) * 8 + 1}, 8)) AS BIGINT)) AS h{j}"
+                    for j in range(12)
+                 )}
+          FROM digs GROUP BY doc
         ),
         buckets AS (
           {" UNION ALL ".join(
@@ -158,8 +168,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            F.col("doc_id"), simhash16(F.col("text")).alias("simhash")
+        docs.select(F.col("doc_id"), word_hashes(F.col("text")).alias("_hl"))
+        .select(
+            F.col("doc_id"), simhash_from_hashes(F.col("_hl")).alias("simhash")
         )
         .groupBy("simhash")
         .agg(
