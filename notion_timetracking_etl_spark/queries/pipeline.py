@@ -218,7 +218,31 @@ def _with_schema(df: DataFrame, schema) -> DataFrame:
     return df.select(*cols)
 
 
+# Synthesized canon is consumed by 7 registered queries and, within each, by
+# multiple pipeline branches (fact, spines, occupancy, throughput). Persist the
+# synthesis once per (session, sf_dir): the md5/ISO-formatting projection over
+# events is CPU-heavy enough that re-deriving it per consumer dominates query
+# time at bench scale. On a cluster this is "write canon once, read many" — the
+# reference materializes canon JSONL between stages for the same reason.
+_CANON_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def synth_canon(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CANON_CACHE.get(key)
+    if cached is not None:
+        return cached
+    canon = _synth_canon(spark, sf_dir)
+    for name in ("defs", "stages", "slices"):
+        canon[name] = canon[name].persist()
+    canon["clean"] = canon["slices"].filter(
+        F.col("workflow_definition_id").isNotNull()
+    )
+    _CANON_CACHE[key] = canon
+    return canon
+
+
+def _synth_canon(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ev = load_table(spark, sf_dir, "events")
     et_md5 = F.md5("event_type")
 
