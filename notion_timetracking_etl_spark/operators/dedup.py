@@ -246,3 +246,38 @@ def simhash_from_hashes(hashes: Column) -> Column:
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over word hashes (bit-voting), engine-independent."""
     return simhash_from_hashes(word_hashes(text))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.6,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join.
+
+    Candidate generation joins docs on SHARED RARE shingles only: shingles
+    with document frequency > ``max_doc_freq`` are excluded from pairing
+    (a shingle appearing in k docs would emit k² candidate pairs — the
+    classic quadratic blowup on stop-gram buckets). Verification then runs
+    EXACT Jaccard over the full shingle sets of the candidates, so scores
+    are unbiased; only pairs whose overlap is exclusively ultra-common
+    shingles can be missed, and such pairs sit far below any useful
+    threshold anyway. This is the standard DF-pruning trade on inverted-
+    index similarity joins at corpus scale.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    doc_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        doc_freq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh"
+    )
+    cands = (
+        rare.select(F.col("doc").alias("a"), "sh")
+        .join(rare.select(F.col("doc").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(cands, sh, threshold)

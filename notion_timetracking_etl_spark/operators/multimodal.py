@@ -51,6 +51,10 @@ def attach_media_columns(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     binary column plumbing (BinaryType schema, pruning, partitioning) is
     identical to real image bytes."""
     payload = F.encode(F.col(text_col), "utf-8")
+    # Decode parallelism below = partition count; small document files land on
+    # one scan partition, which would serialize the whole decode through a
+    # single Python worker. Spread rows first.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.element_at(

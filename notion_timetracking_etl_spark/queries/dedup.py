@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from ..operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
     simhash_from_hashes,
     word_hashes,
 )
@@ -32,17 +33,22 @@ from .registry import register
 # DuckDB twins of operators/dedup.py primitives, shared across oracles below.
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
-_SHINGLES_CTE = f"""
+def _shingles_cte(n: int) -> str:
+    gram = ", ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
   w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
   sh AS (
     SELECT DISTINCT doc_id AS doc,
-           unnest(CASE WHEN len(ws) >= 3
-                  THEN list_transform(generate_series(1, len(ws) - 2),
-                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+           unnest(CASE WHEN len(ws) >= {n}
+                  THEN list_transform(generate_series(1, len(ws) - {n - 1}),
+                       i -> concat_ws(' ', {gram}))
                   ELSE [array_to_string(ws, ' ')] END) AS sh
     FROM w
   )
 """
+
+
+_SHINGLES_CTE = _shingles_cte(3)
 
 
 def _hash64_sql(prefix: str, expr: str) -> str:
@@ -128,6 +134,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
+    ).orderBy("a", "b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "A6,J8,F20",
+    "Exact word-bigram Jaccard near-dup join: inverted-index candidate "
+    "generation on shared shingles (document-frequency-capped at 50 to kill "
+    "the quadratic stop-gram blowup), then exact Jaccard >= 0.6 over the "
+    "candidates' full shingle sets.",
+    oracle=f"""
+        WITH {_shingles_cte(2)},
+        dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        rare AS (
+          SELECT s.doc, s.sh FROM sh s JOIN dfreq f ON s.sh = f.sh
+          WHERE f.df <= 50
+        ),
+        cands AS (
+          SELECT DISTINCT l.doc AS a, r.doc AS b
+          FROM rare l JOIN rare r ON l.sh = r.sh
+          WHERE l.doc < r.doc
+        ),
+        sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cands c
+          JOIN sh sa ON sa.doc = c.a
+          JOIN sh sb ON sb.doc = c.b AND sb.sh = sa.sh
+          GROUP BY c.a, c.b
+        )
+        SELECT inter.a, inter.b,
+               CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = inter.a
+        JOIN sizes sb ON sb.doc = inter.b
+        WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6
+        ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, threshold=0.6, max_doc_freq=50
     ).orderBy("a", "b")
 
 

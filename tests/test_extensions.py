@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 
 from notion_timetracking_etl_spark.operators.dedup import (
     minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
     word_shingles,
 )
 from notion_timetracking_etl_spark.operators.multimodal import (
@@ -55,9 +56,33 @@ def test_minhash_finds_planted_near_dup(spark):
         ],
         "doc_id long, text string",
     )
-    pairs = minhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    # 6 bands × 2 hashes: P(miss) ≈ (1 - J²)⁶ < 1e-4 at J ≈ 0.92 — the
+    # high-recall banding; the 3×4 default trades recall for fewer candidates.
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=6
+    ).collect()
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard > 0.5
+
+
+def test_ngram_jaccard_exact_scores_and_df_pruning(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " iota"),  # 7 shared bigrams of 7 vs 8 → J = 7/8
+            (3, "nothing shared with the others at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=2, threshold=0.5).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == pytest.approx(7 / 8)
+    # a df cap of 1 excludes every shared shingle → no candidates survive
+    none = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, threshold=0.1, max_doc_freq=1
+    ).collect()
+    assert none == []
 
 
 def test_cosine_self_is_one(spark):
