@@ -18,5 +18,6 @@ from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,93 @@
+"""Registered Structured Streaming queries (engine extension, SURVEY §2.9).
+
+Each callable runs a REAL streaming query — ``readStream`` over the events
+parquet, drained with ``Trigger.AvailableNow`` into a memory sink — and
+returns the resulting batch DataFrame. On finite input the result is
+deterministic and equals the batch twin, so the first two are fully
+oracle-checked in DuckDB; the stateful operator is genuinely non-SQL (state
+folded across micro-batches) and registers rows-only per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    hourly_rollup,
+    read_events_stream,
+    run_stream_to_table,
+    session_window_rollup,
+    user_stats_stateful,
+)
+from .helpers import dsum_sql
+from .registry import register
+
+
+@register(
+    "streaming_hourly_rollup",
+    "W2-stream,A3-stream",
+    "Structured Streaming tumbling 1-hour windows per event_type with a 1h "
+    "watermark, drained via Trigger.AvailableNow into a memory sink. "
+    "Deterministic on finite input; the oracle is the batch twin.",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {dsum_sql("value", "total_value")}
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = hourly_rollup(read_events_stream(spark, sf_dir))
+    return run_stream_to_table(stream).orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_session_window",
+    "W-ext-stream",
+    "Native streaming session windows (F.session_window): per-user sessions "
+    "closing after 30 min inactivity; session end = last event + gap. The "
+    "oracle rebuilds the same sessions with gaps-and-islands SQL.",
+    oracle="""
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_n
+          FROM ordered
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                 AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_n
+        ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = session_window_rollup(read_events_stream(spark, sf_dir))
+    return run_stream_to_table(stream).orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    "UDF-stream",
+    "Custom stateful operator via applyInPandasWithState: per-user running "
+    "(count, exact-micros value sum, last-seen ts) folded across micro-"
+    "batches. Non-SQL-expressible (driver records rows-only); pytest proves "
+    "stream==batch equivalence bit-for-bit.",
+    oracle=None,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = user_stats_stateful(read_events_stream(spark, sf_dir))
+    return run_stream_to_table(stream, output_mode="update").orderBy("user_id")

@@ -1,0 +1,26 @@
+"""Structured Streaming extension (SURVEY §2.9).
+
+The reference is batch-only (README.md:16-23 rules webhook/event ingestion out
+of scope), so everything here is an engine extension: the same windowed
+aggregation semantics exposed over ``readStream``, plus a custom stateful
+operator via ``applyInPandasWithState``. Batch/stream parity is the design
+invariant — each streaming builder has identical semantics to a batch twin,
+verified by the oracle-checked registry queries and the pytest equivalence
+tests.
+"""
+
+from .rollup import (
+    hourly_rollup,
+    read_events_stream,
+    run_stream_to_table,
+    session_window_rollup,
+)
+from .stateful import user_stats_stateful
+
+__all__ = [
+    "read_events_stream",
+    "hourly_rollup",
+    "session_window_rollup",
+    "run_stream_to_table",
+    "user_stats_stateful",
+]

@@ -1,0 +1,110 @@
+"""Streaming windowed rollups over the events table.
+
+Design for scale: the stream shuffles once per aggregation on the group keys;
+watermarks bound state (late events beyond the delay are dropped, closed
+windows are evicted). ``availableNow`` runs drain the full backlog in bounded
+micro-batches — the cloud pattern for catch-up processing over a parquet lake.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def _dsum(col: Column) -> Column:
+    """queries.helpers.dsum's convention, restated locally: importing the
+    queries package from here would make executor-side unpickling of the
+    stateful operator re-enter queries/__init__ → queries.streaming → this
+    package while partially initialized (circular import)."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the batch reader's schema
+    contract (TIMESTAMP(NANOS) arrives as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact-decimal value sum.
+
+    The watermark bounds aggregation state at (now - 1h) worth of open
+    windows; at 100 TB/day this is what keeps state size independent of
+    backlog depth.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user: a session closes after ``gap`` of
+    inactivity. Spark's session_window end = last event + gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_table(
+    stream_df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Drain a streaming DataFrame with ``Trigger.AvailableNow`` into a memory
+    sink and return the result as a batch DataFrame.
+
+    Complete mode emits every window once the backlog is drained — the
+    deterministic choice for finite input (append mode would withhold windows
+    newer than the final watermark). In production the sink would be a Delta /
+    Kafka / foreachBatch writer; the memory sink is the local[] test stand-in.
+    """
+    spark = stream_df.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
