@@ -19,5 +19,6 @@ from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
+from . import extraction  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
