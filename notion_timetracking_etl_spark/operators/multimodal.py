@@ -81,6 +81,94 @@ def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return (n % 320 + 1, n % 240 + 1, n % 100 + 1)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("new_width", LongType(), True),
+        StructField("new_height", LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, box_w: int = 256, box_h: int = 256) -> DataFrame:
+    """Aspect-fit resize planning via mapInPandas (vectorized per batch).
+
+    The geometry (scale = min(box/w, box/h) capped at 1; floor, min 1px) is
+    the real production logic; only the pixel resample itself is absent
+    (a PIL/ffmpeg call on the payload bytes would slot into the same batch
+    loop). Runs on decoded image/video rows.
+    """
+
+    # filter JVM-side so non-resizable rows never cross the Python boundary
+    df = df.filter(F.col("media_type").isin("image", "video"))
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            scale = (box_w / pdf["width"]).clip(upper=1.0).combine(
+                (box_h / pdf["height"]).clip(upper=1.0), min
+            )
+            out = pdf[["media_id", "media_type", "width", "height"]].copy()
+            out["new_width"] = (
+                (pdf["width"] * scale).astype("int64").clip(lower=1)
+            )
+            out["new_height"] = (
+                (pdf["height"] * scale).astype("int64").clip(lower=1)
+            )
+            yield out
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 7) -> DataFrame:
+    """Sample every ``every_n``-th frame of video media.
+
+    Frame *selection* is built-in Spark (sequence + explode — no Python in
+    the fan-out path, so a 10⁹-frame corpus never routes indices through the
+    driver); frame *extraction* is the stubbed Python stage: a mapInPandas
+    over (media, frame_idx) batches that would call ffmpeg per batch, here
+    producing a deterministic frame fingerprint instead.
+    """
+    decoded = decode_media(df).filter(F.col("media_type") == "video")
+    keyed = decoded.join(
+        df.select("media_id", "content_sha"), "media_id"
+    )
+    frames = keyed.select(
+        "media_id",
+        "content_sha",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("n_frames") - 1,
+                F.lit(int(every_n)).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        for pdf in batches:
+            out = pdf[["media_id", "frame_idx"]].copy()
+            out["frame_sha"] = [
+                hashlib.sha256(f"{sha}:{idx}".encode()).hexdigest()
+                for sha, idx in zip(pdf["content_sha"], pdf["frame_idx"])
+            ]
+            yield out
+
+    return frames.mapInPandas(extract, FRAME_SCHEMA)
+
+
 def decode_media(
     df: DataFrame,
     decode_fn: Callable[[bytes, str], tuple[int, int, int]] | None = _stub_decode,

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..operators.multimodal import attach_media_columns, decode_media
+from ..operators.multimodal import (
+    attach_media_columns,
+    decode_media,
+    resize_media,
+    sample_frames,
+)
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -59,6 +64,70 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(docs, "doc_id", "text")
     return decode_media(media).orderBy("media_id")
+
+
+_W_SQL = f"CASE {_MEDIA_TYPE_SQL} WHEN 'image' THEN {_BYTES_SQL} % 640 + 1 ELSE {_BYTES_SQL} % 320 + 1 END"
+_H_SQL = f"CASE {_MEDIA_TYPE_SQL} WHEN 'image' THEN {_BYTES_SQL} % 480 + 1 ELSE {_BYTES_SQL} % 240 + 1 END"
+
+
+@register(
+    "multimodal_resize",
+    "P2-analog,F26-analog",
+    "Aspect-fit resize planning over decoded image/video media via "
+    "vectorized mapInPandas: scale = min(256/w, 256/h) capped at 1, floored "
+    "dims with a 1px floor. The pixel resample is the stubbed codec step; "
+    "the geometry and batch plumbing are production-real.",
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, {_MEDIA_TYPE_SQL} AS media_type,
+                 CAST({_W_SQL} AS BIGINT) AS width,
+                 CAST({_H_SQL} AS BIGINT) AS height
+          FROM documents
+          WHERE {_MEDIA_TYPE_SQL} IN ('image', 'video')
+        )
+        SELECT media_id, media_type, width, height,
+               GREATEST(1, CAST(floor(width * LEAST(256.0 / width, 256.0 / height, 1.0))
+                                AS BIGINT)) AS new_width,
+               GREATEST(1, CAST(floor(height * LEAST(256.0 / width, 256.0 / height, 1.0))
+                                AS BIGINT)) AS new_height
+        FROM m
+        ORDER BY media_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_media_columns(docs, "doc_id", "text"))
+    return resize_media(decoded).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    "W2-analog,P2-analog",
+    "Video frame sampling: every-7th frame indices fanned out JVM-side "
+    "(sequence + explode — no Python in the fan-out), then a mapInPandas "
+    "extraction stage producing deterministic frame fingerprints where a "
+    "real ffmpeg grab would run per batch.",
+    oracle=f"""
+        WITH v AS (
+          SELECT doc_id AS media_id,
+                 sha256(text) AS content_sha,
+                 CAST({_BYTES_SQL} % 100 + 1 AS BIGINT) AS n_frames
+          FROM documents
+          WHERE {_MEDIA_TYPE_SQL} = 'video'
+        )
+        SELECT media_id,
+               CAST(g.f AS BIGINT) AS frame_idx,
+               sha256(concat(content_sha, ':', CAST(g.f AS VARCHAR))) AS frame_sha
+        FROM v, LATERAL (
+          SELECT unnest(generate_series(0, n_frames - 1, 7)) AS f
+        ) g
+        ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "doc_id", "text")
+    return sample_frames(media, every_n=7).orderBy("media_id", "frame_idx")
 
 
 @register(

@@ -15,6 +15,8 @@ from notion_timetracking_etl_spark.operators.multimodal import (
     DECODED_SCHEMA,
     attach_media_columns,
     decode_media,
+    resize_media,
+    sample_frames,
 )
 from notion_timetracking_etl_spark.operators.similarity import cosine
 
@@ -63,6 +65,37 @@ def test_minhash_finds_planted_near_dup(spark):
     ).collect()
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard > 0.5
+
+
+def test_resize_aspect_fit_geometry(spark):
+    # doc 0: 100 bytes → image 101×101 → fits in 256 box untouched (scale 1)
+    # doc 2: 700 bytes → video 700%320+1=61 × 700%240+1=221 → scale 256/221
+    docs = spark.createDataFrame(
+        [(0, "x" * 100), (1, "y" * 10), (2, "z" * 700)], "doc_id long, text string"
+    )
+    out = {
+        r.media_id: r
+        for r in resize_media(
+            decode_media(attach_media_columns(docs, "doc_id", "text"))
+        ).collect()
+    }
+    assert set(out) == {0, 2}  # audio row never reaches the resize stage
+    assert (out[0].new_width, out[0].new_height) == (101, 101)
+    scale = min(256 / 61, 256 / 221, 1.0)
+    assert (out[2].new_width, out[2].new_height) == (int(61 * scale), int(221 * scale))
+
+
+def test_sample_frames_every_nth_of_video_only(spark):
+    docs = spark.createDataFrame(
+        [(2, "z" * 25), (1, "y" * 10)], "doc_id long, text string"
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    frames = sample_frames(media, every_n=7).collect()
+    # video doc 2: 25 bytes → n_frames 26 → idx 0,7,14,21; audio doc 1 absent
+    assert sorted((r.media_id, r.frame_idx) for r in frames) == [
+        (2, 0), (2, 7), (2, 14), (2, 21)
+    ]
+    assert all(len(r.frame_sha) == 64 for r in frames)
 
 
 def test_ngram_jaccard_exact_scores_and_df_pruning(spark):
