@@ -150,6 +150,22 @@ def title_fallback_scan(properties: Column) -> Column:
     return _first(F.filter(titles, lambda t: t.isNotNull()))
 
 
+_UUID_RE = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+
+
+def harvest_relation_uuids(col: Column) -> Column:
+    """F12 (reference: scripts/diagnose-stage-relations.ts:228-264): walk an
+    arbitrarily nested value and collect every hyphenated UUID, lowercased,
+    de-duplicated in first-seen order (the reference's Set semantics).
+
+    The reference recurses over JS objects; here the value is rendered to
+    JSON once and scanned with one regexp — same result set, single pass,
+    fully JVM-side."""
+    return F.array_distinct(
+        F.regexp_extract_all(F.lower(F.to_json(col)), F.lit(_UUID_RE), 0)
+    )
+
+
 def attributes_json(properties: Column) -> Column:
     """Build the canonical ``attributes`` map: property id → rawValue as JSON
     (reference: canon/timeslice.ts:237-239 rawProperties passthrough)."""

@@ -162,3 +162,21 @@ def test_definition_title_fallback(spark):
         "workflow_definition_abcdefabcdefabcdefabcdefabcdefab"
     )
     assert r["page_title"] == "My Workflow"
+
+
+def test_harvest_relation_uuids_nested_dedup_lowercase(spark):
+    """F12: nested traversal, case folding, Set-dedup, non-UUIDs ignored."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.functions.extract import (
+        harvest_relation_uuids,
+    )
+
+    u1 = "0f8fad5b-d9cb-469f-a165-70867728950e"
+    u2 = "7c9e6679-7425-40de-944b-e07fc1f90ae7"
+    df = spark.createDataFrame(
+        [((u1.upper(), [u2, u1], "plain"),)],
+        "v struct<a:string, ids:array<string>, noise:string>",
+    )
+    got = df.select(harvest_relation_uuids(F.col("v")).alias("u")).collect()[0].u
+    assert got == [u1, u2]
