@@ -139,9 +139,11 @@ def sample_frames(df: DataFrame, every_n: int = 7) -> DataFrame:
     over (media, frame_idx) batches that would call ffmpeg per batch, here
     producing a deterministic frame fingerprint instead.
     """
-    decoded = decode_media(df).filter(F.col("media_type") == "video")
-    keyed = decoded.join(
-        df.select("media_id", "content_sha"), "media_id"
+    # decode only video rows (JVM-side filter before the Python stage) and
+    # carry content_sha through the decode instead of joining back — a
+    # self-join would re-scan and re-decode the media table.
+    keyed = decode_media(
+        df.filter(F.col("media_type") == "video"), passthrough=("content_sha",)
     )
     frames = keyed.select(
         "media_id",
@@ -172,16 +174,25 @@ def sample_frames(df: DataFrame, every_n: int = 7) -> DataFrame:
 def decode_media(
     df: DataFrame,
     decode_fn: Callable[[bytes, str], tuple[int, int, int]] | None = _stub_decode,
-    batch_hint: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched decode via ``mapInPandas`` — the real 100 TB shape:
     each partition streams pandas batches through Python once, no per-row
-    UDF overhead, decode parallelism = partition count."""
+    UDF overhead, decode parallelism = partition count.
+
+    ``passthrough`` carries extra input columns into the output unchanged —
+    cheaper than re-deriving them downstream with a self-join back to the
+    input (which would re-scan and re-decode the media table).
+    """
     if decode_fn is None:
         raise NotImplementedError(
             "real media decode requires an image/audio library not present in "
             "this environment; pass decode_fn (see _stub_decode)"
         )
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        DECODED_SCHEMA.fields + [in_fields[c] for c in passthrough]
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -191,15 +202,16 @@ def decode_media(
                 decode_fn(p, t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_length": pdf["byte_length"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "n_frames": [f[2] for f in feats],
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "byte_length": pdf["byte_length"],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "n_frames": [f[2] for f in feats],
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, DECODED_SCHEMA)
+    return df.mapInPandas(run, out_schema)
