@@ -1,0 +1,388 @@
+"""Command-line surface — the engine's user-facing API.
+
+Mirrors the reference CLI's eight commands (reference: src/cli/index.ts:
+410-440): ``pull-notion``, ``normalize``, ``run``, ``audit-notion-schema``,
+``excel-export``, ``pbi-provision``, ``pbi-refresh``, ``run-end-to-end`` —
+same dataflow, Spark execution. All REST traffic stays on the driver
+(rate-limited / governed); Spark does the heavy lifting between the
+boundaries.
+
+Seams for testing: ``main(argv, spark=..., seams=Seams(...))`` accepts an
+existing SparkSession plus injectable Notion/Power BI transports so every
+command is drivable against fakes (tests/test_cli.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import os
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+from .config import (
+    NotionConfig,
+    TimeslicePropertyIds,
+    WorkflowDefinitionPropertyIds,
+    WorkflowStagePropertyIds,
+    require_configured,
+)
+from .schemas import (
+    RAW_RECORD_SCHEMA,
+    TIMESLICE_SCHEMA,
+    WORKFLOW_DEFINITION_SCHEMA,
+    WORKFLOW_STAGE_SCHEMA,
+)
+
+DATASETS = ("timeslices", "workflowStages", "workflowDefinitions")
+
+
+def utc_date_stamp(now: Callable[[], _dt.datetime] | None = None) -> str:
+    """F31 (reference: src/lib/time.ts:1-3): UTC YYYY-MM-DD partition stamp."""
+    dt = (now or (lambda: _dt.datetime.now(_dt.timezone.utc)))()
+    return dt.strftime("%Y-%m-%d")
+
+
+def load_config(path: str | None) -> tuple[NotionConfig, dict[str, str]]:
+    """Config JSON: {"databases": {dataset: id}, "propertyIds": {dataset:
+    {binding: propertyId}}} — the runtime property-ID seam (reference:
+    src/config/env.ts:121-156)."""
+    if not path:
+        path = os.environ.get("NOTION_ETL_CONFIG", "")
+    if not path or not os.path.exists(path):
+        raise SystemExit(
+            "config required: pass --config or set NOTION_ETL_CONFIG "
+            '(JSON: {"databases": {...}, "propertyIds": {...}})'
+        )
+    with open(path) as f:
+        doc = json.load(f)
+    pids = doc.get("propertyIds", {})
+    config = NotionConfig(
+        timeslices=TimeslicePropertyIds(**pids.get("timeslices", {})),
+        workflowStages=WorkflowStagePropertyIds(**pids.get("workflowStages", {})),
+        workflowDefinitions=WorkflowDefinitionPropertyIds(
+            **pids.get("workflowDefinitions", {})
+        ),
+    )
+    return config, dict(doc.get("databases", {}))
+
+
+def urllib_transport(method, url, headers, body):
+    """Stdlib HTTP transport matching the injectable contract
+    ``(method, url, headers, body) -> (status, headers, text)``."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, dict(resp.headers), resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers or {}), e.read().decode(errors="replace")
+
+
+def _build_spark() -> SparkSession:
+    from .session import build_session
+
+    return build_session(app_name="notion-timetracking-etl-spark-cli")
+
+
+class HttpNotionTransport:
+    """Stdlib binding of the NotionTransport protocol (driver-side REST;
+    rate limiting and retries live in NotionSource, not here)."""
+
+    BASE = "https://api.notion.com/v1"
+    VERSION = "2022-06-28"
+
+    def __init__(self, token: str, http=urllib_transport):
+        self._token = token
+        self._http = http
+
+    def _call(self, method: str, path: str, body: dict | None) -> dict:
+        from .lib.retry import HttpError
+
+        headers = {
+            "Authorization": f"Bearer {self._token}",
+            "Notion-Version": self.VERSION,
+            "Content-Type": "application/json",
+        }
+        payload = json.dumps(body).encode() if body is not None else None
+        status, resp_headers, text = self._http(
+            method, f"{self.BASE}{path}", headers, payload
+        )
+        if status >= 400:
+            raise HttpError(status, dict(resp_headers), text)
+        return json.loads(text) if text else {}
+
+    def retrieve_database(self, database_id: str) -> dict:
+        return self._call("GET", f"/databases/{database_id}", None)
+
+    def query_database(
+        self, database_id: str, start_cursor: str | None, page_size: int
+    ) -> dict:
+        body: dict = {"page_size": page_size}
+        if start_cursor:
+            body["start_cursor"] = start_cursor
+        return self._call("POST", f"/databases/{database_id}/query", body)
+
+
+def _notion_source(transport):
+    from .sources.notion import NotionSource
+
+    if transport is None:
+        token = os.environ.get("NOTION_TOKEN", "")
+        if not token:
+            raise SystemExit("NOTION_TOKEN required for Notion API commands")
+        transport = HttpNotionTransport(token)
+    return NotionSource(transport=transport)
+
+
+def cmd_pull_notion(args, spark, seams) -> int:
+    """reference: cli/index.ts:40-71 (runPullNotion)."""
+    config, databases = load_config(args.config)
+    source = _notion_source(seams.notion_transport)
+    date = utc_date_stamp()
+    for dataset in DATASETS:
+        db_id = databases.get(dataset, "")
+        if not db_id:
+            raise SystemExit(f"no database id configured for dataset {dataset}")
+        records = source.pull_dataset(dataset, db_id)
+        from .sources.jsonl import dataset_dir
+
+        out_dir = dataset_dir(args.data_dir, "raw", dataset, date)
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, "records.jsonl")
+        with open(out_path, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        seams.log(f"pulled {len(records)} records dataset={dataset} -> {out_path}")
+    return 0
+
+
+def cmd_normalize(args, spark, seams) -> int:
+    """reference: cli/index.ts:73-131 (runNormalize)."""
+    from .operators.normalize import normalize_all
+    from .operators.quality import evaluate_quality
+    from .sinks.jsonl import write_jsonl
+    from .sources.jsonl import read_jsonl
+
+    config, _databases = load_config(args.config)
+    for ids, name in (
+        (config.timeslices, "timeslices"),
+        (config.workflowStages, "workflowStages"),
+        (config.workflowDefinitions, "workflowDefinitions"),
+    ):
+        require_configured(ids, name)  # V2 fail-fast
+
+    raw = {
+        ds: read_jsonl(spark, RAW_RECORD_SCHEMA, args.data_dir, "raw", ds)
+        for ds in DATASETS
+    }
+    canon = normalize_all(
+        raw["workflowDefinitions"], raw["workflowStages"], raw["timeslices"], config
+    )
+    run_date = args.run_date or utc_date_stamp()
+    out = evaluate_quality(
+        canon["timeslices"], canon["workflow_stages"], run_date=run_date
+    )
+
+    date = utc_date_stamp()
+    write_jsonl(canon["workflow_definitions"], args.data_dir, "canon", "workflowDefinitions", date)
+    write_jsonl(canon["workflow_stages"], args.data_dir, "canon", "workflowStages", date)
+    write_jsonl(out["timeslices_clean"], args.data_dir, "canon", "timeslices", date)
+    write_jsonl(out["issues"], args.data_dir, "canon", "qualityIssues", date)
+    print(json.dumps(out["report"], indent=2, sort_keys=True))
+    return 0
+
+
+def cmd_audit_notion_schema(args, spark, seams) -> int:
+    """reference: cli/index.ts:156-205 — emit the property catalog artifact."""
+    _config, databases = load_config(args.config)
+    source = _notion_source(seams.notion_transport)
+    audit = {}
+    for dataset in DATASETS:
+        db_id = databases.get(dataset, "")
+        if not db_id:
+            continue
+        db = source.retrieve_database(db_id)
+        audit[dataset] = {
+            name: {"id": val.get("id"), "type": val.get("type")}
+            for name, val in (db.get("properties") or {}).items()
+            if isinstance(val, dict)
+        }
+    out_path = args.output or os.path.join(args.data_dir, "notion-schema.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(audit, f, indent=2, sort_keys=True)
+    seams.log(f"schema audit -> {out_path}")
+    return 0
+
+
+def _read_canon_and_derive(spark, data_dir: str):
+    from .plans.derive import run_derive
+    from .sources.jsonl import read_jsonl
+
+    defs = read_jsonl(spark, WORKFLOW_DEFINITION_SCHEMA, data_dir, "canon", "workflowDefinitions")
+    stages = read_jsonl(spark, WORKFLOW_STAGE_SCHEMA, data_dir, "canon", "workflowStages")
+    slices = read_jsonl(spark, TIMESLICE_SCHEMA, data_dir, "canon", "timeslices")
+    return run_derive(defs, stages, slices)
+
+
+def cmd_excel_export(args, spark, seams) -> int:
+    """reference: cli/index.ts:219-273 (runExcelExport)."""
+    from .sinks.excel import write_excel
+
+    result = _read_canon_and_derive(spark, args.data_dir)
+    out_path = args.output or os.path.join(args.data_dir, "export.xlsx")
+    sheets = write_excel(result.tables, out_path)
+    for sheet in sheets:
+        seams.log(f"sheet {sheet.name}: {len(sheet.rows)} rows")
+    print(json.dumps({"output": out_path, "sheets": [s.name for s in sheets]}))
+    return 0
+
+
+def _spec_for(result, dataset_name: str):
+    from .plans.model import build_model_relationships
+    from .sinks.pbi.spec import spec_from_frames, validate_spec
+
+    spec = spec_from_frames(
+        dataset_name, result.tables, build_model_relationships()
+    )
+    validate_spec(spec)  # V6
+    return spec
+
+
+def _pbi_client(transport):
+    from .sinks.pbi.client import PowerBiClient, TokenProvider
+
+    t = transport or urllib_transport
+    missing = [
+        v for v in ("PBI_TENANT_ID", "PBI_CLIENT_ID", "PBI_CLIENT_SECRET")
+        if not os.environ.get(v)
+    ]
+    if transport is None and missing:
+        raise SystemExit(f"missing Power BI credentials: {', '.join(missing)}")
+    tokens = TokenProvider(
+        t,
+        os.environ.get("PBI_TENANT_ID", "tenant"),
+        os.environ.get("PBI_CLIENT_ID", "client"),
+        os.environ.get("PBI_CLIENT_SECRET", "secret"),
+    )
+    return PowerBiClient(t, tokens)
+
+
+def cmd_pbi_provision(args, spark, seams) -> int:
+    """reference: cli/index.ts:275-311 (S10)."""
+    from .sinks.pbi.provision import ensure_dataset
+
+    result = _read_canon_and_derive(spark, args.data_dir)
+    spec = _spec_for(result, args.dataset_name)
+    client = _pbi_client(seams.pbi_transport)
+    dataset_id = ensure_dataset(
+        client, args.data_dir, args.group_id, args.dataset_name, spec
+    )
+    print(json.dumps({"datasetId": dataset_id}))
+    return 0
+
+
+def cmd_pbi_refresh(args, spark, seams) -> int:
+    """reference: cli/index.ts:313-408 (runPbiRefresh)."""
+    from .sinks.pbi.provision import ensure_dataset
+    from .sinks.pbi.refresh import execute_wipe_and_reload
+
+    result = _read_canon_and_derive(spark, args.data_dir)
+    spec = _spec_for(result, args.dataset_name)
+    client = _pbi_client(seams.pbi_transport)
+    dataset_id = ensure_dataset(
+        client, args.data_dir, args.group_id, args.dataset_name, spec
+    )
+    refresh = execute_wipe_and_reload(
+        client, args.group_id, dataset_id, spec, result.tables, log=seams.log
+    )
+    print(
+        json.dumps(
+            {
+                "datasetId": dataset_id,
+                "tables": refresh.tables_processed,
+                "rows": refresh.total_rows_posted,
+                "posts": refresh.total_post_requests,
+                "counters": result.counters,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_run(args, spark, seams) -> int:
+    """reference: cli/index.ts:207-210 — pull + normalize."""
+    rc = cmd_pull_notion(args, spark, seams)
+    return rc or cmd_normalize(args, spark, seams)
+
+
+def cmd_run_end_to_end(args, spark, seams) -> int:
+    """reference: cli/index.ts:212-217 — pull, normalize, provision, refresh."""
+    rc = cmd_pull_notion(args, spark, seams)
+    rc = rc or cmd_normalize(args, spark, seams)
+    rc = rc or cmd_pbi_provision(args, spark, seams)
+    return rc or cmd_pbi_refresh(args, spark, seams)
+
+
+COMMANDS = {
+    "pull-notion": cmd_pull_notion,
+    "normalize": cmd_normalize,
+    "run": cmd_run,
+    "audit-notion-schema": cmd_audit_notion_schema,
+    "excel-export": cmd_excel_export,
+    "pbi-provision": cmd_pbi_provision,
+    "pbi-refresh": cmd_pbi_refresh,
+    "run-end-to-end": cmd_run_end_to_end,
+}
+
+_NEEDS_SPARK = {
+    "normalize", "run", "excel-export", "pbi-provision", "pbi-refresh",
+    "run-end-to-end",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="notion-timetracking-etl-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    for name in COMMANDS:
+        c = sub.add_parser(name)
+        c.add_argument("--data-dir", default="data")
+        c.add_argument("--config", default=None)
+        c.add_argument("--run-date", default=None, help="injectable for determinism")
+        c.add_argument("--output", default=None)
+        c.add_argument("--group-id", default=os.environ.get("PBI_GROUP_ID", ""))
+        c.add_argument(
+            "--dataset-name", default=os.environ.get("PBI_DATASET_NAME", "TimeTracking")
+        )
+    return p
+
+
+class Seams:
+    """Injectable integration points for tests."""
+
+    def __init__(self, notion_transport=None, pbi_transport=None, log=None):
+        self.notion_transport = notion_transport
+        self.pbi_transport = pbi_transport
+        self.log = log or (lambda m: print(m, file=sys.stderr))
+
+
+def main(
+    argv: list[str] | None = None,
+    spark: SparkSession | None = None,
+    seams: Seams | None = None,
+) -> int:
+    seams = seams or Seams()
+    args = build_parser().parse_args(argv)
+    if spark is None and args.command in _NEEDS_SPARK:
+        spark = _build_spark()
+    return COMMANDS[args.command](args, spark, seams)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,209 @@
+"""CLI end-to-end: pull → normalize → pbi-refresh against injected fakes.
+
+Drives the same command surface a user of the reference CLI would run
+(reference: src/cli/index.ts:410-440), with the Notion and Power BI
+transports faked at the HTTP seam — everything between (Spark normalize,
+quality, derive, spec build/validate, governor-batched wipe+reload) is real.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from notion_timetracking_etl_spark.cli import Seams, main
+from tests.notion_fixtures import build_config
+
+WF_UUID = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+STAGE_FROM = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
+STAGE_TO = "cccccccc-cccc-cccc-cccc-cccccccccccc"
+
+
+def _api_page(pid: str, props: dict) -> dict:
+    return {
+        "id": pid,
+        "last_edited_time": "2026-02-01T12:10:00.000Z",
+        "created_time": "2026-02-01T12:00:00.000Z",
+        "url": f"https://notion.example/{pid}",
+        "properties": props,
+    }
+
+
+class FakeNotion:
+    """Three databases whose page properties match tests.notion_fixtures'
+    configured property-ID bindings."""
+
+    def __init__(self):
+        ts_props = {
+            "Name": {"id": "title_prop", "type": "title"},
+            "Workflow": {"id": "rel_workflow", "type": "relation"},
+            "From": {"id": "rel_from_step", "type": "relation"},
+            "To": {"id": "rel_to_step", "type": "relation"},
+            "Start": {"id": "start_date", "type": "date"},
+            "End": {"id": "end_date", "type": "date"},
+        }
+        st_props = {
+            "Workflow Definition": {"id": "wf_rel", "type": "relation"},
+            "Stage Number": {"id": "stage_number", "type": "number"},
+            "Stage Label": {"id": "stage_label", "type": "rich_text"},
+        }
+        wd_props = {"Name": {"id": "title_prop", "type": "title"}}
+        self.dbs = {
+            "db_ts": (ts_props, [
+                _api_page("12345678-1234-1234-1234-1234567890ab", {
+                    "Name": {"id": "title_prop", "type": "title",
+                             "title": [{"plain_text": "Example Slice"}]},
+                    "Workflow": {"id": "rel_workflow", "type": "relation",
+                                 "relation": [{"id": WF_UUID}]},
+                    "From": {"id": "rel_from_step", "type": "relation",
+                             "relation": [{"id": STAGE_FROM}]},
+                    "To": {"id": "rel_to_step", "type": "relation",
+                           "relation": [{"id": STAGE_TO}]},
+                    "Start": {"id": "start_date", "type": "date",
+                              "date": {"start": "2026-02-01T12:00:00.000Z"}},
+                    "End": {"id": "end_date", "type": "date",
+                            "date": {"start": "2026-02-01T12:05:00.000Z"}},
+                }),
+            ]),
+            "db_st": (st_props, [
+                _api_page(STAGE_FROM, {
+                    "Workflow Definition": {"id": "wf_rel", "type": "relation",
+                                            "relation": [{"id": WF_UUID}]},
+                    "Stage Number": {"id": "stage_number", "type": "number",
+                                     "number": 1},
+                    "Stage Label": {"id": "stage_label", "type": "rich_text",
+                                    "rich_text": [{"plain_text": "Started"}]},
+                }),
+                _api_page(STAGE_TO, {
+                    "Workflow Definition": {"id": "wf_rel", "type": "relation",
+                                            "relation": [{"id": WF_UUID}]},
+                    "Stage Number": {"id": "stage_number", "type": "number",
+                                     "number": 2},
+                    "Stage Label": {"id": "stage_label", "type": "rich_text",
+                                    "rich_text": [{"plain_text": "Approved"}]},
+                }),
+            ]),
+            "db_wd": (wd_props, [
+                _api_page(WF_UUID, {
+                    "Name": {"id": "title_prop", "type": "title",
+                             "title": [{"plain_text": "Releases"}]},
+                }),
+            ]),
+        }
+
+    def retrieve_database(self, database_id):
+        props, _pages = self.dbs[database_id]
+        return {
+            "id": database_id,
+            "last_edited_time": "2026-02-01T00:00:00.000Z",
+            "url": "https://notion.example/db",
+            "title": [{"plain_text": database_id}],
+            "properties": props,
+        }
+
+    def query_database(self, database_id, start_cursor, page_size):
+        _props, pages = self.dbs[database_id]
+        return {"results": pages, "has_more": False, "next_cursor": None}
+
+
+class FakePbiHttp:
+    """Routes the Power BI REST surface; records posted rows per table."""
+
+    def __init__(self):
+        self.posted: dict[str, list] = {}
+        self.deleted: list[str] = []
+
+    def __call__(self, method, url, headers, body):
+        doc = json.loads(body) if body and url.endswith(("datasets?defaultRetentionPolicy=None", "/rows")) else None
+        if "login.microsoftonline.com" in url:
+            return 200, {}, json.dumps({"access_token": "tok", "expires_in": 3600})
+        if method == "GET" and url.endswith("/datasets"):
+            return 200, {}, json.dumps({"value": []})
+        if method == "POST" and "datasets?defaultRetentionPolicy" in url:
+            assert doc["defaultMode"] == "Push"
+            return 201, {}, json.dumps({"id": "ds-1"})
+        if method == "DELETE" and url.endswith("/rows"):
+            self.deleted.append(url.rsplit("/tables/", 1)[1].removesuffix("/rows"))
+            return 200, {}, ""
+        if method == "POST" and url.endswith("/rows"):
+            table = url.rsplit("/tables/", 1)[1].removesuffix("/rows")
+            self.posted.setdefault(table, []).extend(doc["rows"])
+            return 200, {}, ""
+        raise AssertionError(f"unexpected call {method} {url}")
+
+
+@pytest.fixture()
+def config_path(tmp_path):
+    cfg = build_config()
+    doc = {
+        "databases": {
+            "timeslices": "db_ts",
+            "workflowStages": "db_st",
+            "workflowDefinitions": "db_wd",
+        },
+        "propertyIds": {
+            "timeslices": {
+                k: v for k, v in vars(cfg.timeslices).items() if isinstance(v, str)
+            },
+            "workflowStages": {
+                k: v for k, v in vars(cfg.workflowStages).items() if isinstance(v, str)
+            },
+            "workflowDefinitions": {
+                k: v
+                for k, v in vars(cfg.workflowDefinitions).items()
+                if isinstance(v, str)
+            },
+        },
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_cli_pull_normalize_refresh_end_to_end(spark, tmp_path, config_path, capsys):
+    data_dir = str(tmp_path / "data")
+    seams = Seams(notion_transport=FakeNotion(), pbi_transport=FakePbiHttp())
+
+    rc = main(
+        ["pull-notion", "--data-dir", data_dir, "--config", config_path],
+        spark=spark, seams=seams,
+    )
+    assert rc == 0
+    raw_dirs = os.listdir(os.path.join(data_dir, "data", "raw"))
+    assert sorted(raw_dirs) == ["timeslices", "workflowDefinitions", "workflowStages"]
+
+    rc = main(
+        ["normalize", "--data-dir", data_dir, "--config", config_path,
+         "--run-date", "2026-02-02"],
+        spark=spark, seams=seams,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["counts"]["timeslices_total"] == 1
+    assert report["counts"]["timeslices_excluded_missing_workflow_definition"] == 0
+    for ds in ("timeslices", "workflowStages", "workflowDefinitions", "qualityIssues"):
+        assert os.listdir(os.path.join(data_dir, "data", "canon", ds))
+
+    rc = main(
+        ["pbi-refresh", "--data-dir", data_dir, "--config", config_path,
+         "--group-id", "g1", "--dataset-name", "TimeTracking"],
+        spark=spark, seams=seams,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["datasetId"] == "ds-1"
+    assert out["tables"] == 7
+    pbi = seams.pbi_transport
+    # wipe order = spec order = the 7 derived tables, each wiped exactly once
+    assert len(pbi.deleted) == 7
+    fact_rows = pbi.posted.get("FactTimeslices", [])
+    assert len(fact_rows) == 1
+    assert fact_rows[0]["Workflow Definition"] == "Releases"
+    assert fact_rows[0]["Minutes Diff"] == 5
+    # registry persisted the dataset id for idempotent re-provision
+    reg = json.loads(
+        open(os.path.join(data_dir, "state", "pbi-dataset-registry.json")).read()
+    )
+    assert any(e.get("datasetId") == "ds-1" for e in reg["entries"])
