@@ -43,6 +43,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with per-row norms hoisted out of the pair loop.
+
+    ``norm_a``/``norm_b`` must be ``sqrt(norm_sq(v))`` of the same vectors —
+    the value is then bit-identical to :func:`cosine` (same fold, same
+    multiply/divide order) while the O(pairs) work drops from three array
+    folds to one."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def topk_bruteforce(
     corpus: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -51,10 +61,14 @@ def topk_bruteforce(
     ``queries``: (query_id, query_vec); ``corpus``: (vec_id, embedding).
     Ties break on vec_id ascending for determinism.
     """
+    queries = queries.withColumn("q_norm", F.sqrt(norm_sq(F.col("query_vec"))))
+    corpus = corpus.withColumn("c_norm", F.sqrt(norm_sq(F.col("embedding"))))
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+        cosine_prenormed(
+            F.col("query_vec"), F.col("embedding"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -83,11 +97,13 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """IVF-style top-k: route each query to its nearest bucket representative,
     then exact top-k within that bucket only."""
     reps = bucket_representatives(corpus)
+    queries = queries.withColumn("q_norm", F.sqrt(norm_sq(F.col("query_vec"))))
     routed = (
         queries.crossJoin(F.broadcast(reps))
         .select(
             "query_id",
             "query_vec",
+            "q_norm",
             "label",
             cosine(F.col("query_vec"), F.col("rep_vec")).alias("rep_cos"),
         )
@@ -100,13 +116,19 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("query_id", "query_vec", "label")
+        .select("query_id", "query_vec", "q_norm", "label")
     )
-    scored = corpus.join(F.broadcast(routed), "label").select(
-        "query_id",
-        "label",
-        "vec_id",
-        cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+    scored = (
+        corpus.withColumn("c_norm", F.sqrt(norm_sq(F.col("embedding"))))
+        .join(F.broadcast(routed), "label")
+        .select(
+            "query_id",
+            "label",
+            "vec_id",
+            cosine_prenormed(
+                F.col("query_vec"), F.col("embedding"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -117,22 +139,46 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    corpus: DataFrame, threshold: float = 0.95
+    corpus: DataFrame, threshold: float = 0.95, salts: int = 16
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label bucket (a < b).
 
     Blocking bounds the pair space to within-bucket; at scale the label comes
     from LSH/KMeans so buckets stay small and the self-join shuffles per
-    bucket, never the full O(n²)."""
-    left = corpus.select(
-        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    bucket, never the full O(n²).
+
+    Two scale levers beyond the blocking itself:
+    - per-row norms are hoisted out of the pair loop (one array fold per
+      candidate pair instead of three);
+    - the left side is salted on ``a % salts`` and the right side replicated
+      per salt, so parallelism is labels×salts instead of being capped at the
+      (typically tiny) label cardinality. Each (a, b) pair still appears in
+      exactly one salt bucket."""
+    normed = corpus.withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
+    left = normed.select(
+        F.col("label"),
+        F.pmod(F.col("vec_id"), F.lit(salts)).alias("salt"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    right = corpus.select(
-        F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    right = normed.select(
+        F.col("label"),
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("salt"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     return (
-        left.join(right, "label")
+        left.join(right, ["label", "salt"])
         .filter(F.col("a") < F.col("b"))
-        .select("label", "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "label",
+            "a",
+            "b",
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
