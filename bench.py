@@ -32,6 +32,13 @@ def main() -> None:
     spark = build_session(app_name="bench")
     # Warm up the JVM/codegen path outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the Python worker fleet too (fork + pandas/pyarrow import happens
+    # once per session; steady-state queries reuse the workers).
+    import pandas as pd  # noqa: F401
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -130,14 +130,25 @@ def resize_media(df: DataFrame, box_w: int = 256, box_h: int = 256) -> DataFrame
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 7) -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 7,
+    extract_fn: Callable[[str, int], str] | None = None,
+) -> DataFrame:
     """Sample every ``every_n``-th frame of video media.
 
     Frame *selection* is built-in Spark (sequence + explode — no Python in
     the fan-out path, so a 10⁹-frame corpus never routes indices through the
-    driver); frame *extraction* is the stubbed Python stage: a mapInPandas
-    over (media, frame_idx) batches that would call ffmpeg per batch, here
-    producing a deterministic frame fingerprint instead.
+    driver). Frame *extraction* has two paths:
+
+    - default (``extract_fn=None``): the stub fingerprint
+      ``sha256(content_sha ':' frame_idx)`` evaluated JVM-side. Chaining a
+      second ``mapInPandas`` behind the decode stage would double the Python
+      worker fleet per task (decode and extract pipeline in the SAME task)
+      for work Spark's own ``sha2`` does for free.
+    - ``extract_fn(content_sha, frame_idx) -> frame_sha``: the real-codec
+      seam — runs as an Arrow-batched ``mapInPandas`` stage where an ffmpeg
+      frame grab would go.
     """
     # decode only video rows (JVM-side filter before the Python stage) and
     # carry content_sha through the decode instead of joining back — a
@@ -157,13 +168,20 @@ def sample_frames(df: DataFrame, every_n: int = 7) -> DataFrame:
         ).alias("frame_idx"),
     )
 
-    def extract(batches: Iterator) -> Iterator:
-        import hashlib
+    if extract_fn is None:
+        return frames.select(
+            "media_id",
+            "frame_idx",
+            F.sha2(
+                F.concat_ws(":", F.col("content_sha"), F.col("frame_idx")), 256
+            ).alias("frame_sha"),
+        )
 
+    def extract(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = pdf[["media_id", "frame_idx"]].copy()
             out["frame_sha"] = [
-                hashlib.sha256(f"{sha}:{idx}".encode()).hexdigest()
+                extract_fn(sha, idx)
                 for sha, idx in zip(pdf["content_sha"], pdf["frame_idx"])
             ]
             yield out

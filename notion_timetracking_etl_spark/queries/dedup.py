@@ -28,6 +28,7 @@ from ..operators.dedup import (
     word_hashes,
 )
 from ..sources.tpch import load_table
+from .helpers import ordered_small
 from .registry import register
 
 # DuckDB twins of operators/dedup.py primitives, shared across oracles below.
@@ -74,7 +75,7 @@ def _hash64_sql(prefix: str, expr: str) -> str:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id").orderBy("content_sha")
+    return ordered_small(exact_dedup(docs, "text", "doc_id"), "content_sha")
 
 
 @register(
@@ -132,9 +133,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
-        docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
-    ).orderBy("a", "b")
+    return ordered_small(
+        minhash_near_dup_pairs(
+            docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
+        ),
+        "a",
+        "b",
+    )
 
 
 @register(
@@ -175,9 +180,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=2, threshold=0.6, max_doc_freq=50
-    ).orderBy("a", "b")
+    return ordered_small(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.6, max_doc_freq=50
+        ),
+        "a",
+        "b",
+    )
 
 
 @register(
@@ -216,7 +225,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    buckets = (
         docs.select(F.col("doc_id"), word_hashes(F.col("text")).alias("_hl"))
         .select(
             F.col("doc_id"), simhash_from_hashes(F.col("_hl")).alias("simhash")
@@ -227,5 +236,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
-        .orderBy("simhash")
     )
+    return ordered_small(buckets, "simhash")

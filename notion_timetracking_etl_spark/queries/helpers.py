@@ -58,6 +58,19 @@ def fmt_ts_sql(expr: str) -> str:
     return f"strftime(({expr}), '{TS_FMT_DUCK}')"
 
 
+def ordered_small(df, *cols: str):
+    """Total order for a small result set in a single plan execution.
+
+    ``orderBy`` range-partitions, and its boundary sampling re-executes the
+    upstream lineage past the last materialized shuffle — for plans ending in
+    ``mapInPandas`` that runs every Python stage twice. A 1-partition shuffle +
+    in-partition sort yields the same total order in one pass. Use only where
+    the RESULT is small (query outputs, dims); at full scale swap back to
+    ``orderBy`` — the sampling pass is amortized there and the sort stays
+    distributed."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def la_local(col: Column) -> Column:
     """UTC instant → America/Los_Angeles wall-clock (SURVEY F29/F33)."""
     return F.from_utc_timestamp(col, "America/Los_Angeles")

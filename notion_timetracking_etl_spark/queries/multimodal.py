@@ -22,6 +22,7 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..sources.tpch import load_table
+from .helpers import ordered_small
 from .registry import register
 
 # DuckDB twin of operators.multimodal._stub_decode on utf-8 text payloads.
@@ -63,7 +64,7 @@ _BYTES_SQL = "strlen(text)"  # DuckDB strlen = byte length of the utf-8 string
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(docs, "doc_id", "text")
-    return decode_media(media).orderBy("media_id")
+    return ordered_small(decode_media(media), "media_id")
 
 
 _W_SQL = f"CASE {_MEDIA_TYPE_SQL} WHEN 'image' THEN {_BYTES_SQL} % 640 + 1 ELSE {_BYTES_SQL} % 320 + 1 END"
@@ -97,7 +98,7 @@ _H_SQL = f"CASE {_MEDIA_TYPE_SQL} WHEN 'image' THEN {_BYTES_SQL} % 480 + 1 ELSE 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_media(attach_media_columns(docs, "doc_id", "text"))
-    return resize_media(decoded).orderBy("media_id")
+    return ordered_small(resize_media(decoded), "media_id")
 
 
 @register(
@@ -127,7 +128,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(docs, "doc_id", "text")
-    return sample_frames(media, every_n=7).orderBy("media_id", "frame_idx")
+    return ordered_small(sample_frames(media, every_n=7), "media_id", "frame_idx")
 
 
 @register(

@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 
 from ..operators.similarity import embedding_near_dup_pairs, topk_bruteforce, topk_ivf
 from ..sources.tpch import load_table
+from .helpers import ordered_small
 from .registry import register
 
 # DuckDB twin of operators.similarity.cosine: strict left-to-right double
@@ -89,8 +90,8 @@ def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding")
-    return topk_bruteforce(corpus, _query_set(spark, sf_dir), k=10).orderBy(
-        "query_id", "rank"
+    return ordered_small(
+        topk_bruteforce(corpus, _query_set(spark, sf_dir), k=10), "query_id", "rank"
     )
 
 
@@ -146,8 +147,8 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding", "label")
-    return topk_ivf(corpus, _query_set(spark, sf_dir), k=10).orderBy(
-        "query_id", "rank"
+    return ordered_small(
+        topk_ivf(corpus, _query_set(spark, sf_dir), k=10), "query_id", "rank"
     )
 
 
@@ -169,4 +170,4 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding", "label")
-    return embedding_near_dup_pairs(corpus, threshold=0.3).orderBy("a", "b")
+    return ordered_small(embedding_near_dup_pairs(corpus, threshold=0.3), "a", "b")

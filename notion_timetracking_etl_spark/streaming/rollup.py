@@ -83,7 +83,10 @@ def session_window_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFra
 
 
 def run_stream_to_table(
-    stream_df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a streaming DataFrame with ``Trigger.AvailableNow`` into a memory
     sink and return the result as a batch DataFrame.
@@ -92,19 +95,33 @@ def run_stream_to_table(
     deterministic choice for finite input (append mode would withhold windows
     newer than the final watermark). In production the sink would be a Delta /
     Kafka / foreachBatch writer; the memory sink is the local[] test stand-in.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the drain
+    (restored after): a stateful stream creates one state store — and for
+    Python-stateful ops one worker — PER shuffle partition, per micro-batch.
+    The partition count is frozen into the checkpoint at first start, so it
+    must be sized to key cardinality / throughput up front; the default here
+    suits the local drain, a 100 TB deployment passes its own (hundreds).
+    ``None`` leaves the session setting untouched.
     """
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
