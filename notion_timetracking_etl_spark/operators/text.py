@@ -108,3 +108,30 @@ def bow_fingerprint(text: Column) -> Column:
     """
     ws = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+")))
     return F.sha2(F.concat_ws(" ", ws), 256)
+
+
+# Karp-Rabin parameters: base ~2^20, Mersenne-prime modulus 2^31-1. The
+# running value stays < M, so acc*B + h < 2^51 + 2^32 — no 64-bit overflow
+# even under ANSI arithmetic, and the fold is exact in any engine's BIGINT.
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_hash(text: Column) -> Column:
+    """Word-level Karp-Rabin rolling hash of the normalized token stream.
+
+    ``h = fold(words, (acc, w) -> (acc*B + h64(w)) mod M)`` — order-SENSITIVE
+    (unlike ``bow_fingerprint``) and incrementally updatable: a sliding window
+    over a token stream can roll the hash in O(1) per step, which is what
+    makes it the standard fingerprint for streaming/chunked dedup at corpus
+    scale. Word values reuse the sha256-derived ``hash64`` convention so the
+    fold is engine-independent (DuckDB replays it with ``list_reduce``).
+    """
+    from .dedup import hash64
+
+    ws = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.aggregate(
+        F.transform(ws, lambda w: hash64("w:", w)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLLING_BASE + h) % ROLLING_MOD,
+    )

@@ -20,12 +20,15 @@ import pyspark.sql.functions as F
 
 from ..operators.text import (
     LANG_MARKERS,
+    ROLLING_BASE,
+    ROLLING_MOD,
     TOKEN_PATTERN,
     bow_fingerprint,
     fingerprint,
     language_id,
     punct_ratio,
     quality_score,
+    rolling_hash,
     stopword_ratio,
     token_count,
     word_count,
@@ -192,3 +195,32 @@ def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket_size") > 1)
         .orderBy("fp")
     )
+
+
+_ROLLING_SQL = (
+    r"""list_reduce(list_prepend(CAST(0 AS BIGINT), """
+    r"""list_transform(regexp_split_to_array(trim(lower(text)), '\s+'), """
+    r"""w -> CAST(concat('0x', substr(sha256(concat('w:', w)), 1, 8)) AS BIGINT))), """
+    f"""(acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD})"""
+)
+
+
+@register(
+    "text_rolling_fingerprint",
+    "F20-analog",
+    "Word-level Karp-Rabin rolling hash per document: order-sensitive "
+    "fingerprint over the normalized token stream, incrementally updatable "
+    "(O(1) per step on a sliding window) - the streaming/chunked-dedup "
+    "complement to the content and bag-of-words hashes. Pure per-row fold, "
+    "shuffle-free.",
+    oracle=f"""
+        SELECT doc_id, {_ROLLING_SQL} AS rolling_sig
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(F.col("text")).alias("rolling_sig")
+    ).orderBy("doc_id")
