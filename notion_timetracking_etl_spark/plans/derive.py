@@ -291,7 +291,11 @@ def _stage_intervals(timeslices: DataFrame, stages: DataFrame) -> DataFrame:
 
 
 def build_stage_occupancy_hourly(
-    timeslices: DataFrame, stages: DataFrame, dim_stage: DataFrame, frames: DataFrame
+    timeslices: DataFrame,
+    stages: DataFrame,
+    dim_stage: DataFrame,
+    frames: DataFrame,
+    approx_rsd: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """StageOccupancy_Hourly (derive/index.ts:452-530).
 
@@ -300,6 +304,13 @@ def build_stage_occupancy_hourly(
     (start<=h<=end ⇔ h in [ceil_h(start), floor_h(end)]), aggregate exact
     distinct workflow_records, then decorate from broadcast DimStage and the
     frame spine. Linear in interval-hours; no frames×intervals product.
+
+    ``approx_rsd`` is the documented 100 TB variant of A1 (SURVEY §2.4): pass
+    a relative standard deviation (e.g. 0.05) to switch the per-(frame, stage)
+    distinct count to HyperLogLog++ ``approx_count_distinct`` — constant
+    sketch memory per group and a map-side-combinable partial, where exact
+    ``countDistinct`` must shuffle every distinct (group, record) pair.
+    ``None`` (default) keeps the exact, oracle-hash-matching semantics.
     """
     iv = _stage_intervals(timeslices, stages)
     invalid = iv.filter(
@@ -324,8 +335,13 @@ def build_stage_occupancy_hourly(
             )
         ).alias("h"),
     ).filter(F.col("h") >= F.col("start_ts"))
+    distinct_records = (
+        F.countDistinct("workflow_record")
+        if approx_rsd is None
+        else F.approx_count_distinct("workflow_record", rsd=approx_rsd)
+    )
     occ = exploded.groupBy("h", "stage_key").agg(
-        F.countDistinct("workflow_record").alias("item_count")
+        distinct_records.alias("item_count")
     )
     frame_keyed = frames.select(
         F.to_timestamp(F.regexp_replace("frame_datetime", "Z$", "")).alias("h"),

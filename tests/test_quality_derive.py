@@ -296,3 +296,28 @@ def test_to_step_without_ended_at_count(spark, canon):
     # slices with to_step set and ended_at null: slice 5 only (slice 1,2 have
     # ended_at; slice 8 has ended_at)
     assert n == 1
+
+
+def test_occupancy_approx_variant_tracks_exact(spark):
+    """SURVEY §2.4: approx_count_distinct is the documented 100 TB variant of
+    A1. On the sf0.001 synthesized canon (per-group cardinalities far below
+    the HLL++ sparse threshold) the sketch must agree with exact countDistinct
+    on every (frame, stage) group."""
+    from notion_timetracking_etl_spark.plans.derive import (
+        build_dim_playback_frame,
+        build_dim_stage,
+        build_stage_occupancy_hourly,
+    )
+    from notion_timetracking_etl_spark.queries.pipeline import synth_canon
+
+    c = synth_canon(spark, "/root/testdata/sf0.001")
+    dim_stage = build_dim_stage(c["stages"], c["defs"])
+    frames = build_dim_playback_frame(c["clean"])
+    exact, _ = build_stage_occupancy_hourly(c["clean"], c["stages"], dim_stage, frames)
+    approx, _ = build_stage_occupancy_hourly(
+        c["clean"], c["stages"], dim_stage, frames, approx_rsd=0.05
+    )
+    e = {(r["frame_n"], r["stage_key"]): r["item_count"] for r in exact.collect()}
+    a = {(r["frame_n"], r["stage_key"]): r["item_count"] for r in approx.collect()}
+    assert e and a.keys() == e.keys()
+    assert a == e
