@@ -101,31 +101,52 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_media(df: DataFrame, box_w: int = 256, box_h: int = 256) -> DataFrame:
-    """Aspect-fit resize planning via mapInPandas (vectorized per batch).
+def resize_media(
+    df: DataFrame,
+    box_w: int = 256,
+    box_h: int = 256,
+    resample_fn: Callable | None = None,
+) -> DataFrame:
+    """Aspect-fit resize planning over decoded image/video rows.
 
     The geometry (scale = min(box/w, box/h) capped at 1; floor, min 1px) is
-    the real production logic; only the pixel resample itself is absent
-    (a PIL/ffmpeg call on the payload bytes would slot into the same batch
-    loop). Runs on decoded image/video rows.
+    the real production logic and runs JVM-side by default: this operator
+    usually follows the (mapInPandas) decode stage, and chaining a second
+    Python stage in the same task doubles the per-task worker fleet for
+    arithmetic Spark evaluates for free.
+
+    ``resample_fn(pandas_batch) -> pandas_batch`` is the real-codec seam: when
+    a PIL/ffmpeg resampler is supplied it runs as an Arrow-batched
+    ``mapInPandas`` stage over the same geometry columns.
     """
 
     # filter JVM-side so non-resizable rows never cross the Python boundary
     df = df.filter(F.col("media_type").isin("image", "video"))
 
+    if resample_fn is None:
+        scale = F.least(
+            F.lit(float(box_w)) / F.col("width"),
+            F.lit(float(box_h)) / F.col("height"),
+            F.lit(1.0),
+        )
+        return df.select(
+            "media_id",
+            "media_type",
+            "width",
+            "height",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("width") * scale).cast("long"),
+            ).alias("new_width"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("height") * scale).cast("long"),
+            ).alias("new_height"),
+        )
+
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
-            scale = (box_w / pdf["width"]).clip(upper=1.0).combine(
-                (box_h / pdf["height"]).clip(upper=1.0), min
-            )
-            out = pdf[["media_id", "media_type", "width", "height"]].copy()
-            out["new_width"] = (
-                (pdf["width"] * scale).astype("int64").clip(lower=1)
-            )
-            out["new_height"] = (
-                (pdf["height"] * scale).astype("int64").clip(lower=1)
-            )
-            yield out
+            yield resample_fn(pdf)
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
