@@ -209,6 +209,12 @@ def minhash_near_dup_pairs(
     sides of the intersection join, and the per-doc sizes) — persist it so the
     explode+hash work runs once. On a cluster this would be a checkpoint of
     the shingle shuffle; in-memory persistence is the local[] equivalent.
+
+    Cache lifetime contract: the persists are scoped to ONE execution of the
+    returned plan; callers that run many queries in a shared session (bench,
+    parity harness) call ``spark.catalog.clearCache()`` between queries.
+    persist() defaults to MEMORY_AND_DISK_DESER, so even an unreleased cache
+    spills rather than evicting hot blocks.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     sigs = minhash_signatures(sh, num_hashes)

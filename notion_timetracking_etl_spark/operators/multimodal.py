@@ -117,38 +117,45 @@ def resize_media(
 
     ``resample_fn(pandas_batch) -> pandas_batch`` is the real-codec seam: when
     a PIL/ffmpeg resampler is supplied it runs as an Arrow-batched
-    ``mapInPandas`` stage over the same geometry columns.
+    ``mapInPandas`` stage over the geometry-AUGMENTED frame — the target
+    ``new_width``/``new_height`` are already computed JVM-side, so the seam
+    performs only the pixel resample and never re-derives aspect-fit math.
     """
 
     # filter JVM-side so non-resizable rows never cross the Python boundary
     df = df.filter(F.col("media_type").isin("image", "video"))
 
-    if resample_fn is None:
-        scale = F.least(
-            F.lit(float(box_w)) / F.col("width"),
-            F.lit(float(box_h)) / F.col("height"),
-            F.lit(1.0),
-        )
-        return df.select(
-            "media_id",
-            "media_type",
-            "width",
-            "height",
-            F.greatest(
+    # Geometry is computed JVM-side UNCONDITIONALLY — it is the production
+    # logic, it's free in codegen, and it keeps the resample seam dumb.
+    scale = F.least(
+        F.lit(float(box_w)) / F.col("width"),
+        F.lit(float(box_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    geo = df.withColumns(
+        {
+            "new_width": F.greatest(
                 F.lit(1).cast("long"),
                 F.floor(F.col("width") * scale).cast("long"),
-            ).alias("new_width"),
-            F.greatest(
+            ),
+            "new_height": F.greatest(
                 F.lit(1).cast("long"),
                 F.floor(F.col("height") * scale).cast("long"),
-            ).alias("new_height"),
-        )
+            ),
+        }
+    )
+    planned = geo.select(
+        "media_id", "media_type", "width", "height", "new_width", "new_height"
+    )
+
+    if resample_fn is None:
+        return planned
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             yield resample_fn(pdf)
 
-    return df.mapInPandas(run, RESIZED_SCHEMA)
+    return geo.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def sample_frames(

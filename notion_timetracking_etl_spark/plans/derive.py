@@ -32,6 +32,7 @@ from ..functions.datetimes import (
     round_half_up,
 )
 from ..functions.strings import color_index, pad2, to_uuid_maybe
+from ..operators.intervals import DEFAULT_MAX_HOURS, explode_to_hour_frames
 
 # Stage color palette (reference: derive/index.ts:55-92) — output data, the
 # assignment rule is sha256(stage_key)[:8] % 36 (derive/index.ts:709-714).
@@ -296,14 +297,19 @@ def build_stage_occupancy_hourly(
     dim_stage: DataFrame,
     frames: DataFrame,
     approx_rsd: float | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    max_interval_hours: int = DEFAULT_MAX_HOURS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """StageOccupancy_Hourly (derive/index.ts:452-530).
 
-    Returns (rows, skipped_intervals) — the second for the V7 counter.
-    Strategy: explode each valid interval to its covered on-the-hour frames
-    (start<=h<=end ⇔ h in [ceil_h(start), floor_h(end)]), aggregate exact
-    distinct workflow_records, then decorate from broadcast DimStage and the
-    frame spine. Linear in interval-hours; no frames×intervals product.
+    Returns (rows, skipped_intervals, clamped_intervals) — the latter two
+    feed V7 counters. Strategy: explode each valid interval to its covered
+    on-the-hour frames (start<=h<=end ⇔ h in [ceil_h(start), floor_h(end)]),
+    aggregate exact distinct workflow_records, then decorate from broadcast
+    DimStage and the frame spine. Linear in interval-hours; no
+    frames×intervals product. Interval length is capped at
+    ``max_interval_hours`` (operators/intervals.py): one corrupt far-future
+    ``end_ts`` costs 10k rows, not millions, and the clamp is counted, not
+    silent.
 
     ``approx_rsd`` is the documented 100 TB variant of A1 (SURVEY §2.4): pass
     a relative standard deviation (e.g. 0.05) to switch the per-(frame, stage)
@@ -323,18 +329,9 @@ def build_stage_occupancy_hourly(
         & F.col("end_ts").isNotNull()
         & (F.col("end_ts") >= F.col("start_ts"))
     )
-    exploded = valid.select(
-        "stage_key",
-        "workflow_record",
-        "start_ts",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "start_ts"),
-                F.date_trunc("hour", "end_ts"),
-                F.expr("interval 1 hour"),
-            )
-        ).alias("h"),
-    ).filter(F.col("h") >= F.col("start_ts"))
+    exploded, clamped = explode_to_hour_frames(
+        valid, ("stage_key", "workflow_record"), max_hours=max_interval_hours
+    )
     distinct_records = (
         F.countDistinct("workflow_record")
         if approx_rsd is None
@@ -366,7 +363,7 @@ def build_stage_occupancy_hourly(
         )
         .orderBy("frame_n", "stage_key")
     )
-    return rows, invalid
+    return rows, invalid, clamped
 
 
 def build_stage_throughput_daily(
@@ -542,7 +539,7 @@ def run_derive(
         )
     dim_date = build_dim_date(fact)
     frames = build_dim_playback_frame(timeslices)
-    occupancy, skipped_iv = build_stage_occupancy_hourly(
+    occupancy, skipped_iv, clamped_iv = build_stage_occupancy_hourly(
         timeslices, workflow_stages, dim_stage, frames
     )
     occupancy = occupancy.cache()  # read by throughput and by the caller
@@ -552,6 +549,7 @@ def run_derive(
 
     counters = {
         "occupancy_skipped_missing_or_invalid_interval": skipped_iv.count(),
+        "occupancy_clamped_overlong_interval": clamped_iv.count(),
         "entry_edge_counted": edge_dfs["entry_edge_counted"].count(),
         "entry_edge_skipped_missing_timestamp": edge_dfs[
             "entry_edge_skipped_missing_timestamp"

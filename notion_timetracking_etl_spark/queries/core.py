@@ -311,7 +311,8 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           event_type,
           COUNT(*) AS total_rows,
-          SUM(CASE WHEN COALESCE(NULLIF(trim(props), ''), NULL) IS NOT NULL THEN 1 ELSE 0 END) AS covered_rows,
+          CAST(SUM(CASE WHEN COALESCE(NULLIF(trim(props), ''), NULL) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS covered_rows,
           CAST(SUM(CASE WHEN COALESCE(NULLIF(trim(props), ''), NULL) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*) AS coverage
         FROM events
@@ -341,8 +342,10 @@ def coverage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           COUNT(*) AS total_orders,
-          SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
-          SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS negative_price_orders,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+            AS open_orders,
+          CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS negative_price_orders,
           (SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0) AS no_negative_prices
         FROM orders
     """,

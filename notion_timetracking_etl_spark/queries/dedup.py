@@ -75,7 +75,11 @@ def _hash64_sql(prefix: str, expr: str) -> str:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ordered_small(exact_dedup(docs, "text", "doc_id"), "content_sha")
+    # Output is O(distinct docs) — corpus-sized — so the deterministic order
+    # must stay a DISTRIBUTED range sort (orderBy), never a repartition(1)
+    # funnel; the sort's sampling pass re-reads the groupBy's shuffle files,
+    # it does not recompute the aggregation.
+    return exact_dedup(docs, "text", "doc_id").orderBy("content_sha")
 
 
 @register(
@@ -237,4 +241,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
-    return ordered_small(buckets, "simhash")
+    # O(corpus) buckets: distributed orderBy, not a single-partition funnel.
+    return buckets.orderBy("simhash")

@@ -127,7 +127,7 @@ def _payload_col() -> F.Column:
                CASE WHEN shape = 5 THEN concat('padded ', okey) END AS formula_string,
                CASE WHEN shape = 3 THEN concat('Order ', okey)
                     WHEN shape = 6 THEN concat('S', okey % 5) END AS display_text,
-               CASE WHEN shape = 7 THEN okey + 0.25 END AS num_val,
+               CASE WHEN shape = 7 THEN CAST(okey + 0.25 AS DOUBLE) END AS num_val,
                CASE WHEN shape = 3 THEN concat('Order ', okey) END AS title_fallback
         FROM base
         ORDER BY okey

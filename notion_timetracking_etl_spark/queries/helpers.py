@@ -64,10 +64,13 @@ def ordered_small(df, *cols: str):
     ``orderBy`` range-partitions, and its boundary sampling re-executes the
     upstream lineage past the last materialized shuffle — for plans ending in
     ``mapInPandas`` that runs every Python stage twice. A 1-partition shuffle +
-    in-partition sort yields the same total order in one pass. Use only where
-    the RESULT is small (query outputs, dims); at full scale swap back to
-    ``orderBy`` — the sampling pass is amortized there and the sort stays
-    distributed."""
+    in-partition sort yields the same total order in one pass.
+
+    HARD RULE: only for results BOUNDED regardless of input size (top-k lists,
+    fixed pair samples, dimension tables). Anything O(corpus) — one row per
+    document/media/distinct key — must use a distributed ``orderBy`` instead
+    (for Python-seam plans, placed UPSTREAM of the seam: mapInPandas preserves
+    in-partition order, so the sort survives and is never double-executed)."""
     return df.repartition(1).sortWithinPartitions(*cols)
 
 

@@ -22,7 +22,6 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..sources.tpch import load_table
-from .helpers import ordered_small
 from .registry import register
 
 # DuckDB twin of operators.multimodal._stub_decode on utf-8 text payloads.
@@ -64,7 +63,12 @@ _BYTES_SQL = "strlen(text)"  # DuckDB strlen = byte length of the utf-8 string
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(docs, "doc_id", "text")
-    return ordered_small(decode_media(media), "media_id")
+    # O(corpus) output: deterministic order comes from a DISTRIBUTED range
+    # sort placed UPSTREAM of the Python seam — mapInPandas streams batches
+    # in partition order 1:1, so the sort survives the decode, the sort's
+    # sampling pass never re-executes Python, and no repartition(1) funnel
+    # exists anywhere in the plan.
+    return decode_media(media.orderBy("media_id"))
 
 
 _W_SQL = f"CASE {_MEDIA_TYPE_SQL} WHEN 'image' THEN {_BYTES_SQL} % 640 + 1 ELSE {_BYTES_SQL} % 320 + 1 END"
@@ -97,8 +101,11 @@ _H_SQL = f"CASE {_MEDIA_TYPE_SQL} WHEN 'image' THEN {_BYTES_SQL} % 480 + 1 ELSE 
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_media(attach_media_columns(docs, "doc_id", "text"))
-    return ordered_small(resize_media(decoded), "media_id")
+    media = attach_media_columns(docs, "doc_id", "text")
+    # sort upstream of the decode seam (see multimodal_decode); the resize
+    # geometry is narrow JVM work, so order survives to the output.
+    decoded = decode_media(media.orderBy("media_id"))
+    return resize_media(decoded)
 
 
 @register(
@@ -128,7 +135,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(docs, "doc_id", "text")
-    return ordered_small(sample_frames(media, every_n=7), "media_id", "frame_idx")
+    # sort upstream of the decode seam (see multimodal_decode): explode of an
+    # ascending sequence emits frame_idx in order within each media_id, so
+    # the (media_id, frame_idx) order holds without any post-Python sort.
+    return sample_frames(media.orderBy("media_id"), every_n=7)
 
 
 @register(

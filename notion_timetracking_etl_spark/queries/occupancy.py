@@ -11,10 +11,11 @@ O(frames × intervals) nested loop. Here each interval is exploded to its
 covered hour frames (``sequence`` + ``explode``) and the containment theta-join
 becomes a plain hash aggregation on (hour, key) — linear in interval-hours,
 fully Catalyst-native, shuffles once on the group keys, and parallelizes
-per-interval (no frames×intervals blowup at 100 TB). An open-ended interval
-cannot explode the generator because durations are bounded by construction;
-the production operator (operators/intervals.py) clamps + counts, mirroring
-the reference's V7 skip counters.
+per-interval (no frames×intervals blowup at 100 TB). The explode routes
+through ``operators.intervals.explode_to_hour_frames``, which caps any
+corrupt far-future ``end_ts`` at ``DEFAULT_MAX_HOURS`` (clamp rows surface
+as V7-style counters in plans/derive.py); here durations are bounded by
+construction (≤245 min) so the cap is provably inert to the oracle.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from ..operators.intervals import explode_to_hour_frames
 from ..sources.tpch import load_table
 from .helpers import la_local, la_local_sql
 from .registry import register
@@ -52,21 +54,11 @@ def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hourly_frames(iv: DataFrame) -> DataFrame:
     """Explode intervals to covered hour frames: h in [ceil_h(start), floor_h(end)].
 
-    Generated from floor_h(start) then filtered h >= start — equivalent to the
-    reference's inclusive start<=frame<=end containment (derive/index.ts:507).
+    Containment semantics per derive/index.ts:507; length-clamped via the
+    shared operator (inert here — durations are bounded by construction).
     """
-    return iv.select(
-        "user_id",
-        "event_type",
-        "start_ts",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "start_ts"),
-                F.date_trunc("hour", "end_ts"),
-                F.expr("interval 1 hour"),
-            )
-        ).alias("h"),
-    ).filter(F.col("h") >= F.col("start_ts"))
+    frames, _clamped = explode_to_hour_frames(iv, ("user_id", "event_type"))
+    return frames
 
 
 _FRAMES_SQL = f"""

@@ -260,7 +260,7 @@ def synth_derived(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     fact = D.build_fact_timeslices(c["clean"], c["defs"], c["stages"]).persist()
     dim_stage = D.build_dim_stage(c["stages"], c["defs"]).persist()
     frames = D.build_dim_playback_frame(c["clean"]).persist()
-    occ, _skipped = D.build_stage_occupancy_hourly(
+    occ, _skipped, _clamped = D.build_stage_occupancy_hourly(
         c["clean"], c["stages"], dim_stage, frames
     )
     derived = {

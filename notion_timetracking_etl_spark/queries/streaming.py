@@ -90,4 +90,6 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = user_stats_stateful(read_events_stream(spark, sf_dir))
-    return run_stream_to_table(stream, output_mode="update").orderBy("user_id")
+    return run_stream_to_table(
+        stream, output_mode="update", latest_by=(["user_id"], "n_events")
+    ).orderBy("user_id")

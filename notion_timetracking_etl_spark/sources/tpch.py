@@ -27,7 +27,17 @@ TPCH_TABLES = (
 )
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """events.parquet is TIMESTAMP(NANOS); without this conf any read throws
+    PARQUET_TYPE_ILLEGAL. Runtime-settable, so callers work on ANY session —
+    including ones not built by session.build_session (e.g. a test harness's
+    own SparkSession)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_nanos_readable(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos (spark.sql.legacy.parquet.

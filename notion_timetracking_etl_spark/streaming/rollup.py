@@ -26,6 +26,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with the batch reader's schema
     contract (TIMESTAMP(NANOS) arrives as long nanos under
     ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros)."""
+    from ..sources.tpch import ensure_nanos_readable
+
+    ensure_nanos_readable(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -87,6 +90,7 @@ def run_stream_to_table(
     output_mode: str = "complete",
     timeout_s: int = 300,
     state_partitions: int | None = 8,
+    latest_by: tuple[list[str], str] | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with ``Trigger.AvailableNow`` into a memory
     sink and return the result as a batch DataFrame.
@@ -95,6 +99,12 @@ def run_stream_to_table(
     deterministic choice for finite input (append mode would withhold windows
     newer than the final watermark). In production the sink would be a Delta /
     Kafka / foreachBatch writer; the memory sink is the local[] test stand-in.
+
+    In ``update`` mode the memory sink APPENDS each micro-batch's updates, so
+    a multi-batch drain (multi-file table, maxFilesPerTrigger) leaves stale
+    intermediate rows per key. ``latest_by=(keys, monotone_col)`` keeps only
+    the final update per key — the row maximizing ``monotone_col`` (e.g. a
+    running count, which strictly increases for every key a batch re-emits).
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the drain
     (restored after): a stateful stream creates one state store — and for
@@ -124,4 +134,15 @@ def run_stream_to_table(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name)
+    if latest_by is not None:
+        from pyspark.sql.window import Window
+
+        keys, monotone_col = latest_by
+        w = Window.partitionBy(*keys).orderBy(F.col(monotone_col).desc())
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out

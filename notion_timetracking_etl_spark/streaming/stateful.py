@@ -48,14 +48,19 @@ def _update_user_stats(
     identical to what a batch groupBy computes, which is what makes the
     stream/batch equivalence testable bit-for-bit.
     """
+    import numpy as np
     import pandas as pd
 
     n, total_micros, last_micros = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += int(len(pdf))
         # per-ROW micro rounding, then integer sum: exact and order-independent
-        # (a float total rounded once would drift with partition order)
-        total_micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        # (a float total rounded once would drift with partition order).
+        # floor(x*1e6 + 0.5) is HALF_UP — the same rule as F.floor(col*1e6+0.5)
+        # in the batch twin; pandas .round() would be half-to-even.
+        total_micros += int(
+            np.floor(pdf["value"] * 1_000_000 + 0.5).astype("int64").sum()
+        )
         batch_last = pdf["ts"].max()
         last_micros = max(last_micros, int(batch_last.value // 1_000))
     state.update((n, total_micros, last_micros))

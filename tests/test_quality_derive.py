@@ -256,6 +256,7 @@ def test_derive_tables(spark, canon):
     assert row["bucket_n"] == 20260201
 
     assert result.counters["occupancy_skipped_missing_or_invalid_interval"] == 2  # slice4 (null ts) + slice7 (neg)
+    assert result.counters["occupancy_clamped_overlong_interval"] == 0  # healthy fixture
     assert result.counters["entry_edge_counted"] == 1  # slice5
     assert result.counters["entry_edge_skipped_missing_timestamp"] == 0
     assert result.counters["non_stage1_entry_edge_observed"] == 1  # slice8
@@ -263,6 +264,36 @@ def test_derive_tables(spark, canon):
     dim_date = t["DimDate"].collect()
     assert dim_date[0]["Date"] == "2026-02-01T00:00:00.000Z"
     assert dim_date[0]["month_name"] == "Feb" and dim_date[0]["day_name"] == "Sun"
+
+
+def test_interval_clamp_bounds_explode(spark):
+    """A corrupt far-future end_ts must yield a BOUNDED hour fan-out plus a
+    counted clamp row — never millions of frames (VERDICT r1 §What's missing)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.intervals import (
+        explode_to_hour_frames,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 2, 1, 10, 30), dt.datetime(2026, 2, 1, 12, 0)),
+            # end_ts ~274 years out: unclamped this would be ~2.4M hour rows
+            (2, dt.datetime(2026, 2, 1, 0, 0), dt.datetime(2300, 1, 1, 0, 0)),
+        ],
+        "k long, start_ts timestamp, end_ts timestamp",
+    )
+    frames, clamped = explode_to_hour_frames(iv, ("k",), max_hours=100)
+    per_key = {
+        r["k"]: r["n"]
+        for r in frames.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_key[1] == 2  # 11:00, 12:00 (h >= start filters out 10:00)
+    assert per_key[2] == 101  # capped: trunc(start) .. start+100h inclusive
+    assert [r["k"] for r in clamped.collect()] == [2]
+    assert "end_ts_capped" not in frames.columns  # internal cols don't leak
 
 
 def test_derive_ri_assert(spark, canon):
@@ -313,8 +344,10 @@ def test_occupancy_approx_variant_tracks_exact(spark):
     c = synth_canon(spark, "/root/testdata/sf0.001")
     dim_stage = build_dim_stage(c["stages"], c["defs"])
     frames = build_dim_playback_frame(c["clean"])
-    exact, _ = build_stage_occupancy_hourly(c["clean"], c["stages"], dim_stage, frames)
-    approx, _ = build_stage_occupancy_hourly(
+    exact, _, _ = build_stage_occupancy_hourly(
+        c["clean"], c["stages"], dim_stage, frames
+    )
+    approx, _, _ = build_stage_occupancy_hourly(
         c["clean"], c["stages"], dim_stage, frames, approx_rsd=0.05
     )
     e = {(r["frame_n"], r["stage_key"]): r["item_count"] for r in exact.collect()}

@@ -73,7 +73,9 @@ def test_stateful_user_stats_equals_batch(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            # HALF_UP via floor(x+0.5) — the exact rule the stateful fold uses
+            # (F.round is HALF_UP too, but pin the shared formula explicitly)
+            F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")).alias(
                 "total_value_micros"
             ),
             F.max(F.unix_micros("ts")).alias("last_ts_micros"),
