@@ -715,3 +715,157 @@ def pipeline_throughput_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["clean"], c["stages"], d["dim_stage"], d["occ"]
     )
     return rows.orderBy("bucket_day", "stage_key")
+
+
+@register(
+    "pipeline_stage_relation_diagnostic",
+    "J8,A10,F12",
+    "Stage-relation hypothesis diagnostic (reference: scripts/"
+    "diagnose-stage-relations.mjs:70-140 set cardinalities, :412-466 "
+    "scoreHypothesis): set intersections between timeslice step ids and the "
+    "stage canon-id universe, a UUID harvest (F12) over synthesized nested "
+    "attribute values intersected with stage page ids, and the rule-based "
+    "classification, all as one summary row. Every set is computed "
+    "distributed (distinct + broadcast semi/anti joins); only the final "
+    "1-row combine crosses to the driver.",
+    oracle=f"""
+        WITH {_CANON_CTES},
+        rel AS (
+          SELECT DISTINCT u AS uuid FROM (
+            SELECT {_sql_uuid32("substr(from_step_id, 16, 32)")} AS u
+            FROM slices WHERE from_step_id IS NOT NULL
+            UNION ALL
+            SELECT source_page_id FROM slices
+          )
+        ),
+        m AS (
+          SELECT
+            (SELECT COUNT(*) FROM slices) AS timeslices_total,
+            (SELECT COUNT(*) FROM slices WHERE from_step_id IS NOT NULL)
+              AS timeslices_with_from,
+            (SELECT COUNT(*) FROM slices WHERE to_step_id IS NOT NULL)
+              AS timeslices_with_to,
+            (SELECT COUNT(DISTINCT t.from_step_id) FROM slices t
+              JOIN stages g ON t.from_step_id = g.workflow_stage_id)
+              AS resolved_from_count,
+            (SELECT COUNT(DISTINCT t.to_step_id) FROM slices t
+              JOIN stages g ON t.to_step_id = g.workflow_stage_id)
+              AS resolved_to_count,
+            (SELECT COUNT(DISTINCT t.from_step_id) FROM slices t
+              WHERE t.from_step_id IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM stages g WHERE g.workflow_stage_id = t.from_step_id))
+              AS unresolved_from_count,
+            (SELECT COUNT(DISTINCT t.to_step_id) FROM slices t
+              WHERE t.to_step_id IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM stages g WHERE g.workflow_stage_id = t.to_step_id))
+              AS unresolved_to_count,
+            (SELECT COUNT(*) FROM rel) AS relation_uuid_unique_count,
+            (SELECT COUNT(*) FROM rel JOIN stages g ON rel.uuid = g.source_page_id)
+              AS relation_stage_matches_count
+        )
+        SELECT CAST(timeslices_total AS BIGINT) AS timeslices_total,
+               CAST(timeslices_with_from AS BIGINT) AS timeslices_with_from,
+               CAST(timeslices_with_to AS BIGINT) AS timeslices_with_to,
+               CAST(resolved_from_count AS BIGINT) AS resolved_from_count,
+               CAST(resolved_to_count AS BIGINT) AS resolved_to_count,
+               CAST(unresolved_from_count AS BIGINT) AS unresolved_from_count,
+               CAST(unresolved_to_count AS BIGINT) AS unresolved_to_count,
+               CAST(relation_uuid_unique_count AS BIGINT) AS relation_uuid_unique_count,
+               CAST(relation_stage_matches_count AS BIGINT) AS relation_stage_matches_count,
+               CASE
+                 WHEN resolved_from_count = 0 AND resolved_to_count = 0
+                      AND relation_stage_matches_count
+                          <= GREATEST(1, CAST(floor(relation_uuid_unique_count * 0.01) AS BIGINT))
+                   THEN 'likely_wrong_relation_properties_or_entity_domain'
+                 WHEN resolved_from_count = 0 AND resolved_to_count = 0
+                      AND relation_stage_matches_count > 0
+                   THEN 'likely_missing_or_partial_workflow_stage_ingestion'
+                 WHEN resolved_from_count > 0 OR resolved_to_count > 0
+                   THEN 'partial_overlap'
+                 ELSE 'undetermined'
+               END AS classification
+        FROM m
+    """,
+)
+def pipeline_stage_relation_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.extract import harvest_relation_uuids
+
+    c = synth_canon(spark, sf_dir)
+    slices, stages = c["slices"], c["stages"]
+
+    # Synthesized nested attribute value per slice: the from-step's page UUID
+    # (relation-shaped) plus the slice's own page UUID — a deterministic twin
+    # of the reference's attribute walk input, harvested with the REAL F12
+    # operator (render-to-JSON + one regexp pass, JVM-side).
+    attr_value = F.struct(
+        F.array(
+            F.when(
+                F.col("from_step_id").isNotNull(),
+                _uuid_from_hex32(F.substring("from_step_id", 16, 32)),
+            )
+        ).alias("relation"),
+        F.col("source_page_id").alias("page"),
+    )
+    harvested = (
+        slices.select(F.explode(harvest_relation_uuids(attr_value)).alias("uuid"))
+        .distinct()
+    )
+
+    stage_ids = stages.select(F.col("workflow_stage_id").alias("sid")).distinct()
+    stage_pages = stages.select(F.col("source_page_id").alias("uuid")).distinct()
+    from_set = (
+        slices.filter(F.col("from_step_id").isNotNull())
+        .select(F.col("from_step_id").alias("sid"))
+        .distinct()
+    )
+    to_set = (
+        slices.filter(F.col("to_step_id").isNotNull())
+        .select(F.col("to_step_id").alias("sid"))
+        .distinct()
+    )
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    # stage-id / page-id universes are tiny by construction → broadcast the
+    # small side of every membership join
+    counts = (
+        n(slices.select("timeslice_id"), "timeslices_total")
+        .crossJoin(n(slices.filter(F.col("from_step_id").isNotNull()), "timeslices_with_from"))
+        .crossJoin(n(slices.filter(F.col("to_step_id").isNotNull()), "timeslices_with_to"))
+        .crossJoin(n(from_set.join(F.broadcast(stage_ids), "sid", "semi"), "resolved_from_count"))
+        .crossJoin(n(to_set.join(F.broadcast(stage_ids), "sid", "semi"), "resolved_to_count"))
+        .crossJoin(n(from_set.join(F.broadcast(stage_ids), "sid", "anti"), "unresolved_from_count"))
+        .crossJoin(n(to_set.join(F.broadcast(stage_ids), "sid", "anti"), "unresolved_to_count"))
+        .crossJoin(n(harvested, "relation_uuid_unique_count"))
+        .crossJoin(
+            n(
+                harvested.join(F.broadcast(stage_pages), "uuid", "semi"),
+                "relation_stage_matches_count",
+            )
+        )
+    )
+    no_resolution = (F.col("resolved_from_count") == 0) & (
+        F.col("resolved_to_count") == 0
+    )
+    near_zero_matches = F.col("relation_stage_matches_count") <= F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("relation_uuid_unique_count") * 0.01).cast("long"),
+    )
+    return counts.select(
+        "*",
+        F.when(
+            no_resolution & near_zero_matches,
+            F.lit("likely_wrong_relation_properties_or_entity_domain"),
+        )
+        .when(
+            no_resolution & (F.col("relation_stage_matches_count") > 0),
+            F.lit("likely_missing_or_partial_workflow_stage_ingestion"),
+        )
+        .when(
+            (F.col("resolved_from_count") > 0) | (F.col("resolved_to_count") > 0),
+            F.lit("partial_overlap"),
+        )
+        .otherwise(F.lit("undetermined"))
+        .alias("classification"),
+    )

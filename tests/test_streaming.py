@@ -45,6 +45,42 @@ def test_streaming_hourly_rollup_equals_batch(spark):
     assert _sorted_tuples(stream_out) == _sorted_tuples(batch)
 
 
+def test_session_window_merges_exact_gap_tie(spark):
+    """Pin the tie semantics the streaming_session_window oracle relies on:
+    two events EXACTLY 30 min apart merge into ONE session (Spark extends the
+    window to last_event + gap and merges overlapping-or-touching windows),
+    matching the gaps-and-islands oracle's strict `> INTERVAL 30 MINUTE`
+    new-session predicate. If Spark were end-exclusive on ties the oracle
+    would need `>=`."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1, 10, 0, 0)),
+            (1, dt.datetime(2026, 1, 1, 10, 30, 0)),  # tie: gap == 30 min
+            (1, dt.datetime(2026, 1, 1, 11, 0, 1)),  # gap > 30 min → new
+        ],
+        "user_id long, ts timestamp",
+    )
+    sessions = sorted(
+        (r["s"], r["e"], r["n"])
+        for r in (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("string").alias("s"),
+                F.col("w.end").cast("string").alias("e"),
+                F.col("n"),
+            )
+            .collect()
+        )
+    )
+    assert sessions == [
+        ("2026-01-01 10:00:00", "2026-01-01 11:00:00", 2),
+        ("2026-01-01 11:00:01", "2026-01-01 11:30:01", 1),
+    ]
+
+
 def test_streaming_session_window_equals_batch_session_window(spark):
     stream_out = run_stream_to_table(
         session_window_rollup(read_events_stream(spark, SF))
