@@ -227,15 +227,16 @@ def word_hashes(text: Column) -> Column:
     return F.transform(F.array_distinct(words(text)), lambda x: hash64("w:", x))
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
-    """16-bit SimHash from a pre-materialized word-hash array (bit-voting).
+def simhash_from_hashes(hashes: Column, n_bits: int = 16) -> Column:
+    """``n_bits``-wide SimHash from a pre-materialized word-hash array
+    (bit-voting; word hashes are 32-bit, so ``n_bits`` <= 32).
 
-    Bind ``hashes`` to a real column: the 16 bit-vote aggregates each
-    reference it, and inlining tokenize+sha256 at all 16 sites would hash
-    every word 16× per row and bloat codegen.
+    Bind ``hashes`` to a real column: the per-bit vote aggregates each
+    reference it, and inlining tokenize+sha256 at every site would hash
+    every word ``n_bits``× per row and bloat codegen.
     """
     bits = []
-    for b in range(16):
+    for b in range(n_bits):
         votes = F.aggregate(
             hashes,
             F.lit(0).cast("long"),
@@ -252,6 +253,70 @@ def simhash_from_hashes(hashes: Column) -> Column:
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over word hashes (bit-voting), engine-independent."""
     return simhash_from_hashes(word_hashes(text))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of an
+    ``n_bits``-wide SimHash, without ever touching the O(n²) pair space.
+
+    Candidate generation uses the pigeonhole block trick: split the signature
+    into ``max_hamming + 1`` disjoint bit blocks — any pair within distance k
+    differs in at most k blocks, so it agrees EXACTLY on at least one of the
+    k+1, and an equality self-join on (block_idx, block_bits) finds every
+    such pair. Verification is exact: ``bit_count(xor)`` on the full
+    signatures. At 100 TB the shuffle carries (doc, block) rows — linear in
+    the corpus — and each join bucket holds only block-collisions.
+
+    Default 32-bit signatures keep chance collisions negligible
+    (P[hamming<=2] ~ 1.2e-7 per random pair), so candidates ≈ true near-dups.
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        word_hashes(F.col(text_col)).alias("_hl"),
+    ).select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
+
+    n_blocks = max_hamming + 1
+    base, rem = divmod(n_bits, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    shifts = [sum(widths[:i]) for i in range(n_blocks)]
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright("s", shifts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("bv"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    buckets = sig.select("doc", "s", F.explode(block_arr).alias("b")).select(
+        "doc", "s", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    left = buckets.select(
+        F.col("doc").alias("a"), F.col("s").alias("sa"), "bi", "bv"
+    )
+    right = buckets.select(
+        F.col("doc").alias("b"), F.col("s").alias("sb"), "bi", "bv"
+    )
+    return (
+        left.join(right, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()  # a pair can collide in several blocks
+        .select(
+            "a",
+            "b",
+            F.expr("bit_count(sa ^ sb)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard_pairs(

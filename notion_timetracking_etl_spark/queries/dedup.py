@@ -25,6 +25,7 @@ from ..operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_from_hashes,
+    simhash_hamming_pairs,
     word_hashes,
 )
 from ..sources.tpch import load_table
@@ -243,3 +244,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # O(corpus) buckets: distributed orderBy, not a single-partition funnel.
     return buckets.orderBy("simhash")
+
+
+def _sig_cte(n_bits: int) -> str:
+    """DuckDB twin of simhash_from_hashes over distinct lowercased words."""
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hl, "
+        f"h -> CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+  w AS (SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws FROM documents),
+  hs AS (
+    SELECT doc_id, list_transform(ws, x -> {_hash64_sql("w:", "x")}) AS hl
+    FROM w
+  ),
+  sig AS (SELECT doc_id, ({votes}) AS simhash FROM hs)
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    "A6,J8,F20",
+    "SimHash Hamming-distance near-dup pairs: 32-bit bit-voting signatures, "
+    "pigeonhole block candidate join (a pair within Hamming<=2 agrees exactly "
+    "on one of 3 signature blocks — candidates via equality join, never the "
+    "O(n^2) pair space), exact bit_count(xor) verification. The oracle is the "
+    "naive all-pairs ground truth, so hash-equality proves the blocking "
+    "scheme loses no pair.",
+    oracle=f"""
+        WITH {_sig_cte(32)}
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+        FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+        ORDER BY a, b
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # CHANCE collisions are negligible at 32 bits, but near-dup pair counts
+    # are quadratic in true duplication (this corpus: ~1.2M pairs at sf0.1)
+    # — O(corpus) output, so ordering must stay a distributed range sort.
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", n_bits=32, max_hamming=2
+    ).orderBy("a", "b")
