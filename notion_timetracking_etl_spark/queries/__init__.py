@@ -20,5 +20,7 @@ from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import extraction  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,87 @@
+"""Sketch & distribution-summary queries (engine extension).
+
+``heavy_hitter_tokens`` exercises the Misra-Gries candidates-then-verify
+pattern (``operators/sketch.py``): the answer is defined by the exact integer
+predicate ``count * k > n``, so it is deterministic and oracle-checkable even
+though the candidate phase is an approximate map-side sketch.
+
+``quantile_summary`` pins the cross-engine float convention for order
+statistics: exact interpolated percentiles (Spark ``percentile`` == DuckDB
+``quantile_cont``, both p*(n-1) linear interpolation) rounded to 6 decimals on
+both sides, plus the decimal-exact mean from queries/helpers.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.dedup import words
+from ..operators.sketch import heavy_hitters
+from ..sources.tpch import load_table
+from .helpers import davg, davg_sql, ordered_small
+from .registry import register
+
+HH_K = 100  # heavy-hitter threshold: tokens with count > n/100
+
+
+@register(
+    "heavy_hitter_tokens",
+    "A7-analog,F20",
+    "Misra-Gries heavy hitters over the document token stream: all tokens "
+    "with frequency > n/100 and their exact counts. Map-side MG summaries "
+    "(<=k candidate rows per partition, no raw-stream shuffle) + exact "
+    "verification via integer cross-multiplication — deterministic under any "
+    "partitioning.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS item
+          FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, tot
+        GROUP BY item, n
+        HAVING count(*) * {HH_K} > n
+        ORDER BY item
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(words(F.col("text"))).alias("item"))
+    # Result is bounded by construction: at most k-1 items can exceed n/k.
+    return ordered_small(heavy_hitters(stream, "item", HH_K), "item")
+
+
+@register(
+    "quantile_summary",
+    "A3-analog",
+    "Per-event-type value distribution: count, decimal-exact mean, and exact "
+    "interpolated p50/p90/p99 (Spark percentile == DuckDB quantile_cont, "
+    "rounded to 6dp both sides). One shuffle on the 5-value type key with "
+    "map-side partial aggregation.",
+    oracle=f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {davg_sql("value", "avg_value")},
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("value")).alias("avg_value"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,183 @@
+"""Unit tests for the as-of join, banded range join, and Misra-Gries
+heavy-hitter operators (the temporal/sketch extension family).
+
+Each operator is checked against a brute-force/naive formulation on small
+hand-built frames — semantics first — plus the properties that make them safe
+at scale: tie determinism, partitioning independence, and exact-superset
+candidate guarantees.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.operators.asof import asof_join
+from notion_timetracking_etl_spark.operators.rangejoin import band_join
+from notion_timetracking_etl_spark.operators.sketch import (
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+TS = "2024-01-01 00:{:02d}:{:02d}"
+
+
+def t(m, s=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, m, s)
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_backward_strict_basic(spark):
+    left = _events(spark, [(1, 7, t(10)), (2, 7, t(20)), (3, 8, t(5))])
+    right = _events(spark, [(100, 7, t(9)), (101, 7, t(15)), (102, 9, t(1))])
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
+    )
+    got = {r.event_id: r.asof_event_id for r in out.collect()}
+    # user 7: ts=10 matches right@9; ts=20 matches right@15. user 8: no match.
+    assert got == {1: 100, 2: 101, 3: None}
+
+
+def test_asof_strict_excludes_equal_ts_inclusive_takes_it(spark):
+    left = _events(spark, [(1, 7, t(10))])
+    right = _events(spark, [(100, 7, t(10))])
+    strict = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
+    )
+    assert strict.collect()[0].asof_event_id is None
+    incl = asof_join(
+        left,
+        right,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["event_id"],
+        tiebreak="event_id",
+        strict=False,
+    )
+    assert incl.collect()[0].asof_event_id == 100
+
+
+def test_asof_tie_on_right_ts_takes_largest_tiebreak(spark):
+    left = _events(spark, [(1, 7, t(10))])
+    right = _events(spark, [(100, 7, t(9)), (105, 7, t(9)), (90, 7, t(9))])
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
+    )
+    assert out.collect()[0].asof_event_id == 105
+
+
+def test_asof_matches_naive_on_testdata(spark, sf_dir):
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    got = {
+        r.pid: r.asof_event_id
+        for r in asof_join(
+            purchases, views, ["user_id"], "ts", "ts", ["event_id"], "event_id"
+        ).collect()
+    }
+    # naive: max-ts view strictly before each purchase, built driver-side
+    vrows = views.collect()
+    by_user: dict[int, list] = {}
+    for v in vrows:
+        by_user.setdefault(v.user_id, []).append(v)
+    for p in purchases.collect():
+        prior = [v for v in by_user.get(p.user_id, []) if v.ts < p.ts]
+        want = (
+            max(prior, key=lambda v: (v.ts, v.event_id)).event_id if prior else None
+        )
+        assert got[p.pid] == want
+
+
+# ----------------------------------------------------------- banded range join
+
+
+def test_band_join_matches_naive_predicate_join(spark, sf_dir):
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    activity = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("a_id"), "user_id", F.col("ts").alias("a_ts")
+    )
+    banded = band_join(errors, activity, ["user_id"], "ts", "a_ts", -600, 0)
+    naive = errors.join(activity, "user_id").filter(
+        (F.col("a_ts") >= F.col("ts") - F.expr("INTERVAL 600 SECOND"))
+        & (F.col("a_ts") < F.col("ts"))
+    )
+    b = {(r.event_id, r.a_id) for r in banded.collect()}
+    n = {(r.event_id, r.a_id) for r in naive.collect()}
+    assert b == n and len(b) > 0
+
+
+def test_band_join_window_edges_half_open(spark):
+    left = _events(spark, [(1, 7, t(10))])
+    right = spark.createDataFrame(
+        [
+            (200, 7, t(0)),  # exactly ts-600: included (>= lower)
+            (201, 7, t(9, 59)),  # inside
+            (202, 7, t(10)),  # exactly ts: excluded (< upper)
+            (203, 7, t(0) .replace(second=0, microsecond=0)),  # dup guard row
+        ],
+        "a_id long, user_id long, a_ts timestamp",
+    ).filter(F.col("a_id") != 203)
+    out = band_join(left, right, ["user_id"], "ts", "a_ts", -600, 0)
+    assert {r.a_id for r in out.collect()} == {200, 201}
+
+
+def test_band_join_emits_each_pair_once_and_left_outer_pads(spark):
+    left = _events(spark, [(1, 7, t(10)), (2, 9, t(10))])
+    right = spark.createDataFrame(
+        [(300, 7, t(5))], "a_id long, user_id long, a_ts timestamp"
+    )
+    inner = band_join(left, right, ["user_id"], "ts", "a_ts", -600, 0)
+    assert [(r.event_id, r.a_id) for r in inner.collect()] == [(1, 300)]
+    louter = band_join(left, right, ["user_id"], "ts", "a_ts", -600, 0, "left_outer")
+    rows = {r.event_id: r.a_id for r in louter.collect()}
+    assert rows == {1: 300, 2: None} and louter.count() == 2
+
+
+# ------------------------------------------------------------- heavy hitters
+
+
+def test_misra_gries_candidates_are_superset_of_true_heavies(spark):
+    # 60 'a', 25 'b', rest singletons → with k=4, heavy (>n/4) is only 'a'
+    items = ["a"] * 60 + ["b"] * 25 + [f"x{i}" for i in range(15)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    cands = {r.item for r in misra_gries_candidates(df, "item", 4).collect()}
+    assert "a" in cands
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    items = ["a"] * 60 + ["b"] * 25 + [f"x{i}" for i in range(15)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    for parts in (1, 3, 7):
+        got = {
+            (r.item, r.cnt)
+            for r in heavy_hitters(df.repartition(parts), "item", 4).collect()
+        }
+        assert got == {("a", 60)}  # 60*4 > 100, 25*4 !> 100
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    # 25 of each of 4 items: count*k == n exactly → nothing is heavy at k=4
+    items = ["a"] * 25 + ["b"] * 25 + ["c"] * 25 + ["d"] * 25
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    assert heavy_hitters(df, "item", 4).count() == 0
