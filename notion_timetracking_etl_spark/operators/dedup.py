@@ -301,10 +301,16 @@ def simhash_hamming_pairs(
     Default 32-bit signatures keep chance collisions negligible
     (P[hamming<=2] ~ 1.2e-7 per random pair), so candidates ≈ true near-dups.
     """
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        word_hashes(F.col(text_col)).alias("_hl"),
-    ).select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
+    # Scoped persist: the self-join below consumes the signature table twice
+    # (left/right branches), and without it each branch recomputes the
+    # sha256-per-word signature chain — the dominant cost of this operator.
+    # The persisted table is tiny: (doc, 64-bit signature) per document.
+    sig = _scoped_persist(
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_hashes(F.col(text_col)).alias("_hl"),
+        ).select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
+    )
 
     n_blocks = max_hamming + 1
     base, rem = divmod(n_bits, n_blocks)
