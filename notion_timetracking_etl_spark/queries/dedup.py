@@ -83,15 +83,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id").orderBy("content_sha")
 
 
-@register(
-    "dedup_minhash_lsh",
-    "A6,F20,J8",
-    "MinHash+LSH near-duplicate detection: word 3-gram shingles → 12 minhashes "
-    "(8-hex windows of 2 sha256 digests) → 3-band LSH candidate pairs → exact "
-    "n-gram Jaccard verification at >= 0.5. Candidate-only verification keeps "
-    "the pair space linear in true near-dups.",
-    oracle=f"""
-        WITH {_SHINGLES_CTE},
+# Full MinHash+LSH near-dup pair pipeline as reusable CTEs ending in
+# ``pairs(a, b, jaccard)`` — consumed by the dedup_minhash_lsh oracle and by
+# the dedup_clusters connected-components oracle (queries/clusters.py).
+MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
         digs AS (
           SELECT doc,
                  sha256(concat('0:', sh)) AS d0,
@@ -126,14 +121,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN sh sa ON sa.doc = c.a
           JOIN sh sb ON sb.doc = c.b AND sb.sh = sa.sh
           GROUP BY c.a, c.b
-        )
-        SELECT inter.a, inter.b,
-               CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc = inter.a
-        JOIN sizes sb ON sb.doc = inter.b
-        WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
-        ORDER BY a, b
+        ),
+        pairs AS (
+          SELECT inter.a, inter.b,
+                 CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc = inter.a
+          JOIN sizes sb ON sb.doc = inter.b
+          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+        )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    "A6,F20,J8",
+    "MinHash+LSH near-duplicate detection: word 3-gram shingles → 12 minhashes "
+    "(8-hex windows of 2 sha256 digests) → 3-band LSH candidate pairs → exact "
+    "n-gram Jaccard verification at >= 0.5. Candidate-only verification keeps "
+    "the pair space linear in true near-dups.",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES}
+        SELECT a, b, jaccard FROM pairs ORDER BY a, b
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,6 +73,10 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note: exact percentile is HOLISTIC — the aggregation buffer
+    # accumulates every value of the group, so each of the (few) group keys
+    # funnels through one reducer. Correct here and cross-engine checkable,
+    # but at 100 TB the real plan is quantile_summary_approx below.
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -82,6 +86,34 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
             F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
             F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quantile_summary_approx",
+    "A3-analog",
+    "The 100 TB path for quantile_summary: approx_percentile's mergeable "
+    "sketch (Greenwald-Khanna) keeps the aggregation buffer bounded "
+    "(~1/accuracy), so partial aggregation works map-side and no reducer "
+    "ever holds a group's full value set. Sketch internals are engine-"
+    "specific, so the driver records rows-only; the pytest bound check "
+    "proves the estimates bracket the exact values.",
+    oracle=None,
+)
+def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr(
+        "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pct.getItem(0).alias("p50"),
+            pct.getItem(1).alias("p90"),
+            pct.getItem(2).alias("p99"),
         )
         .orderBy("event_type")
     )

@@ -18,6 +18,7 @@ from ..streaming import (
     run_stream_to_table,
     session_window_rollup,
     user_stats_stateful,
+    view_purchase_interval_join,
 )
 from .helpers import dsum_sql
 from .registry import register
@@ -77,6 +78,34 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = session_window_rollup(read_events_stream(spark, sf_dir))
     return run_stream_to_table(stream).orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_interval_join",
+    "J4-analog-stream",
+    "Stream-stream interval join: view and purchase streams joined on user "
+    "within (view_ts, view_ts + 30 min] — the interval bound plus watermarks "
+    "is what keeps both join state stores finite. Drained with AvailableNow; "
+    "the oracle is the batch interval join.",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = v.user_id
+         AND p.ts > v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        ORDER BY view_id, purchase_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = view_purchase_interval_join(read_events_stream(spark, sf_dir))
+    return run_stream_to_table(stream, output_mode="append").orderBy(
+        "view_id", "purchase_id"
+    )
 
 
 @register(

@@ -9,6 +9,7 @@ verified by the oracle-checked registry queries and the pytest equivalence
 tests.
 """
 
+from .joins import view_purchase_interval_join
 from .rollup import (
     hourly_rollup,
     read_events_stream,
@@ -23,4 +24,5 @@ __all__ = [
     "session_window_rollup",
     "run_stream_to_table",
     "user_stats_stateful",
+    "view_purchase_interval_join",
 ]

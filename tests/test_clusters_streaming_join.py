@@ -1,0 +1,101 @@
+"""Tests: connected-components clustering, the stream-stream interval join's
+batch equivalence, and the approx-quantile scale path's error bound."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.operators.cluster import connected_components
+from notion_timetracking_etl_spark.queries import REGISTRY
+from notion_timetracking_etl_spark.sources.tpch import load_table
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    # a path graph exercises label propagation past the first hop
+    cc = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_separate_components_and_min_representative(spark):
+    cc = connected_components(
+        _edges(spark, [(10, 7), (7, 12), (100, 90), (55, 55)])
+    )
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {7: 7, 10: 7, 12: 7, 90: 90, 100: 90, 55: 55}
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    out = REGISTRY["dedup_clusters"].spark(spark, sf_dir)
+    rows = out.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # every document assigned exactly once
+    reps = {r.cluster_rep for r in rows}
+    assert sum(1 for r in rows if r.keep) == len(reps)  # one keeper per cluster
+    # representative is the smallest member, and sizes are consistent
+    by_rep: dict[int, list] = {}
+    for r in rows:
+        by_rep.setdefault(r.cluster_rep, []).append(r)
+    for rep, members in by_rep.items():
+        assert rep == min(m.doc_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_streaming_interval_join_equals_batch_twin(spark, sf_dir):
+    stream_rows = {
+        (r.view_id, r.purchase_id)
+        for r in REGISTRY["streaming_interval_join"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = v.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    batch_rows = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert stream_rows == batch_rows
+
+
+def test_quantile_approx_brackets_exact(spark, sf_dir):
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["quantile_summary_approx"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    # GK guarantees RANK error (<= n/accuracy), not value error — in a heavy
+    # tail adjacent order statistics can be far apart, so the right check is
+    # rank-space bracketing: the estimate must lie between exact percentiles
+    # a few rank-percent either side of the target.
+    brackets = {"p50": (0.45, 0.55), "p90": (0.85, 0.95), "p99": (0.95, 1.0)}
+    lo_hi = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile(F.col("value"), F.lit(q)).alias(f"{col}_{side}")
+                for col, (lo, hi) in brackets.items()
+                for side, q in (("lo", lo), ("hi", hi))
+            ]
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        bounds = lo_hi[et]
+        for col in brackets:
+            v = getattr(a, col)
+            assert (
+                getattr(bounds, f"{col}_lo") <= v <= getattr(bounds, f"{col}_hi")
+            ), (et, col, v)
