@@ -7,20 +7,27 @@ item universe is huge (tokens, URLs, user agents) but the answer is tiny. The
 two-phase sketch pattern here mirrors the dedup family's candidates-then-verify
 shape:
 
-1. **Candidate generation, map-side**: each partition runs the Misra-Gries
-   summary (k counters) over its local stream inside one Arrow-batched
-   ``mapInPandas`` stage and emits at most k candidate items — kilobytes per
-   partition, no shuffle of the raw stream. MG guarantee (Misra & Gries 1982):
-   any item with local frequency > n_p/k survives partition p's summary; since
-   a globally-heavy item (count > n/k = sum_p n_p/k) must be locally heavy in
-   at least one partition (pigeonhole), the union of partition candidates is a
-   superset of the true heavy hitters.
+1. **Candidate generation + counting, map-side, ONE scan**: each partition
+   runs a Misra-Gries summary (k counters) over its local stream inside one
+   Arrow-batched ``mapInPandas`` stage and emits at most k candidate items
+   PLUS one sentinel row carrying the partition's exact item count — kilobytes
+   per partition, no shuffle of the raw stream, and the global ``n`` falls out
+   of the same pass (summing the sentinels) instead of a second full scan.
+   MG guarantee (Misra & Gries 1982; mergeable-summaries form, Agarwal et al.
+   2012): the batch-merge-and-prune below decrements any item by at most
+   n_p/(k+1) < n_p/k total, so any item with local frequency > n_p/k survives
+   partition p's summary; since a globally-heavy item (count > n/k =
+   sum_p n_p/k) must be locally heavy in at least one partition (pigeonhole),
+   the union of partition candidates is a superset of the true heavy hitters.
 2. **Exact verification**: semi-join the stream on the (tiny, broadcast)
    candidate set, count exactly, and keep items with ``count * k > n`` — an
    integer comparison, so the result is deterministic, partitioning-independent
    and cross-engine exact (no division).
 
-Only phase 2 shuffles, and only the candidate-matching rows enter it.
+Only phase 2 re-reads the stream (required for exactness) and only the
+candidate-matching rows enter its shuffle. The k+1-row-per-partition summary
+is persisted scoped (see ``operators.dedup.release_scoped_caches``) so the
+candidate extraction and the ``n`` aggregation share the single MG pass.
 
 Reference scope note: the reference engine has no sketch operators; this
 module is part of the training-data-pipeline extension surface.
@@ -35,36 +42,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-CANDIDATE_SCHEMA = "item string"
+from .dedup import _scoped_persist
+
+# candidate rows: (item, NULL); one sentinel per partition: (NULL, n_p)
+SUMMARY_SCHEMA = "item string, n_part bigint"
 
 
-def misra_gries_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries: at most ``k`` candidate items per
-    partition, produced map-side (no shuffle). ``items`` is a one-column-of-
-    interest stream; rows with null items are ignored.
+def misra_gries_summary(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries in ONE pass: at most ``k``
+    candidate rows ``(item, NULL)`` plus exactly one sentinel row
+    ``(NULL, n_p)`` per partition, produced map-side (no shuffle). Rows with
+    null items are ignored (not counted in ``n_p``).
+
+    Counting is vectorized: each Arrow batch collapses to ``value_counts``
+    first, then the weighted counts merge into the k-counter summary with the
+    mergeable-MG prune (subtract the (k+1)-th largest counter, drop <= 0) —
+    per-batch work is O(distinct-in-batch), not O(rows).
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_p = 0
         for pdf in batches:
-            for item in pdf[item_col].dropna():
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all step, dropping zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"item": list(counters.keys())})
+            vc = pdf[item_col].dropna().value_counts()
+            n_p += int(vc.sum())
+            for item, w in vc.items():
+                counters[item] = counters.get(item, 0) + int(w)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[k]  # (k+1)-th largest
+                counters = {key: c - m for key, c in counters.items() if c > m}
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "n_part": [None] * len(counters) + [n_p],
+            }
+        )
 
     return items.select(F.col(item_col).alias(item_col)).mapInPandas(
-        summarize, CANDIDATE_SCHEMA
+        summarize, SUMMARY_SCHEMA
     )
 
 
@@ -78,13 +94,18 @@ def heavy_hitters(items: DataFrame, item_col: str, k: int) -> DataFrame:
     stream = items.select(F.col(item_col).alias("item")).filter(
         F.col("item").isNotNull()
     )
-    candidates = misra_gries_candidates(stream, "item", k).distinct()
+    # k+1 rows per partition — tiny; persisting it lets the candidate set and
+    # the global n share the single map-side MG scan of the raw stream.
+    summary = _scoped_persist(misra_gries_summary(stream, "item", k))
+    candidates = summary.filter(F.col("item").isNotNull()).select("item").distinct()
+    total = summary.filter(F.col("item").isNull()).select(
+        F.sum("n_part").cast("bigint").alias("n")
+    )
     exact = (
         stream.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = stream.select(F.count(F.lit(1)).alias("n"))
     return (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(k) > F.col("n"))

@@ -146,13 +146,13 @@ MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ordered_small(
-        minhash_near_dup_pairs(
-            docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
-        ),
-        "a",
-        "b",
-    )
+    # Near-dup pairs are Θ(corpus) on a duplicated crawl, so the total order
+    # must be a DISTRIBUTED range sort — never a repartition(1) funnel. The
+    # sort's boundary sampling re-reads the verification join's shuffle files;
+    # it does not recompute the shingle/signature pipeline.
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
+    ).orderBy("a", "b")
 
 
 @register(
@@ -193,13 +193,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ordered_small(
-        ngram_jaccard_pairs(
-            docs, "doc_id", "text", shingle_n=2, threshold=0.6, max_doc_freq=50
-        ),
-        "a",
-        "b",
-    )
+    # Θ(corpus) pair list on duplicated input → distributed orderBy (see
+    # dedup_minhash_lsh above and the HARD RULE in helpers.ordered_small).
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, threshold=0.6, max_doc_freq=50
+    ).orderBy("a", "b")
 
 
 @register(

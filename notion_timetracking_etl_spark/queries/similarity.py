@@ -170,4 +170,6 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding", "label")
-    return ordered_small(embedding_near_dup_pairs(corpus, threshold=0.3), "a", "b")
+    # Near-dup pairs are Θ(corpus) on duplicated input → distributed orderBy,
+    # never a repartition(1) funnel (HARD RULE in helpers.ordered_small).
+    return embedding_near_dup_pairs(corpus, threshold=0.3).orderBy("a", "b")

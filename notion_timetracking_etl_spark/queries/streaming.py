@@ -113,9 +113,20 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF-stream",
     "Custom stateful operator via applyInPandasWithState: per-user running "
     "(count, exact-micros value sum, last-seen ts) folded across micro-"
-    "batches. Non-SQL-expressible (driver records rows-only); pytest proves "
-    "stream==batch equivalence bit-for-bit.",
-    oracle=None,
+    "batches. The state fold itself is non-SQL, but with latest_by keeping "
+    "only each user's FINAL update the drained result equals a plain per-user "
+    "GROUP BY — so it is fully oracle-checkable. The per-row micros rounding "
+    "is floor(v*1e6+0.5) (HALF_UP) on both engines.",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_value_micros,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_micros
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
 )
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = user_stats_stateful(read_events_stream(spark, sf_dir))

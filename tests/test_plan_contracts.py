@@ -102,6 +102,9 @@ def test_corpus_sized_results_never_funnel_to_one_partition(spark, sf_dir):
     for name in [
         "dedup_exact",
         "dedup_simhash",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "similarity_embedding_near_dup",
         "multimodal_decode",
         "multimodal_resize",
         "multimodal_frame_sample",

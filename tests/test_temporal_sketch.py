@@ -15,7 +15,7 @@ from notion_timetracking_etl_spark.operators.asof import asof_join
 from notion_timetracking_etl_spark.operators.rangejoin import band_join
 from notion_timetracking_etl_spark.operators.sketch import (
     heavy_hitters,
-    misra_gries_candidates,
+    misra_gries_summary,
 )
 
 
@@ -161,8 +161,14 @@ def test_misra_gries_candidates_are_superset_of_true_heavies(spark):
     # 60 'a', 25 'b', rest singletons → with k=4, heavy (>n/4) is only 'a'
     items = ["a"] * 60 + ["b"] * 25 + [f"x{i}" for i in range(15)]
     df = spark.createDataFrame([(i,) for i in items], "item string")
-    cands = {r.item for r in misra_gries_candidates(df, "item", 4).collect()}
+    summary = misra_gries_summary(df, "item", 4).collect()
+    cands = {r.item for r in summary if r.item is not None}
     assert "a" in cands
+    # sentinel rows carry the exact per-partition counts — one MG pass yields n
+    assert sum(r.n_part for r in summary if r.item is None) == len(items)
+    # at most k candidate rows per partition
+    n_parts = df.rdd.getNumPartitions()
+    assert len(cands) <= 4 * n_parts
 
 
 def test_heavy_hitters_exact_and_partition_independent(spark):
