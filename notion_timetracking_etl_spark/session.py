@@ -50,9 +50,12 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as long nanos
-        # and convert at the source (sources/tpch.py) — matches DuckDB's ns→us.
+        # testdata timestamp contract (see sources/tpch.ensure_nanos_readable):
+        # TIMESTAMP(NANOS) reads as long nanos (converted at the source), and
+        # isAdjustedToUTC=false micros read as plain TIMESTAMP instants, not
+        # NTZ — both match DuckDB's reading of the same files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -28,16 +28,31 @@ TPCH_TABLES = (
 
 
 def ensure_nanos_readable(spark: SparkSession) -> None:
-    """events.parquet is TIMESTAMP(NANOS); without this conf any read throws
-    PARQUET_TYPE_ILLEGAL. Runtime-settable, so callers work on ANY session —
-    including ones not built by session.build_session (e.g. a test harness's
-    own SparkSession)."""
+    """Pin the parquet timestamp reading contract. Two generator variants
+    exist across driver rounds and both must read as plain TIMESTAMP whose
+    stored value IS the UTC-epoch micros (DuckDB's reading of the same file,
+    so ``unix_micros(ts)`` == ``epoch_us(ts)`` row-for-row):
+
+    - TIMESTAMP(NANOS): unreadable without ``nanosAsLong`` (throws
+      PARQUET_TYPE_ILLEGAL); arrives as long nanos, converted below.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ by default, which breaks every instant function
+      (``unix_micros`` etc.) and diverges from the oracle's naive-as-UTC
+      reading; ``inferTimestampNTZ=false`` restores the classic mapping
+      where the stored micros are taken as the instant, no tz math at all
+      (so no session-timezone or DST hazard on a vanilla session).
+
+    Both confs are runtime-settable, so callers work on ANY session —
+    including ones not built by session.build_session (e.g. a test
+    harness's own SparkSession)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        ensure_nanos_readable(spark)
+    # orders/lineitem date columns are timestamp-annotated too — pin the
+    # contract for every table, not just events.
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos (spark.sql.legacy.parquet.
