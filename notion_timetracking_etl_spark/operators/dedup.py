@@ -35,6 +35,34 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Free the storage behind a ``localCheckpoint``-ed DataFrame NOW.
+
+    ``df.unpersist()`` only uncaches CacheManager entries; a checkpointed
+    Dataset is backed by an RDD-level persist that CacheManager never sees,
+    so without this the blocks linger until the JVM garbage-collects the
+    plan (measured: they survive ``unpersist()`` AND driver-side gc). The
+    checkpointed plan is a ``LogicalRDD`` whose ``rdd`` field is exactly the
+    persisted RDD — unpersist it directly. Safe no-op on non-checkpoint
+    plans and stopped sessions."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _scoped_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` registered for
+    :func:`release_scoped_caches` — for checkpoints that must outlive their
+    operator (e.g. connected_components' final labels, which back the
+    returned plan) but not the query."""
+    out = df.localCheckpoint(eager=True)
+    _SCOPED_CACHES.append(out)
+    return out
+
+
 def release_scoped_caches() -> None:
     """Unpersist every query-scoped intermediate registered since the last
     release. Call after the consuming action completes (bench.py and
@@ -45,6 +73,7 @@ def release_scoped_caches() -> None:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
+        _free_checkpoint_blocks(df)
 
 
 def words(text: Column) -> Column:

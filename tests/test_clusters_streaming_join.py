@@ -29,6 +29,59 @@ def test_cc_separate_components_and_min_representative(spark):
     assert got == {7: 7, 10: 7, 12: 7, 90: 90, 100: 90, 55: 55}
 
 
+def test_cc_adversarial_diameter_converges_logarithmically(spark):
+    # A 200-node path graph is the worst topology for label propagation:
+    # plain propagation needs 199 rounds (min label moves one hop/round)
+    # and would blow max_rounds=50. Pointer jumping halves label chains
+    # each round, so this must converge in O(log d) rounds.
+    stats: dict = {}
+    edges = _edges(spark, [(i, i + 1) for i in range(1, 200)])
+    cc = connected_components(edges, stats=stats)
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {i: 1 for i in range(1, 201)}
+    # log2(199) ≈ 7.6; allow slack for the propagate+shortcut interleave.
+    # Measured: 9 rounds.
+    assert stats["rounds"] <= 14, stats
+
+
+def test_cc_max_rounds_failure_mode(spark):
+    # the convergence guard must fail loudly, not return partial labels
+    import pytest as _pytest
+
+    edges = _edges(spark, [(i, i + 1) for i in range(1, 200)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2)
+
+
+def test_cc_storage_flat_across_runs(spark, sf_dir):
+    # bench/parity run many queries in one session and call
+    # release_scoped_caches between them — CC's checkpoints (which plain
+    # unpersist() cannot free) must not accumulate across runs.
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    def persistent_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    def run_once():
+        REGISTRY["dedup_clusters"].spark(spark, sf_dir).collect()
+        release_scoped_caches()
+        return persistent_ids()
+
+    after_first = run_once()
+    after_second = run_once()
+    # no growth: everything a run persisted (plan caches AND checkpoint
+    # RDD blocks) is released by release_scoped_caches
+    assert len(after_second) <= len(after_first)
+    assert len(after_second - after_first) == 0, (
+        "checkpoint/persist leak across runs: "
+        f"{sorted(after_second - after_first)}"
+    )
+
+
 def test_dedup_clusters_invariants(spark, sf_dir):
     out = REGISTRY["dedup_clusters"].spark(spark, sf_dir)
     rows = out.collect()
