@@ -1,0 +1,125 @@
+"""Registered corpus-sampling queries (engine extension): deterministic
+stratified capping and weighted multi-source mixing over ``documents``.
+
+Both selections are hash-ordered (``operators.sampling``), so the DuckDB
+oracle replays the EXACT row selection — not just statistics — via the same
+``md5`` draws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.sampling import (
+    hash_draw,
+    topk_per_group,
+    weight_threshold_hex,
+    weighted_mix,
+)
+from ..sources.tpch import load_table
+from .helpers import ordered_small
+from .registry import register
+
+STRATUM_CAP = 20
+
+# a mixing recipe: crawl sources at full/three-quarter/half/quarter/decimated
+# rates; every source not named is dropped (weight 0)
+MIX_WEIGHTS = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+    "src5": 0.05,
+}
+
+
+def _mix_keep_sql() -> str:
+    """The keep-predicate as SQL — same 8-hex-digit threshold compare."""
+    cases = []
+    for source, weight in MIX_WEIGHTS.items():
+        thresh = weight_threshold_hex(weight)
+        cond = (
+            "TRUE"
+            if thresh is None
+            else f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thresh}'"
+        )
+        cases.append(f"WHEN source = '{source}' THEN {cond}")
+    return "CASE " + " ".join(cases) + " ELSE FALSE END"
+
+
+@register(
+    "sample_stratified",
+    "O3-ext,A7-ext",
+    "Deterministic stratified sampling: cap every language stratum at "
+    f"{STRATUM_CAP} documents chosen by md5 hash order — the class-balancing "
+    "step of a training-corpus build, exactly reproducible across runs, "
+    "partitionings and engines. Spark side uses the salted two-phase "
+    "topk_per_group (skew-proof: a 90%%-one-language crawl never lands one "
+    "stratum in one task); the oracle replays the selection with a plain "
+    "window over the same md5 draws.",
+    oracle=f"""
+        SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+        FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        WHERE rn <= {STRATUM_CAP}
+        ORDER BY lang, sample_rank
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = topk_per_group(
+        docs.select("doc_id", "lang", hash_draw(F.col("doc_id")).alias("_draw")),
+        ["lang"],
+        [F.col("_draw"), F.col("doc_id")],
+        STRATUM_CAP,
+        rank_col="sample_rank",
+    )
+    # bounded output: ≤ cap × |languages| rows regardless of corpus size
+    return ordered_small(
+        sampled.select(
+            "doc_id", "lang", F.col("sample_rank").cast("bigint")
+        ),
+        "lang",
+        "sample_rank",
+    )
+
+
+@register(
+    "sample_weighted_mix",
+    "P-ext,A7-ext",
+    "Weighted multi-source mixing: keep each document iff its uniform md5 "
+    "draw falls under its source's sampling weight (full/0.75/0.5/0.25/0.1/"
+    "0.05; unlisted sources dropped) — the interleave-datasets-by-weight "
+    "recipe of corpus assembly as ONE map-side filter, no shuffle, no RNG "
+    "state. Output: per-source kept-count plus doc_id/n_chars checksums "
+    "pinning the exact kept set.",
+    oracle=f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_checksum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE {_mix_keep_sql()}
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_mix(docs, "source", "doc_id", MIX_WEIGHTS)
+    return ordered_small(
+        kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        ),
+        "source",
+    )

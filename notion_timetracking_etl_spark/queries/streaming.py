@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
+    dedup_keys_within_watermark,
     hourly_rollup,
     read_events_stream,
     run_stream_to_table,
@@ -133,3 +134,27 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_table(
         stream, output_mode="update", latest_by=(["user_id"], "n_events")
     ).orderBy("user_id")
+
+
+@register(
+    "streaming_dedup_keys",
+    "A6-stream,U2-stream",
+    "Streaming exact dedup: dropDuplicatesWithinWatermark on (user_id, "
+    "event_type) — first-seen-wins with per-key state EVICTED once the "
+    "watermark passes last-seen + delay, so state holds the active working "
+    "set, not the key history. With the drain's delay spanning the finite "
+    "input, the emitted key columns equal the batch DISTINCT key set "
+    "exactly. O(distinct keys) output → distributed orderBy.",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = dedup_keys_within_watermark(
+        read_events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    return run_stream_to_table(stream, output_mode="append").orderBy(
+        "user_id", "event_type"
+    )

@@ -9,6 +9,7 @@ verified by the oracle-checked registry queries and the pytest equivalence
 tests.
 """
 
+from .dedupe import dedup_keys_within_watermark
 from .joins import view_purchase_interval_join
 from .rollup import (
     hourly_rollup,
@@ -19,6 +20,7 @@ from .rollup import (
 from .stateful import user_stats_stateful
 
 __all__ = [
+    "dedup_keys_within_watermark",
     "read_events_stream",
     "hourly_rollup",
     "session_window_rollup",
