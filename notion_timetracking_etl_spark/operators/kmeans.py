@@ -104,17 +104,18 @@ def _update(vec: DataFrame, asg: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(
+def kmeans_fit(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
-) -> DataFrame:
-    """Run ``iters`` Lloyd's iterations; returns the final assignment
-    (vec_id, cid, dist) with dist = exact-decimal squared distance to the
-    winning centroid. Deterministic: init = the embeddings of the ``k``
-    smallest ids, ties break by centroid id."""
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd's iterations; returns ``(assignments,
+    centroids)`` — assignments as (vec_id, cid, dist) with dist = the
+    fixed-point squared distance to the winning centroid, centroids as
+    (cid, cvec array<double>). Deterministic: init = the embeddings of the
+    ``k`` smallest ids, ties break by centroid id."""
     vec = _as_double_vec(emb, id_col, vec_col)
     cent = (
         emb.orderBy(id_col)
@@ -132,4 +133,16 @@ def kmeans(
         cent = new_cent
     # the last checkpoint backs the final plan until the query is consumed
     _SCOPED_CACHES.append(cent)
-    return _assign(vec, cent)
+    return _assign(vec, cent), cent
+
+
+def kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """:func:`kmeans_fit` returning only the final assignment."""
+    asg, _cent = kmeans_fit(emb, id_col, vec_col, k=k, iters=iters)
+    return asg

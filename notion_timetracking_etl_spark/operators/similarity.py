@@ -182,3 +182,70 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def topk_ivf_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    km_k: int = 8,
+    km_iters: int = 3,
+) -> DataFrame:
+    """True IVF ANN: a k-means coarse quantizer trained on the corpus
+    (``operators.kmeans``), multi-probe routing, exact re-rank in the
+    probed cells.
+
+    This is the production shape of :func:`topk_ivf` (whose label buckets
+    stand in for a trained quantizer): cells come from Lloyd's iterations,
+    each query probes its ``n_probe`` nearest centroids (recall insurance at
+    cell boundaries — the standard IVF accuracy knob), and only those
+    cells' members are scored. Search cost |Q|·(km_k + n_probe·cell_size).
+
+    Scale: centroids broadcast both for routing (one array-of-structs row,
+    row-local sort — no shuffle) and the cell fan-out join (probes table is
+    |Q|·n_probe rows, broadcast onto the assignment-joined corpus). The
+    corpus-side cell assignment is the kmeans output — at 100 TB it would be
+    materialized once (bucketed by cell) and reused across query batches.
+
+    Determinism: routing uses the same fixed-point squared distance as
+    training (ties by cid); re-rank uses the FP-exact cosine with vec_id
+    tie-break — every stage is oracle-replayable.
+    """
+    from .kmeans import _SQDIST, kmeans_fit
+
+    asg, cent = kmeans_fit(corpus, "vec_id", "embedding", k=km_k, iters=km_iters)
+    cells = corpus.select("vec_id", "embedding").join(
+        asg.select("vec_id", "cid"), "vec_id"
+    )
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    # n_probe nearest centroids: same struct compare as training's argmin
+    # (dist asc, cid asc), just sliced instead of array_min'ed
+    probe_sql = (
+        "slice(array_sort(transform(cents, c -> "
+        f"struct({_SQDIST} as dist, c.cid as cid))), 1, {n_probe})"
+    )
+    probes = (
+        queries.select(
+            "query_id",
+            "query_vec",
+            F.expr("transform(query_vec, x -> cast(x as double))").alias("dvec"),
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .select("query_id", "query_vec", F.explode(F.expr(probe_sql)).alias("p"))
+        .select("query_id", "query_vec", F.col("p.cid").alias("cid"))
+    )
+    scored = cells.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        F.col("cid").alias("cell"),
+        "vec_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cell", "vec_id", "cos")
+    )

@@ -19,7 +19,11 @@ K = 8
 ITERS = 3
 
 
-def _oracle_sql(k: int, iters: int) -> str:
+def kmeans_ctes(k: int, iters: int) -> tuple[list[str], str, str]:
+    """The k-means iterations as DuckDB CTEs. Returns (cte_list,
+    final_assignment_cte, final_centroid_dims_cte) — the last two name the
+    CTEs holding (vec_id, cid, dist) and (cid, pos, val) after ``iters``
+    iterations, for oracles that consume the fitted model (e.g. IVF)."""
     ctes = [
         f"cd0 AS (SELECT vec_id AS cid, generate_subscripts(embedding,1) AS pos,"
         f" CAST(unnest(embedding) AS DOUBLE) AS val FROM"
@@ -52,7 +56,11 @@ def _oracle_sql(k: int, iters: int) -> str:
                 f" COALESCE(m.val, cd.val) AS val FROM cd{i} cd"
                 f" LEFT JOIN m{i + 1} m ON m.cid = cd.cid AND m.pos = cd.pos)"
             )
-    last = iters - 1
+    return ctes, f"a{iters - 1}", f"cd{iters - 1}"
+
+
+def _oracle_sql(k: int, iters: int) -> str:
+    ctes, a_last, _cd_last = kmeans_ctes(k, iters)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -61,7 +69,7 @@ def _oracle_sql(k: int, iters: int) -> str:
                CAST(count(*) AS BIGINT) AS n_members,
                CAST(sum(vec_id) AS BIGINT) AS vec_id_checksum,
                CAST(SUM(dist) AS DOUBLE) / 1e12 AS inertia
-        FROM a{last}
+        FROM {a_last}
         GROUP BY cid
         ORDER BY cluster_id
     """
@@ -97,4 +105,73 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia",
         ),
         "cluster_id",
+    )
+
+
+N_PROBE = 2
+
+
+def _ivf_oracle_sql(k: int, iters: int, n_probe: int, topk: int) -> str:
+    from .similarity import _cosine_sql, _QUERY_PRED
+
+    ctes, a_last, cd_last = kmeans_ctes(k, iters)
+    ctes = ctes + [
+        f"q AS (SELECT vec_id AS query_id, embedding AS query_vec"
+        f" FROM embeddings WHERE {_QUERY_PRED})",
+        # routing distance = the training metric (fixed-point sq dist)
+        f"dq AS (SELECT v.vec_id AS query_id, c.cid,"
+        f" SUM(CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5)"
+        f" AS DECIMAL(38,0))) AS dist"
+        f" FROM vdims v JOIN {cd_last} c USING (pos)"
+        f" WHERE v.vec_id IN (SELECT query_id FROM q) GROUP BY 1, 2)",
+        f"probes AS (SELECT query_id, cid FROM"
+        f" (SELECT query_id, cid, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY dist, cid) AS rn FROM dq)"
+        f" WHERE rn <= {n_probe})",
+        f"cells AS (SELECT a.cid, a.vec_id, e.embedding"
+        f" FROM {a_last} a JOIN embeddings e USING (vec_id))",
+        f"scored AS (SELECT p.query_id, cl.cid AS cell, cl.vec_id,"
+        f" {_cosine_sql('q.query_vec', 'cl.embedding')} AS cos"
+        f" FROM probes p JOIN q USING (query_id)"
+        f" JOIN cells cl ON cl.cid = p.cid)",
+        "ranked AS (SELECT query_id, cell, vec_id, cos,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, rank, cell, vec_id, cos
+        FROM ranked WHERE rank <= {topk}
+        ORDER BY query_id, rank
+    """
+    )
+
+
+@register(
+    "similarity_topk_ivf_kmeans",
+    "J4-analog,A1,O3",
+    f"True IVF ANN: k-means coarse quantizer (k={K}, {ITERS} iterations) "
+    f"trained on the corpus, each query probes its {N_PROBE} nearest cells "
+    "(fixed-point routing metric = the training metric), exact cosine "
+    "re-rank inside the probed cells only. The production composition of "
+    "kmeans_embeddings + similarity_topk_ivf: centroids broadcast for both "
+    "routing and cell fan-out; the oracle replays training, routing and "
+    "re-rank end-to-end in SQL.",
+    oracle=_ivf_oracle_sql(K, ITERS, N_PROBE, 10),
+)
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_ivf_kmeans
+    from .similarity import _query_set
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    out = topk_ivf_kmeans(
+        corpus, _query_set(spark, sf_dir), k=10, n_probe=N_PROBE, km_k=K, km_iters=ITERS
+    )
+    return ordered_small(
+        out.select("query_id", "rank", F.col("cell").cast("bigint"), "vec_id", "cos"),
+        "query_id",
+        "rank",
     )

@@ -54,3 +54,31 @@ def test_kmeans_checkpoints_released(spark, sf_dir):
     release_scoped_caches()
     second = persistent_ids()
     assert len(second - first) == 0, sorted(second - first)
+
+
+def test_ivf_kmeans_recall_against_bruteforce(spark, sf_dir):
+    # multi-probe IVF is approximate by design; on the clustered testdata
+    # the 2-probe recall@10 against the exact baseline should be high
+    from notion_timetracking_etl_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_bruteforce(corpus, queries, k=10).collect()
+    approx = topk_ivf_kmeans(corpus, queries, k=10, n_probe=2).collect()
+    release_scoped_caches()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+    # every query returns a full (or cell-limited) ranked list, ranks 1..n
+    by_q: dict[int, list] = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
