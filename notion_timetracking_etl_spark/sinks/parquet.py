@@ -74,3 +74,37 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def stream_to_parquet_lake(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: Sequence[str] = (),
+    timeout_s: int = 300,
+) -> None:
+    """Drain a stream into a hive-partitioned parquet lake, exactly-once.
+
+    The file sink + checkpoint is Structured Streaming's transactional
+    ingest: committed files are recorded in the sink log, offsets in the
+    checkpoint, so a crash/restart never duplicates or drops a micro-batch
+    — re-running over an unchanged source with the same checkpoint writes
+    NOTHING new (pinned by tests/test_parquet_sink.py). ``availableNow``
+    drains the backlog in bounded batches and terminates; a 100 TB
+    deployment runs the same call on a schedule as incremental batch
+    ingest, reading only new files each run.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"stream drain exceeded {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
