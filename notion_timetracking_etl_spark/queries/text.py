@@ -224,3 +224,75 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_hash(F.col("text")).alias("rolling_sig")
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_terms",
+    "A7-ext,O3-ext",
+    "Characteristic-term extraction: top-3 terms per document ranked by the "
+    "tf/df ratio — term frequency over corpus document frequency. The "
+    "deterministic stand-in for tf·idf: both are monotone in (tf up, df "
+    "down), but tf/df needs only ONE IEEE divide (hash-exact across "
+    "engines) where ln(N/df) is libm-dependent and cross-engine unstable "
+    "in the last ulp. Vocabulary-sized df join on term; per-doc top-k via "
+    "the salted skew-proof topk_per_group; O(3·docs) output → distributed "
+    "orderBy.",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (
+          SELECT term, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / df.df AS score
+          FROM tf JOIN df USING (term)
+        ),
+        ranked AS (
+          SELECT doc_id, term, tf, df, score,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import words
+    from ..operators.sampling import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    top = topk_per_group(
+        scored,
+        ["doc_id"],
+        [(-F.col("score")), F.col("term")],
+        3,
+        rank_col="rank",
+    )
+    return top.select(
+        "doc_id",
+        F.col("rank").cast("bigint"),
+        "term",
+        F.col("tf").cast("bigint"),
+        F.col("df").cast("bigint"),
+        "score",
+    ).orderBy("doc_id", "rank")
