@@ -129,3 +129,19 @@ def test_mg_candidate_generation_precedes_any_shuffle(spark, sf_dir):
 def test_ann_queries_broadcast_the_query_side(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastExchange" in plan
+
+
+def test_topk_per_group_queries_get_window_group_limit_pushdown(spark, sf_dir):
+    # the salted two-phase top-k must keep Catalyst's WindowGroupLimit
+    # optimization (per-partition top-k pruning BEFORE the rank filter) on
+    # both window phases — losing it would sort full strata per task
+    for name in ("sample_stratified", "text_tfidf_terms"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_tfidf_output_never_funnels_to_one_partition(spark, sf_dir):
+    # O(3·docs) output — same rule as the corpus-sized family above
+    plan = plan_of(spark, sf_dir, "text_tfidf_terms")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition, REPARTITION_BY_NUM" not in plan
