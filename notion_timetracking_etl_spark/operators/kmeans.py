@@ -110,12 +110,19 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    scoped: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd's iterations; returns ``(assignments,
     centroids)`` — assignments as (vec_id, cid, dist) with dist = the
     fixed-point squared distance to the winning centroid, centroids as
     (cid, cvec array<double>). Deterministic: init = the embeddings of the
-    ``k`` smallest ids, ties break by centroid id."""
+    ``k`` smallest ids, ties break by centroid id.
+
+    ``scoped=True`` registers the final centroid checkpoint for
+    ``release_scoped_caches`` (one-query lifetime); pass ``False`` when the
+    caller owns the model's lifetime (e.g. a session-cached fitted
+    quantizer reused across queries) — the k-row checkpoint then persists
+    until the caller frees it via ``_free_checkpoint_blocks``."""
     vec = _as_double_vec(emb, id_col, vec_col)
     cent = (
         emb.orderBy(id_col)
@@ -131,8 +138,9 @@ def kmeans_fit(
         new_cent = _update(vec, asg, cent).localCheckpoint(eager=True)
         _free_checkpoint_blocks(cent)
         cent = new_cent
-    # the last checkpoint backs the final plan until the query is consumed
-    _SCOPED_CACHES.append(cent)
+    if scoped:
+        # the last checkpoint backs the final plan until the query is consumed
+        _SCOPED_CACHES.append(cent)
     return _assign(vec, cent), cent
 
 

@@ -191,6 +191,7 @@ def topk_ivf_kmeans(
     n_probe: int = 2,
     km_k: int = 8,
     km_iters: int = 3,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """True IVF ANN: a k-means coarse quantizer trained on the corpus
     (``operators.kmeans``), multi-probe routing, exact re-rank in the
@@ -214,7 +215,11 @@ def topk_ivf_kmeans(
     """
     from .kmeans import _SQDIST, kmeans_fit
 
-    asg, cent = kmeans_fit(corpus, "vec_id", "embedding", k=km_k, iters=km_iters)
+    if model is not None:
+        # pre-fitted quantizer (session-cached train-once/serve-many path)
+        asg, cent = model
+    else:
+        asg, cent = kmeans_fit(corpus, "vec_id", "embedding", k=km_k, iters=km_iters)
     cells = corpus.select("vec_id", "embedding").join(
         asg.select("vec_id", "cid"), "vec_id"
     )
