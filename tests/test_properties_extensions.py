@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the extension operators: each pins
+the distributed implementation against an independent pure-Python model on
+randomized inputs — connected components vs union-find, salted top-k vs
+sorted slices, hash-weighted sampling vs a direct md5 model."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.operators.cluster import connected_components
+from notion_timetracking_etl_spark.operators.dedup import release_scoped_caches
+from notion_timetracking_etl_spark.operators.sampling import (
+    hash_draw,
+    topk_per_group,
+    weighted_keep,
+)
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    expected = _union_find_components(edges)
+    cc = connected_components(spark.createDataFrame(edges, "a long, b long"))
+    got = {r.node: r.component for r in cc.collect()}
+    release_scoped_caches()
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 5),
+)
+def test_topk_per_group_equals_sorted_slices(spark, rows, k):
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v int, i int")
+    got = {
+        (r.g, r.v, r.i)
+        for r in topk_per_group(
+            df, ["g"], [F.col("v"), F.col("i")], k, salt_buckets=3
+        ).collect()
+    }
+    expected = set()
+    by_g: dict[int, list] = {}
+    for g, v, i in data:
+        by_g.setdefault(g, []).append((v, i))
+    for g, members in by_g.items():
+        for v, i in sorted(members)[:k]:
+            expected.add((g, v, i))
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 10**9), unique=True, min_size=1, max_size=50),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_weighted_keep_equals_md5_model(spark, ids, w):
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r.id
+        for r in df.filter(weighted_keep(hash_draw(F.col("id")), w)).collect()
+    }
+    if w >= 1.0:
+        expected = set(ids)
+    else:
+        thresh = format(int(w * 2**32), "08x")
+        expected = {
+            i
+            for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] < thresh
+        }
+    assert got == expected
