@@ -13,9 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..operators.cluster import connected_components
-from ..operators.dedup import minhash_near_dup_pairs
 from ..sources.tpch import load_table
-from .dedup import MINHASH_PAIRS_CTES
+from .dedup import MINHASH_PAIRS_CTES, near_dup_pairs_cached
 from .registry import register
 
 
@@ -59,9 +58,8 @@ from .registry import register
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", num_hashes=12, bands=3, threshold=0.5, shingle_n=3
-    )
+    # session-materialized pair list shared with dedup_minhash_lsh/pagerank
+    pairs = near_dup_pairs_cached(spark, sf_dir)
     cc = connected_components(pairs, "a", "b")
     assign = docs.select("doc_id").join(
         cc, docs.doc_id == cc.node, "left"
@@ -83,3 +81,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    damping, base_num = "CAST(0.85 AS DOUBLE)", "CAST(0.15 AS DOUBLE)"
+    ctes = [
+        "und AS (SELECT a AS src, b AS dst FROM pairs"
+        " UNION ALL SELECT b AS src, a AS dst FROM pairs)",
+        "deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM und)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS p FROM nodes, nn)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst,"
+            f" CAST(SUM(CAST(floor(p.p / d.deg * 1e12 + 0.5)"
+            f" AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS contrib"
+            f" FROM und e JOIN p{i} p ON p.node = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{i + 1} AS (SELECT nodes.node,"
+            f" ({base_num} / nn.n) + {damping} * COALESCE(c.contrib,"
+            f" CAST(0.0 AS DOUBLE)) AS p"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{i} c ON c.dst = nodes.node)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+        SELECT p.node, CAST(d.deg AS BIGINT) AS degree, p.p AS pagerank
+        FROM p{_PR_ITERS} p JOIN deg d ON d.src = p.node
+        ORDER BY pagerank DESC, node ASC
+        LIMIT 20
+    """
+    )
+
+
+@register(
+    "pagerank_dup_graph",
+    "A3-ext,J8",
+    f"PageRank ({_PR_ITERS} power iterations, damping 0.85) over the "
+    "MinHash near-dup graph: top-20 duplication hubs — the documents most "
+    "central to template/boilerplate/mirror structure, the triage signal "
+    "after clustering. One keyed shuffle per iteration (messages p/deg "
+    "along edges, map-side partial sums), per-round checkpoints, fixed-"
+    "point exact accumulation; the oracle regenerates the full power "
+    "iteration in SQL off the same pair CTEs as dedup_clusters.",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES},
+        {_pagerank_oracle()}
+    """,
+)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    # session-materialized pair list shared with the other dup-graph queries
+    pairs = near_dup_pairs_cached(spark, sf_dir)
+    pr = pagerank(pairs, "a", "b", iters=_PR_ITERS)
+    # bounded top-20 → TakeOrdered, no full sort
+    return pr.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(20)

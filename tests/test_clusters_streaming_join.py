@@ -152,3 +152,36 @@ def test_quantile_approx_brackets_exact(spark, sf_dir):
             assert (
                 getattr(bounds, f"{col}_lo") <= v <= getattr(bounds, f"{col}_hi")
             ), (et, col, v)
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.pagerank import pagerank
+
+    # star: hub 1 linked to 2..6 — the hub must dominate; undirected graph
+    # with no dangling nodes conserves total mass at ~1
+    star = _edges(spark, [(1, i) for i in range(2, 7)])
+    rows = {r.node: r for r in pagerank(star).collect()}
+    release_scoped_caches()
+    assert abs(sum(r.pagerank for r in rows.values()) - 1.0) < 1e-6
+    hub, leaves = rows[1], [rows[i] for i in range(2, 7)]
+    assert all(hub.pagerank > l.pagerank for l in leaves)
+    assert hub.degree == 5 and all(l.degree == 1 for l in leaves)
+    # leaves are symmetric → identical ranks
+    assert len({l.pagerank for l in leaves}) == 1
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.pagerank import pagerank
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5)])
+    a = {(r.node, r.pagerank) for r in pagerank(edges).collect()}
+    release_scoped_caches()
+    b = {(r.node, r.pagerank) for r in pagerank(edges).collect()}
+    release_scoped_caches()
+    assert a == b
