@@ -106,3 +106,47 @@ def test_weighted_keep_equals_md5_model(spark, ids, w):
             if hashlib.md5(str(i).encode()).hexdigest()[:8] < thresh
         }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right: (key, ts, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.booleans(),
+)
+def test_asof_join_equals_python_model(spark, lefts, rights, strict):
+    from notion_timetracking_etl_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k int, lts long, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, p, i) for i, (k, t, p) in enumerate(rights)],
+        "k int, rts long, payload int, rid int",
+    )
+    out = asof_join(
+        ldf, rdf, ["k"], "lts", "rts", ["payload"], tiebreak="rid",
+        strict=strict,
+    ).collect()
+    got = {r.lid: (r.asof_ts, r.asof_payload) for r in out}
+    assert set(got) == set(range(len(lefts)))  # left join: every left row
+    for lid, (k, lt) in enumerate(lefts):
+        cands = [
+            (rt, rid, p)
+            for rid, (rk, rt, p) in enumerate(rights)
+            if rk == k and (rt < lt if strict else rt <= lt)
+        ]
+        if not cands:
+            assert got[lid] == (None, None), lid
+        else:
+            # latest ts wins; (key, ts) ties break by LARGEST tiebreak id
+            rt, rid, p = max(cands, key=lambda c: (c[0], c[1]))
+            assert got[lid] == (rt, p), (lid, got[lid], (rt, p))
