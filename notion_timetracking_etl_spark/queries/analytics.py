@@ -1,0 +1,144 @@
+"""Behavioral-analytics queries over the events table (engine extension):
+ordered funnel conversion and weekly cohort retention — the two queries
+every product-analytics workload runs, expressed as keyed aggregations
+that scale as a handful of user_id-partitioned shuffles.
+
+Scale design:
+- The funnel is T chained (filter → groupBy(user) min → join) stages, all
+  hash-partitioned on user_id — Spark reuses the partitioning across the
+  chain, and each stage's input shrinks to the users still in the funnel.
+  No windows over whole-user event lists, no collect_list of event
+  histories (the classic OOM shape for power users).
+- Retention is first-event cohorting (one groupBy) + a distinct over
+  (user, cohort, offset) + one count aggregation — the distinct is the
+  scale cost, and it partial-aggregates map-side. Weekly truncation uses
+  Monday-aligned date_trunc on both engines, so the day-difference is
+  exactly divisible by 7 (no boundary-counting ambiguity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..sources.tpch import load_table
+from .helpers import ordered_small
+from .registry import register
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_oracle() -> str:
+    ctes = [
+        "s0 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN s{i - 1} p ON p.user_id = e.user_id AND e.ts > p.t"
+            f" WHERE e.event_type = '{step}' GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{step}' AS step,"
+        f" CAST(count(*) AS BIGINT) AS users FROM s{i}"
+        for i, step in enumerate(FUNNEL_STEPS)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f" SELECT CAST(step_idx AS BIGINT) AS"
+        f" step_idx, step, users FROM ({selects}) ORDER BY step_idx"
+    )
+
+
+@register(
+    "events_funnel",
+    "A2-ext,J1",
+    "Ordered funnel conversion signup→view→click→purchase: users counted at "
+    "step k only if each step's FIRST qualifying event strictly follows the "
+    "previous step's. Chained per-user min-aggregations co-partitioned on "
+    "user_id, each stage shrinking to the surviving cohort — no per-user "
+    "event-list windows, no history collection.",
+    oracle=_funnel_oracle(),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    reached = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [(1, FUNNEL_STEPS[0], reached)]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(reached.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((i + 1, step, nxt))
+        reached = nxt
+    rows = None
+    for idx, step, df in counts:
+        one = df.agg(
+            F.lit(idx).cast("bigint").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return ordered_small(rows, "step_idx")
+
+
+@register(
+    "cohort_retention",
+    "A1-ext,W3-ext",
+    "Weekly cohort retention: users cohorted by the Monday-aligned week of "
+    "their first event; active_users = distinct users from that cohort with "
+    "any event k weeks later. First-event groupBy + map-side-combined "
+    "distinct over (user, cohort, offset) + one count — the canonical "
+    "retention triangle in three shuffles.",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cw
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT e.user_id, f.cw,
+                 CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7
+                      AS BIGINT) AS week_offset
+          FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM act GROUP BY cw, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("ew"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            (F.datediff(F.col("ew"), F.col("cw")) / F.lit(7))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return ordered_small(
+        act.groupBy("cw", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+        ),
+        "cohort_week",
+        "week_offset",
+    )
