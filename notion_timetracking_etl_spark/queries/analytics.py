@@ -142,3 +142,55 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week",
         "week_offset",
     )
+
+
+@register(
+    "rolling_daily_metrics",
+    "W-ext,A3-ext",
+    "Time-RANGE-frame windows: per event_type daily counts plus trailing "
+    "7-day event count and decimal-exact 7-day value sum, via "
+    "rangeBetween(-6 days, current) over the date axis — the frame "
+    "semantics a calendar gap can't break (missing days shrink the window; "
+    "a ROWS frame would silently span them). One shuffle to daily grain, "
+    "one window sort per type; the window input is O(days × types), not "
+    "O(events).",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+                 SUM(CAST(value AS DECIMAL(38,6))) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+               CAST(SUM(v) OVER w AS DOUBLE) AS value_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, day
+    """,
+)
+def rolling_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return ordered_small(
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.sum("n").over(w).cast("bigint").alias("n_7d"),
+            F.sum("v").over(w).cast("double").alias("value_7d"),
+        ),
+        "event_type",
+        "day",
+    )
