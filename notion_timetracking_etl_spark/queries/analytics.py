@@ -194,3 +194,102 @@ def rolling_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "rollup_event_day_totals",
+    "A-ext-rollup",
+    "Multi-grain OLAP aggregation via ROLLUP(event_type, day): detail rows, "
+    "per-type subtotals and the grand total in ONE pass — Spark expands each "
+    "input row to its grouping sets and partial-aggregates map-side, so the "
+    "cube never rescans the fact table per grain. GROUPING() flags render "
+    "subtotal keys as the 'ALL' sentinel identically on both engines.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
+          FROM events
+        )
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_value
+        FROM daily GROUP BY ROLLUP(event_type, day)
+        ORDER BY event_type, day
+    """,
+)
+def rollup_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return ordered_small(
+        daily.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping("event_type").alias("g_et"),
+            F.grouping("day").alias("g_day"),
+        )
+        .select(
+            F.when(F.col("g_et") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("g_day") == 1, F.lit("ALL"))
+            .otherwise(F.col("day"))
+            .alias("day"),
+            "n_events",
+            "total_value",
+        ),
+        "event_type",
+        "day",
+    )
+
+
+@register(
+    "pivot_daily_event_matrix",
+    "U-ext-pivot",
+    "Pivot the event stream into a day × event_type count matrix — "
+    "long-to-wide with an EXPLICIT pivot value list (never inferred: "
+    "inference costs an extra distinct scan and makes the output schema "
+    "data-dependent, which breaks both Catalyst caching and the oracle "
+    "contract). Absent combinations fill 0. The oracle is the portable "
+    "conditional-aggregation form.",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+          FROM events
+        )
+        SELECT day,
+               {", ".join(
+                   f"CAST(count(*) FILTER (WHERE event_type = '{t}')"
+                   f" AS BIGINT) AS {t}" for t in EVENT_TYPES
+               )}
+        FROM daily GROUP BY day
+        ORDER BY day
+    """,
+)
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    return ordered_small(
+        daily.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+        .select("day", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]),
+        "day",
+    )
