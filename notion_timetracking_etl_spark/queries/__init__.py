@@ -26,5 +26,6 @@ from . import clusters  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import kmeans  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

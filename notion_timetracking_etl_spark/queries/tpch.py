@@ -1,0 +1,135 @@
+"""Classic TPC-H-shape join queries over the testdata star schema (engine
+extension): the multi-way join + aggregate + top-k patterns every warehouse
+workload reduces to, exercising the customer/supplier/nation/region
+dimensions the operator inventory otherwise touches lightly.
+
+Scale design: Catalyst drives the physical strategy — the date/segment
+filters push into the parquet scans, the small dimensions (region, nation,
+supplier, customer at dim-scale) broadcast, and only lineitem⋈orders runs
+as a shuffled join on the already-filtered fact rows; AQE reorders and
+re-sizes at runtime. Revenue uses the decimal-exact dsum convention over
+the per-row ``l_extendedprice * (1 - l_discount)`` double product (one IEEE
+multiply/subtract per row — identical on both engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..sources.tpch import load_table
+from .helpers import dsum, dsum_sql, ordered_small
+from .registry import register
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpch_shipping_priority",
+    "J1,A3,O3",
+    "TPC-H Q3 shape: BUILDING-segment orders placed before 1998-07-01 with "
+    "lineitems shipped after it — 3-way join, decimal-exact revenue "
+    "aggregation per (order, date, priority), top-10 by revenue. The "
+    "filters reach the scans; customer broadcasts; lineitem⋈orders is the "
+    "only shuffled join.",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {dsum_sql(_REVENUE.replace("l_", "l.l_"), "revenue")},
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01'
+          AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        ),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    top = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+    return ordered_small(top, "revenue", "o_orderdate", "l_orderkey")
+
+
+@register(
+    "tpch_local_supplier_volume",
+    "J1,J2,A3,O2",
+    "TPC-H Q5 shape: revenue from ASIA-region orders in 1997 where the "
+    "supplier and customer share a nation — a 6-way join whose dimension "
+    "chain (region→nation→supplier/customer) broadcasts end-to-end, "
+    "leaving one shuffled fact join. Decimal-exact revenue per nation.",
+    oracle=f"""
+        SELECT n.n_name,
+               {dsum_sql(_REVENUE.replace("l_", "l.l_"), "revenue")}
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == cust.c_custkey)
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
+    )
+    return ordered_small(
+        joined.groupBy("n_name").agg(dsum(F.expr(_REVENUE)).alias("revenue")),
+        "revenue",
+        "n_name",
+    )
