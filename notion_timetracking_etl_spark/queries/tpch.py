@@ -133,3 +133,32 @@ def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_name",
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    "U-ext-unpivot",
+    "Wide-to-long unpivot (melt) of the four lineitem measures into "
+    "(measure, val) pairs — the inverse of pivot, the normalization step "
+    "before generic per-measure aggregation/quality profiling. Pure "
+    "Expand-node projection: no shuffle except the output ordering, and "
+    "the O(4·rows) result uses a distributed orderBy per the corpus-sized "
+    "output rule.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+        FROM (
+          UNPIVOT lineitem
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE val
+        )
+        ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
