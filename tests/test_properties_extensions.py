@@ -150,3 +150,48 @@ def test_asof_join_equals_python_model(spark, lefts, rights, strict):
             # latest ts wins; (key, ts) ties break by LARGEST tiebreak id
             rt, rid, p = max(cands, key=lambda c: (c[0], c[1]))
             assert got[lid] == (rt, p), (lid, got[lid], (rt, p))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(-10, 10),
+    st.integers(1, 15),
+    st.sampled_from(["inner", "left_outer"]),
+)
+def test_band_join_equals_python_model(spark, lefts, rights, lower, width, how):
+    from notion_timetracking_etl_spark.operators.rangejoin import band_join
+
+    upper = lower + width
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k int, lt long, lid int"
+    ).select("k", "lid", F.timestamp_seconds("lt").alias("lts"))
+    rdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rights)], "k int, rt long, rid int"
+    ).select(F.col("k").alias("rk"), "rid", F.timestamp_seconds("rt").alias("rts"))
+    out = band_join(
+        ldf, rdf.withColumnRenamed("rk", "k"), ["k"], "lts", "rts",
+        lower, upper, how=how,
+    ).collect()
+    got = {(r.lid, r.rid) for r in out}
+    expected = {
+        (lid, rid)
+        for lid, (lk, lt) in enumerate(lefts)
+        for rid, (rk, rt) in enumerate(rights)
+        if lk == rk and lt + lower <= rt < lt + upper
+    }
+    if how == "left_outer":
+        matched = {lid for lid, _ in expected}
+        expected |= {
+            (lid, None) for lid in range(len(lefts)) if lid not in matched
+        }
+    assert got == expected
