@@ -162,3 +162,32 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+_ABOVE_AVG_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(o2.o_totalprice)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "orders_above_customer_avg",
+    "P-ext,A3,J1",
+    "Correlated scalar subquery: orders priced above 1.5x their own "
+    "customer's average — written as the correlated ANSI form and left to "
+    "Catalyst, which DECORRELATES it into one per-customer aggregate plus "
+    "a broadcast hash join (verified on the physical plan: no re-executed "
+    "per-row subquery, one aggregate pass). The threshold average uses the "
+    "decimal-exact davg convention, so the boundary comparison cannot flip "
+    "on partial-sum order. Identical SQL runs on both engines.",
+    oracle=_ABOVE_AVG_SQL,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # O(orders) output -> the ORDER BY is a distributed range sort
+    return spark.sql(_ABOVE_AVG_SQL)
