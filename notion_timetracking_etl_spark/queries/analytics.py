@@ -293,3 +293,59 @@ def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]),
         "day",
     )
+
+
+@register(
+    "cube_event_day_totals",
+    "A-ext-cube",
+    "Full CUBE(event_type, day): every grouping-set combination — detail, "
+    "per-type, per-day and grand total — in one Expand pass (completes the "
+    "grouping-sets family next to ROLLUP's hierarchy). Per-day subtotals "
+    "are what ROLLUP cannot express; GROUPING() sentinels keep the "
+    "subtotal keys engine-identical.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
+          FROM events
+        )
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_value
+        FROM daily GROUP BY CUBE(event_type, day)
+        ORDER BY event_type, day
+    """,
+)
+def cube_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return ordered_small(
+        daily.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping("event_type").alias("g_et"),
+            F.grouping("day").alias("g_day"),
+        )
+        .select(
+            F.when(F.col("g_et") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("g_day") == 1, F.lit("ALL"))
+            .otherwise(F.col("day"))
+            .alias("day"),
+            "n_events",
+            "total_value",
+        ),
+        "event_type",
+        "day",
+    )
