@@ -195,3 +195,56 @@ def test_band_join_equals_python_model(spark, lefts, rights, lower, width, how):
             (lid, None) for lid in range(len(lefts)) if lid not in matched
         }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=6, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+    st.data(),
+)
+def test_minhash_pairs_sound_and_finds_exact_dups(spark, texts, data):
+    """Soundness: every emitted pair truly meets the Jaccard threshold
+    (the exact verification step guarantees it). Completeness floor:
+    EXACT duplicates (Jaccard 1.0) agree on every band and so must always
+    be found, regardless of the LSH parameters."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    # duplicate a random subset of documents verbatim
+    n = len(texts)
+    dup_of = data.draw(
+        st.lists(st.integers(0, n - 1), min_size=1, max_size=3)
+    )
+    docs = list(texts) + [texts[i] for i in dup_of]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.a, r.b)
+        for r in minhash_near_dup_pairs(
+            df, "doc_id", "text", num_hashes=12, bands=3,
+            threshold=0.5, shingle_n=3,
+        ).collect()
+    }
+    release_scoped_caches()
+
+    def shingles(t):
+        ws = t.split()
+        return {tuple(ws[i : i + 3]) for i in range(max(1, len(ws) - 2))}
+
+    sh = [shingles(t) for t in docs]
+    for a, b in got:  # soundness: verified Jaccard >= threshold
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert inter / union >= 0.5, (a, b, inter / union)
+    for j, i in enumerate(dup_of):  # completeness floor: exact dups found
+        pair = (min(i, n + j), max(i, n + j))
+        if sh[pair[0]] == sh[pair[1]]:  # identical shingle sets
+            assert pair in got, pair
