@@ -123,3 +123,57 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "source",
     )
+
+
+# canonical held-out split: 90/5/5 by disjoint md5 hash ranges
+SPLIT_BOUNDS = (("train", 0.90), ("val", 0.95))  # remainder = test
+
+
+def _split_case_sql() -> str:
+    t1 = weight_threshold_hex(SPLIT_BOUNDS[0][1])
+    t2 = weight_threshold_hex(SPLIT_BOUNDS[1][1])
+    return (
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{t1}' THEN 'train'"
+        " WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{t2}' THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "sample_corpus_split",
+    "P-ext,A7-ext",
+    "Deterministic train/val/test assignment (90/5/5): each document's "
+    "split is a pure function of md5(doc_id) against disjoint hash ranges "
+    "— the canonical held-out split that stays stable as the corpus grows "
+    "(new docs never reshuffle old assignments, unlike randomSplit whose "
+    "outcome depends on partitioning). Map-side only; output pins per-split "
+    "counts and checksums of the exact membership.",
+    oracle=f"""
+        SELECT {_split_case_sql()} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_checksum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM documents
+        GROUP BY split
+        ORDER BY split
+    """,
+)
+def sample_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.substring(hash_draw(F.col("doc_id")), 1, 8)
+    split = (
+        F.when(draw < F.lit(weight_threshold_hex(SPLIT_BOUNDS[0][1])), "train")
+        .when(draw < F.lit(weight_threshold_hex(SPLIT_BOUNDS[1][1])), "val")
+        .otherwise("test")
+    )
+    return ordered_small(
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        ),
+        "split",
+    )
