@@ -53,16 +53,6 @@ def _free_checkpoint_blocks(df: DataFrame) -> None:
         pass
 
 
-def _scoped_checkpoint(df: DataFrame) -> DataFrame:
-    """``localCheckpoint(eager=True)`` registered for
-    :func:`release_scoped_caches` — for checkpoints that must outlive their
-    operator (e.g. connected_components' final labels, which back the
-    returned plan) but not the query."""
-    out = df.localCheckpoint(eager=True)
-    _SCOPED_CACHES.append(out)
-    return out
-
-
 def release_scoped_caches() -> None:
     """Unpersist every query-scoped intermediate registered since the last
     release. Call after the consuming action completes (bench.py and

@@ -112,7 +112,12 @@ def kmeans_fit(
     iters: int = 3,
     scoped: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run ``iters`` Lloyd's iterations; returns ``(assignments,
+    """Lloyd's k-means. Convention (ADVICE r3): ``iters`` = the number of
+    ASSIGNMENT passes; the loop performs ``iters - 1`` centroid updates,
+    and the returned assignments are computed against the final centroids
+    (so ``iters=1`` is init + one assignment, zero updates). The DuckDB
+    oracle in queries/kmeans.py replays the identical convention
+    (``cd_{iters-1}`` after ``iters-1`` updates). Returns ``(assignments,
     centroids)`` — assignments as (vec_id, cid, dist) with dist = the
     fixed-point squared distance to the winning centroid, centroids as
     (cid, cvec array<double>). Deterministic: init = the embeddings of the

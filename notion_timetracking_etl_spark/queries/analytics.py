@@ -178,10 +178,15 @@ def rolling_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
     )
+    # unix_date = days-since-epoch, a pure DATE computation — timezone-free,
+    # unlike date→timestamp→long which shifts with the session timezone on a
+    # vanilla (non-UTC-pinned) session and would move frame boundaries under
+    # DST (ADVICE r3). rangeBetween(-6, 0) in day units = the oracle's
+    # RANGE INTERVAL 6 DAYS PRECEDING frame.
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.col("day").cast("timestamp").cast("long"))
-        .rangeBetween(-6 * 86400, 0)
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
     )
     return ordered_small(
         daily.select(

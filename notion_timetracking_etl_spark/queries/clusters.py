@@ -87,7 +87,15 @@ _PR_ITERS = 3
 
 
 def _pagerank_oracle() -> str:
-    damping, base_num = "CAST(0.85 AS DOUBLE)", "CAST(0.15 AS DOUBLE)"
+    # base_num must be BIT-IDENTICAL to the Spark side's teleport constant:
+    # operators/pagerank.py computes `1.0 - DAMPING` in Python double
+    # arithmetic = 0.15000000000000002, one ulp above CAST(0.15 AS DOUBLE).
+    # Writing the same subtraction here makes both engines start from the
+    # same double instead of relying on final-addition rounding to absorb
+    # the difference (ADVICE r3: ~12-37% of (n, contrib) combinations would
+    # NOT absorb it).
+    damping = "CAST(0.85 AS DOUBLE)"
+    base_num = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
     ctes = [
         "und AS (SELECT a AS src, b AS dst FROM pairs"
         " UNION ALL SELECT b AS src, a AS dst FROM pairs)",
