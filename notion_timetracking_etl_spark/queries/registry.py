@@ -17,13 +17,22 @@ class QuerySpec:
     doc: str
     spark: SparkBuilder
     oracle: str | None  # DuckDB SQL over pre-registered views; None → rows-only
+    # Optional bound check for oracle=None queries: (spark_rows, cols,
+    # duckdb_con) -> error detail string, or None when the rows satisfy the
+    # documented bound. Gives approx-sketch queries a failure mode in the
+    # parity harness even though their internals aren't bit-replayable.
+    check: Callable | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, survey_ops: str, doc: str, oracle: str | None = None
+    name: str,
+    survey_ops: str,
+    doc: str,
+    oracle: str | None = None,
+    check: Callable | None = None,
 ) -> Callable[[SparkBuilder], SparkBuilder]:
     """Decorator: register a (spark builder, oracle SQL) pair under ``name``."""
 
@@ -31,7 +40,8 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, survey_ops=survey_ops, doc=doc, spark=fn, oracle=oracle
+            name=name, survey_ops=survey_ops, doc=doc, spark=fn, oracle=oracle,
+            check=check,
         )
         return fn
 

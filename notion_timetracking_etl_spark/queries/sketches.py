@@ -91,6 +91,42 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 10000
+_PCTS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _quantile_rank_bound_check(s_rows, s_cols, con):
+    """GK rank-error bound vs the exact distribution (ADVICE/verdict r3:
+    give the approx sketch a failure mode).
+
+    approx_percentile(…, accuracy) guarantees the returned value's RANK is
+    within n/accuracy of the target rank. We widen by two rank slots
+    (2/n per group) for quantile_disc's own rank rounding, so the window
+    never collapses to zero width at small n: every reported pX must lie
+    within [quantile_disc(p-eps), quantile_disc(p+eps)] of that group's
+    exact value distribution. A broken sketch (shifted, swapped groups,
+    garbage merge) lands outside and fails the parity harness."""
+    idx = {c: i for i, c in enumerate(s_cols)}
+    errs = []
+    for row in s_rows:
+        etype = row[idx["event_type"]]
+        n = max(int(row[idx["n_events"]]), 1)
+        eps = 2.0 / APPROX_PCT_ACCURACY + 2.0 / n
+        for col, p in _PCTS.items():
+            lo, hi = con.execute(
+                f"""
+                SELECT quantile_disc(value, {max(p - eps, 0.0)}),
+                       quantile_disc(value, {min(p + eps, 1.0)})
+                FROM events WHERE event_type = ?
+                """,
+                [etype],
+            ).fetchone()
+            v = row[idx[col]]
+            if v is None or not (lo <= v <= hi):
+                errs.append(f"{etype}.{col}={v} outside [{lo}, {hi}]")
+    return "; ".join(errs) or None
+
+
 @register(
     "quantile_summary_approx",
     "A3-analog",
@@ -98,14 +134,17 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch (Greenwald-Khanna) keeps the aggregation buffer bounded "
     "(~1/accuracy), so partial aggregation works map-side and no reducer "
     "ever holds a group's full value set. Sketch internals are engine-"
-    "specific, so the driver records rows-only; the pytest bound check "
-    "proves the estimates bracket the exact values.",
+    "specific, so the driver records rows-only; the parity harness "
+    "additionally asserts every estimate sits within the documented "
+    "rank-error bound of the exact distribution (see "
+    "_quantile_rank_bound_check).",
     oracle=None,
+    check=_quantile_rank_bound_check,
 )
 def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pct = F.expr(
-        "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        f"approx_percentile(value, array(0.5, 0.9, 0.99), {APPROX_PCT_ACCURACY})"
     )
     return (
         ev.groupBy("event_type")

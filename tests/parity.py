@@ -145,6 +145,13 @@ def compare_query(spark, con, spec, sf_dir: str) -> ParityResult:
 
     release_scoped_caches()
     if spec.oracle is None:
+        if spec.check is not None:
+            err = spec.check(s_rows, s_cols, con)
+            if err:
+                return ParityResult(spec.name, False, f"bound check failed: {err}")
+            return ParityResult(
+                spec.name, True, f"rows-only + bound check: {len(s_rows)} rows"
+            )
         return ParityResult(spec.name, True, f"rows-only: {len(s_rows)} rows")
     d_types = {
         r[0].lower(): _norm_duck_type(str(r[1]))

@@ -207,3 +207,56 @@ def test_cli_pull_normalize_refresh_end_to_end(spark, tmp_path, config_path, cap
         open(os.path.join(data_dir, "state", "pbi-dataset-registry.json")).read()
     )
     assert any(e.get("datasetId") == "ds-1" for e in reg["entries"])
+
+
+def test_cli_audit_notion_schema_artifact(spark, tmp_path, config_path):
+    """audit-notion-schema (reference: cli/index.ts:156-205): golden property
+    name/id/type catalog per configured database, sorted-keys stable."""
+    seams = Seams(notion_transport=FakeNotion(), pbi_transport=FakePbiHttp())
+    out_path = str(tmp_path / "audit" / "notion-schema.json")
+
+    rc = main(
+        ["audit-notion-schema", "--data-dir", str(tmp_path / "data"),
+         "--config", config_path, "--output", out_path],
+        spark=spark, seams=seams,
+    )
+    assert rc == 0
+
+    text = open(out_path).read()
+    audit = json.loads(text)
+    assert audit == {
+        "timeslices": {
+            "Name": {"id": "title_prop", "type": "title"},
+            "Workflow": {"id": "rel_workflow", "type": "relation"},
+            "From": {"id": "rel_from_step", "type": "relation"},
+            "To": {"id": "rel_to_step", "type": "relation"},
+            "Start": {"id": "start_date", "type": "date"},
+            "End": {"id": "end_date", "type": "date"},
+        },
+        "workflowStages": {
+            "Workflow Definition": {"id": "wf_rel", "type": "relation"},
+            "Stage Number": {"id": "stage_number", "type": "number"},
+            "Stage Label": {"id": "stage_label", "type": "rich_text"},
+        },
+        "workflowDefinitions": {
+            "Name": {"id": "title_prop", "type": "title"},
+        },
+    }
+    # artifact is byte-stable: sorted keys, 2-space indent (re-serialization
+    # with the same convention round-trips exactly)
+    assert text == json.dumps(audit, indent=2, sort_keys=True)
+    # datasets without a configured database id are omitted, not emptied
+    partial_cfg = json.loads(open(config_path).read())
+    partial_cfg["databases"].pop("workflowStages")
+    p2 = tmp_path / "config2.json"
+    p2.write_text(json.dumps(partial_cfg))
+    out2 = str(tmp_path / "audit" / "notion-schema-2.json")
+    rc = main(
+        ["audit-notion-schema", "--data-dir", str(tmp_path / "data"),
+         "--config", str(p2), "--output", out2],
+        spark=spark, seams=seams,
+    )
+    assert rc == 0
+    assert sorted(json.loads(open(out2).read())) == [
+        "timeslices", "workflowDefinitions",
+    ]

@@ -187,3 +187,62 @@ def test_heavy_hitters_threshold_is_strict(spark):
     items = ["a"] * 25 + ["b"] * 25 + ["c"] * 25 + ["d"] * 25
     df = spark.createDataFrame([(i,) for i in items], "item string")
     assert heavy_hitters(df, "item", 4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bound checks for the rows-only approx queries must have a failure mode
+# (r3 verdict: "today there is none")
+# ---------------------------------------------------------------------------
+
+
+def _duck_001():
+    from tests.parity import duck_connection
+
+    return duck_connection("/root/testdata/sf0.001")
+
+
+def test_quantile_bound_check_accepts_exact_and_rejects_broken():
+    from notion_timetracking_etl_spark.queries.sketches import (
+        _quantile_rank_bound_check,
+    )
+
+    con = _duck_001()
+    cols = ["event_type", "n_events", "p50", "p90", "p99"]
+    # quantile_disc = actual elements of the distribution, which is what the
+    # GK sketch returns — the honest simulation of a CORRECT sketch
+    exact = con.execute(
+        """
+        SELECT event_type, count(*),
+               quantile_disc(value, 0.5), quantile_disc(value, 0.9),
+               quantile_disc(value, 0.99)
+        FROM events GROUP BY event_type
+        """
+    ).fetchall()
+    assert _quantile_rank_bound_check(exact, cols, con) is None
+    # a broken sketch: p50 shifted far outside any rank-error band
+    broken = [(t, n, p50 * 10 + 100, p90, p99) for t, n, p50, p90, p99 in exact]
+    err = _quantile_rank_bound_check(broken, cols, con)
+    assert err and "p50" in err
+
+
+def test_occupancy_hll_bound_check_accepts_exact_and_rejects_broken():
+    from notion_timetracking_etl_spark.queries.occupancy import (
+        _FRAMES_SQL,
+        _occupancy_hll_bound_check,
+    )
+
+    con = _duck_001()
+    cols = ["frame_ts", "event_type", "item_count_approx"]
+    exact = con.execute(
+        f"""
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S'), event_type,
+               COUNT(DISTINCT user_id)
+        FROM ({_FRAMES_SQL}) fr GROUP BY h, event_type
+        """
+    ).fetchall()
+    assert _occupancy_hll_bound_check(exact, cols, con) is None
+    broken = [(f, t, c + 50) for f, t, c in exact]
+    err = _occupancy_hll_bound_check(broken, cols, con)
+    assert err and "approx" in err
+    # dropped groups must also fail
+    assert _occupancy_hll_bound_check(exact[:-5], cols, con)
