@@ -41,6 +41,10 @@ _DRIVER_PRIORITY = [
     "pipeline_canon_stages",
     "pipeline_canon_definitions",
     "occupancy_hourly_approx",
+    "tpch_returned_top_customers",
+    "tpch_priority_linestatus_counts",
+    "tpch_supplier_breadth",
+    "customer_spend_deciles",
     # registered in r3 but past the driver's 50-query sampling window
     "range_join_error_context",
     "heavy_hitter_tokens",

@@ -368,3 +368,55 @@ def cube_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
     )
+
+
+@register(
+    "customer_spend_deciles",
+    "W-ext-rank,A3",
+    "Ranking-function family over per-customer total spend: NTILE(10) "
+    "decile, percent_rank and cume_dist in one window pass (single sort, "
+    "three frameless ranking functions share it), plus the decimal-exact "
+    "spend total. The window input is O(customers) — one row per key after "
+    "the aggregate — so the global sort is the bounded dimension-sized "
+    "kind, not a fact-table sort. Ties (equal spend) are broken by "
+    "customer key in the ORDER BY, so every rank is deterministic on both "
+    "engines.",
+    oracle="""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_spend,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, total_spend, n_orders,
+               CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM spend
+        WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+        ORDER BY o_custkey
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_spend"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    return (
+        spend.select(
+            "o_custkey",
+            "total_spend",
+            "n_orders",
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_custkey")
+    )

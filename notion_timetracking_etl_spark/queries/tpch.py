@@ -191,3 +191,134 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     # O(orders) output -> the ORDER BY is a distributed range sort
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+@register(
+    "tpch_returned_top_customers",
+    "J1,A3,O3",
+    "TPC-H Q10 shape: customers ranked by revenue lost to returned lineitems "
+    "(l_returnflag = 'R') in 1997H2, with their nation — lineitem filter "
+    "pushed to the scan, orders date-filtered at its scan, customer/nation "
+    "broadcast onto the aggregated fact, top-20 by revenue. Decimal-exact "
+    "revenue; only lineitem-orders shuffles.",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {dsum_sql(_REVENUE.replace("l_", "l.l_"), "revenue")}
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    top = (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+    return ordered_small(top, "revenue", "c_custkey")
+
+
+@register(
+    "tpch_priority_linestatus_counts",
+    "A2,J1",
+    "TPC-H Q12 shape: per l_linestatus, how many 1997-shipped lineitems "
+    "belong to high-priority (1-URGENT/2-HIGH) vs lower-priority orders — "
+    "the conditional-count (A2) pattern at fact scale. One shuffled "
+    "fact-fact join on orderkey; the CASE counts partial-aggregate "
+    "map-side, so the shuffle after the join carries one row per "
+    "(status, partial) pair.",
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def tpch_priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return ordered_small(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        ),
+        "l_linestatus",
+    )
+
+
+@register(
+    "tpch_supplier_breadth",
+    "A1,J7,J1",
+    "TPC-H Q16 shape: supplier breadth — distinct suppliers serving each "
+    "(p_brand, size bucket) outside one excluded brand, minus suppliers "
+    "with negative account balance (the complaints anti-join stand-in). "
+    "Broadcast anti-join prunes the fact rows BEFORE the distinct, the "
+    "part dim broadcasts, and COUNT(DISTINCT suppkey) partial-aggregates "
+    "on (brand, bucket, suppkey) first — no row-stream funnel.",
+    oracle="""
+        SELECT p.p_brand,
+               CAST(floor(p.p_size / 10) AS BIGINT) AS size_bucket,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, size_bucket
+        ORDER BY supplier_cnt DESC, p_brand, size_bucket
+    """,
+)
+def tpch_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pruned = li.join(
+        F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+    ).join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+           F.col("l_partkey") == F.col("p_partkey"))
+    return ordered_small(
+        pruned.groupBy(
+            "p_brand",
+            F.floor(F.col("p_size") / 10).cast("bigint").alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")),
+        "supplier_cnt",
+        "p_brand",
+        "size_bucket",
+    )
