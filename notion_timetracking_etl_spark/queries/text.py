@@ -296,3 +296,53 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint"),
         "score",
     ).orderBy("doc_id", "rank")
+
+
+@register(
+    "text_bigram_vocab",
+    "F-ext-vocab,A7",
+    "BPE-merge-candidate mining: the 100 most frequent adjacent token "
+    "pairs across the corpus — the inner loop of byte-pair/wordpiece vocab "
+    "induction, expressed as arrays_zip(tokens[:-1], tokens[1:]) → explode "
+    "→ count. Per-document work is shuffle-free array arithmetic; the "
+    "pair count partial-aggregates map-side, so the shuffle carries one "
+    "row per distinct pair per partition, and only the top-100 (count "
+    "desc, pair asc — fully tie-broken) is returned.",
+    oracle="""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE len(trim(text)) > 0
+        ),
+        pairs AS (
+          SELECT concat(p[1], ' ', p[2]) AS pair
+          FROM toks, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 100
+    """,
+)
+def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import words
+    from .helpers import ordered_small
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = words(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)),
+    ).otherwise(F.array())
+    pairs = docs.select(F.explode(bigrams).alias("p")).select(
+        F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(100)
+    )
+    return ordered_small(top, "cnt", "pair")

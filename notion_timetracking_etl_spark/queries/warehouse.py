@@ -1,0 +1,158 @@
+"""Warehouse-maintenance queries (engine extension): planned skew-salted
+joins and SCD2 dimension merges — the two operations a wipe-and-reload
+pipeline (the reference's model, SURVEY §2.1 S8) grows into at lake scale.
+
+Both are oracle-checked: the salted join must be result-identical to the
+plain join it replaces (the salt is pure physical-plan treatment), and the
+SCD2 merge's four row classes (closed history pass-through, kept-open,
+closed-now, newly-opened) are restated by the oracle as explicit UNION ALL
+branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.scd import scd2_merge
+from ..operators.skewjoin import salted_join
+from ..sources.tpch import load_table
+from .helpers import dsum, dsum_sql, ordered_small
+from .registry import register
+
+
+@register(
+    "skewjoin_user_cohorts",
+    "J-ext-skew,A3",
+    "Planned skew-salted join: events (fact) joined to the per-user "
+    "first-month dimension via operators/skewjoin.salted_join — fact rows "
+    "spread across 8 deterministic sub-keys (hash of event_id), the dim "
+    "replicated 8 ways, shuffle_hash-hinted so the optimizer cannot "
+    "broadcast the demo away. A hot user key lands on 8 reducers instead "
+    "of 1; results are bit-identical to the plain join the oracle runs.",
+    oracle=f"""
+        WITH dim AS (
+          SELECT user_id,
+                 strftime(date_trunc('month', min(ts)), '%Y-%m') AS first_month
+          FROM events GROUP BY user_id
+        )
+        SELECT d.first_month,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {dsum_sql("e.value", "total_value")}
+        FROM events e JOIN dim d USING (user_id)
+        GROUP BY d.first_month
+        ORDER BY first_month
+    """,
+)
+def skewjoin_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("month", F.min("ts")), "yyyy-MM").alias(
+            "first_month"
+        )
+    )
+    joined = salted_join(
+        ev.select("user_id", "event_id", "value"),
+        dim,
+        on="user_id",
+        tiebreaker="event_id",
+        salt=8,
+    )
+    return ordered_small(
+        joined.groupBy("first_month").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        ),
+        "first_month",
+    )
+
+
+_T0, _T1, _T2 = (
+    "2024-01-01T00:00:00Z",
+    "2025-01-01T00:00:00Z",
+    "2026-01-01T00:00:00Z",
+)
+
+
+@register(
+    "scd2_definition_merge",
+    "S-ext-scd2,J5,U1",
+    "SCD2 dimension merge (operators/scd.py): a definition dimension with "
+    "closed history and open rows receives an update batch — differing "
+    "updates (odd-length types) close the open row and insert a v2 row, "
+    "a no-op update (same title) passes through, a brand-new key opens. "
+    "One keyed full-outer join on the OPEN slice only; closed history "
+    "never shuffles. The oracle restates the four row classes explicitly.",
+    oracle=f"""
+        WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+        merged AS (
+          -- closed history: pass-through
+          SELECT concat('wd_', md5(t)) AS def_key,
+                 concat(upper(t), '_V0') AS title,
+                 '{_T0}' AS valid_from, '{_T1}' AS valid_to
+          FROM types
+          UNION ALL
+          -- kept open: even-length types (no update or no-op update)
+          SELECT concat('wd_', md5(t)), upper(t), '{_T1}', NULL
+          FROM types WHERE len(t) % 2 = 0
+          UNION ALL
+          -- closed by the differing update
+          SELECT concat('wd_', md5(t)), upper(t), '{_T1}', '{_T2}'
+          FROM types WHERE len(t) % 2 = 1
+          UNION ALL
+          -- newly opened v2 rows
+          SELECT concat('wd_', md5(t)), concat(upper(t), '_V2'), '{_T2}', NULL
+          FROM types WHERE len(t) % 2 = 1
+          UNION ALL
+          -- brand-new key from the update batch
+          SELECT 'wd_stream', 'STREAM', '{_T2}', NULL
+        )
+        SELECT def_key, title, valid_from, valid_to
+        FROM merged
+        ORDER BY def_key, valid_from
+    """,
+)
+def scd2_definition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct()
+    )
+    key = F.concat(F.lit("wd_"), F.md5("event_type")).alias("def_key")
+    current = types.select(
+        key,
+        F.concat(F.upper("event_type"), F.lit("_V0")).alias("title"),
+        F.lit(_T0).alias("valid_from"),
+        F.lit(_T1).alias("valid_to"),
+    ).unionByName(
+        types.select(
+            key,
+            F.upper("event_type").alias("title"),
+            F.lit(_T1).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+        )
+    )
+    odd = F.length("event_type") % 2 == 1
+    updates = (
+        types.select(
+            key,
+            # odd-length types change title; even-length 'view'-style rows
+            # are a no-op update (same title) exercising the kept branch
+            F.when(odd, F.concat(F.upper("event_type"), F.lit("_V2")))
+            .otherwise(F.upper("event_type"))
+            .alias("title"),
+            F.lit(_T2).alias("effective_ts"),
+        )
+        .unionByName(
+            types.sparkSession.createDataFrame(
+                [("wd_stream", "STREAM", _T2)],
+                "def_key string, title string, effective_ts string",
+            )
+        )
+    )
+    merged = scd2_merge(
+        current, updates, key="def_key", attrs=["title"]
+    )
+    return ordered_small(
+        merged.select("def_key", "title", "valid_from", "valid_to"),
+        "def_key",
+        "valid_from",
+    )

@@ -1,0 +1,97 @@
+"""Property tests for the warehouse-maintenance operators: salted join
+equivalence under skew, and SCD2 merge row-class semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.operators.scd import scd2_merge
+from notion_timetracking_etl_spark.operators.skewjoin import salted_join
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    # 90% of fact rows share one hot key — the shape salting exists for
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("rid"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("attr")
+    )
+    for salt in (2, 8, 17):
+        salted = salted_join(fact, dim, on="k", tiebreaker="rid", salt=salt)
+        plain = fact.join(dim, "k")
+        assert _rows(salted) == _rows(plain)
+    # left joins preserve unmatched fact rows exactly once
+    dim_small = dim.filter(F.col("k") < 5)
+    salted_l = salted_join(
+        fact, dim_small, on="k", tiebreaker="rid", salt=4, how="left"
+    )
+    assert _rows(salted_l) == _rows(fact.join(dim_small, "k", "left"))
+
+
+def test_salted_join_spreads_hot_key_across_salt_buckets(spark):
+    fact = spark.range(1000).select(F.lit(1).alias("k"), F.col("id").alias("rid"))
+    salts = fact.select(F.pmod(F.hash("rid"), F.lit(8)).alias("s")).distinct()
+    assert salts.count() == 8  # every sub-key receives rows
+
+
+def test_scd2_merge_row_classes(spark):
+    current = spark.createDataFrame(
+        [
+            # closed history passes through
+            ("a", "A0", "t0", "t1"),
+            # open rows
+            ("a", "A1", "t1", None),
+            ("b", "B1", "t1", None),
+            ("c", "C1", "t1", None),
+        ],
+        "k string, title string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("a", "A2", "t2"),   # differing -> close + open
+            ("b", "B1", "t2"),   # no-op -> kept open
+            ("d", "D1", "t2"),   # new key -> open
+        ],
+        "k string, title string, effective_ts string",
+    )
+    merged = _rows(scd2_merge(current, updates, key="k", attrs=["title"]))
+    assert sorted(merged, key=str) == sorted(
+        [
+            ("a", "A0", "t0", "t1"),
+            ("a", "A1", "t1", "t2"),
+            ("a", "A2", "t2", None),
+            ("b", "B1", "t1", None),
+            ("c", "C1", "t1", None),
+            ("d", "D1", "t2", None),
+        ],
+        key=str,
+    )
+
+
+def test_scd2_merge_null_attr_transitions(spark):
+    current = spark.createDataFrame(
+        [("a", None, "t1", None), ("b", "B", "t1", None)],
+        "k string, title string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [("a", None, "t2"), ("b", None, "t2")],
+        "k string, title string, effective_ts string",
+    )
+    merged = _rows(scd2_merge(current, updates, key="k", attrs=["title"]))
+    # null == null is a no-op (eqNullSafe); B -> null is a real change
+    assert sorted(merged, key=str) == sorted(
+        [
+            ("a", None, "t1", None),
+            ("b", "B", "t1", "t2"),
+            ("b", None, "t2", None),
+        ],
+        key=str,
+    )
