@@ -374,13 +374,14 @@ def cube_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_spend_deciles",
     "W-ext-rank,A3",
     "Ranking-function family over per-customer total spend: NTILE(10) "
-    "decile, percent_rank and cume_dist in one window pass (single sort, "
-    "three frameless ranking functions share it), plus the decimal-exact "
-    "spend total. The window input is O(customers) — one row per key after "
-    "the aggregate — so the global sort is the bounded dimension-sized "
-    "kind, not a fact-table sort. Ties (equal spend) are broken by "
-    "customer key in the ORDER BY, so every rank is deterministic on both "
-    "engines.",
+    "decile, percent_rank and cume_dist, plus the decimal-exact spend "
+    "total. O(customers) rows is NOT bounded at 100 TB (~15 B customers at "
+    "TPC-H SF100k), so no global window is used: operators/rank.py "
+    "range-repartitions on the sort key, sorts within partitions, and "
+    "turns per-partition counts (<=P driver-side integers) into exact "
+    "global row numbers; the three ranking functions are then closed-form "
+    "arithmetic on (rn, n). Ties (equal spend) are broken by customer key "
+    "in the ORDER BY, so every rank is deterministic on both engines.",
     oracle="""
         WITH spend AS (
           SELECT o_custkey,
@@ -399,7 +400,7 @@ def cube_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.rank import ntile_from_rank, with_global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
@@ -408,15 +409,19 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_spend"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    # sort key is tie-free (o_custkey unique), so the closed forms below are
+    # exactly the SQL ranking functions: pct_rank=(rn-1)/(n-1), cume=rn/n.
+    ranked, n = with_global_ranks(
+        spend, [F.col("total_spend").desc(), F.col("o_custkey")]
+    )
     return (
-        spend.select(
+        ranked.select(
             "o_custkey",
             "total_spend",
             "n_orders",
-            F.ntile(10).over(w).cast("bigint").alias("decile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
+            ntile_from_rank(F.col("rn"), n, 10).alias("decile"),
+            ((F.col("rn") - 1) / F.lit(max(n - 1, 1))).alias("pct_rank"),
+            (F.col("rn") / F.lit(n)).alias("cume"),
         )
         .orderBy("o_custkey")
     )

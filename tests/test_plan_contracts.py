@@ -145,3 +145,12 @@ def test_tfidf_output_never_funnels_to_one_partition(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_tfidf_terms")
     assert "rangepartitioning" in plan
     assert "SinglePartition, REPARTITION_BY_NUM" not in plan
+
+
+def test_global_ranking_has_no_single_partition_window(spark, sf_dir):
+    # customer_spend_deciles ranks O(customers) rows — its plan must use the
+    # distributed range-partitioned rank (operators/rank.py), never a
+    # no-partition Window (which funnels everything through one task)
+    plan = plan_of(spark, sf_dir, "customer_spend_deciles")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan

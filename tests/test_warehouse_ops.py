@@ -95,3 +95,42 @@ def test_scd2_merge_null_attr_transitions(spark):
         ],
         key=str,
     )
+
+
+def test_global_ranks_equal_builtin_window_functions(spark):
+    # the distributed rank (range-repartition + offsets) must reproduce the
+    # built-in no-partition window's row_number/ntile/percent_rank/cume_dist
+    # bit-for-bit, across sizes that exercise every ntile remainder class
+    from pyspark.sql import Window
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.rank import (
+        ntile_from_rank,
+        with_global_ranks,
+    )
+
+    for n_rows, k in [(1, 10), (7, 10), (100, 10), (1003, 7)]:
+        df = spark.range(n_rows).select(
+            (F.col("id") * 37 % 11).alias("v"), F.col("id").alias("uid")
+        )
+        ranked, n = with_global_ranks(df, [F.col("v").desc(), F.col("uid")])
+        assert n == n_rows
+        got = ranked.select(
+            "uid",
+            "rn",
+            ntile_from_rank(F.col("rn"), n, k).alias("nt"),
+            ((F.col("rn") - 1) / F.lit(max(n - 1, 1))).alias("pr"),
+            (F.col("rn") / F.lit(n)).alias("cd"),
+        )
+        w = Window.orderBy(F.col("v").desc(), "uid")
+        want = df.select(
+            "uid",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.ntile(k).over(w).cast("bigint").alias("nt"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        assert _rows(got) == _rows(want)
+        release_scoped_caches()
