@@ -27,6 +27,7 @@ from . import sampling  # noqa: E402,F401
 from . import kmeans  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import tpch_canon  # noqa: E402,F401
 from . import canon  # noqa: E402,F401
 from . import profile  # noqa: E402,F401
 from . import warehouse  # noqa: E402,F401
@@ -40,6 +41,19 @@ from . import warehouse  # noqa: E402,F401
 # missing a driver CORRECTNESS row; rotate once their rows land.
 _DRIVER_PRIORITY = [
     # round-4 additions — no row in any prior round
+    "tpch_order_priority_waiting",
+    "tpch_revenue_forecast",
+    "tpch_volume_shipping",
+    "tpch_market_share",
+    "tpch_nation_product_revenue",
+    "tpch_customer_order_distribution",
+    "tpch_promo_revenue_share",
+    "tpch_top_supplier",
+    "tpch_large_orders",
+    "tpch_bracket_revenue",
+    "tpch_last_shipper_waiting",
+    "tpch_idle_rich_customers",
+    "tpch_min_balance_supplier",
     "pipeline_canon_stages",
     "pipeline_canon_definitions",
     "occupancy_hourly_approx",
