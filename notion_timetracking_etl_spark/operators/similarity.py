@@ -254,3 +254,119 @@ def topk_ivf_kmeans(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cell", "vec_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP / hyperplane) LSH for cosine similarity.
+# ---------------------------------------------------------------------------
+
+def srp_planes(bits: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — engine-independent constants.
+
+    Derived in the DRIVER (plain Python hashlib), then baked into BOTH the
+    Spark plan and the DuckDB oracle as literals, so there is no cross-engine
+    hash function to keep in sync. sign(md5("srp:<bit>:<dim>") & 1): an
+    unbiased, reproducible Rademacher matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"srp:{b}:{i}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for i in range(dims)
+        ]
+        for b in range(bits)
+    ]
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    """Strict left-to-right double fold of vec·plane (parity with the
+    oracle's list_reduce replay)."""
+    lits = F.array(*[F.lit(v) for v in plane])
+    return _seq_fold(F.zip_with(vec, lits, lambda x, y: x.cast("double") * y))
+
+
+def srp_signature_bands(
+    vec: Column, planes: list[list[float]], bands: int
+) -> list[Column]:
+    """One bucket string per band: the concatenated sign bits ('1' iff the
+    projection is >= 0) of that band's hyperplanes. bits must divide evenly
+    into bands."""
+    bits = len(planes)
+    per = bits // bands
+    out = []
+    for j in range(bands):
+        chars = [
+            F.when(_plane_dot(vec, planes[j * per + i]) >= 0.0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(per)
+        ]
+        out.append(F.concat(*chars))
+    return out
+
+
+def srp_near_dup_pairs(
+    corpus: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    threshold: float = 0.3,
+    dims: int = 64,
+) -> DataFrame:
+    """Cosine near-dup pairs via banded SRP-LSH + exact verification.
+
+    Collision probability per hyperplane is 1 - θ/π, so an 8-bit band fires
+    at (1-θ/π)^8 and 4 bands OR together — the standard banding trade
+    (high recall at high cosine, tiny candidate volume).
+
+    Scale shape (the same discipline as MinHash LSH in operators/dedup.py):
+    the shuffle carries only (vec_id, band, bucket) — never the vectors —
+    the self-join is per (band, bucket), candidates dedup BEFORE the
+    vectors join back for exact cosine verification, so vector bytes move
+    at most twice and the pair space stays per-bucket.
+    """
+    planes = srp_planes(bits, dims)
+    sigs = srp_signature_bands(F.col("embedding"), planes, bands)
+    entries = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), s.alias("bucket"))
+                    for j, s in enumerate(sigs)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.band", "e.bucket")
+    cand = (
+        entries.alias("l")
+        .join(entries.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b")
+        )
+        .distinct()
+    )
+    normed = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(norm_sq(F.col("embedding"))).alias("nrm"),
+    )
+    va = normed.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = normed.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

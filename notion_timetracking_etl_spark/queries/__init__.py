@@ -54,6 +54,11 @@ _DRIVER_PRIORITY = [
     "tpch_last_shipper_waiting",
     "tpch_idle_rich_customers",
     "tpch_min_balance_supplier",
+    "similarity_srp_lsh",
+    "embedding_norm_profile",
+    "text_quality_bands",
+    "docs_token_length_histogram",
+    "events_forward_fill",
     "pipeline_canon_stages",
     "pipeline_canon_definitions",
     "occupancy_hourly_approx",

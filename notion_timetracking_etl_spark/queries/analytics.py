@@ -425,3 +425,51 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "events_forward_fill",
+    "W-ext-fill,F32-analog",
+    "Per-user forward fill: every event row carries the value of that "
+    "user's most recent purchase (LAST_VALUE ... IGNORE NULLS over a "
+    "running row frame ordered by ts, event_id) — the gap-fill primitive "
+    "for feature backfills and session state reconstruction. One hash "
+    "shuffle on user_id; the running frame is a single in-partition pass, "
+    "and the O(events) output takes a distributed range sort.",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .helpers import fmt_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            fmt_ts(F.col("ts")).alias("ts"),
+            "event_type",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            ).over(w).alias("last_purchase_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -173,3 +173,104 @@ def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
     # Near-dup pairs are Θ(corpus) on duplicated input → distributed orderBy,
     # never a repartition(1) funnel (HARD RULE in helpers.ordered_small).
     return embedding_near_dup_pairs(corpus, threshold=0.3).orderBy("a", "b")
+
+
+def _plane_dot_sql(col: str, plane: list[float]) -> str:
+    """DuckDB twin of operators.similarity._plane_dot: same literal plane,
+    same left-to-right fold with a 0.0 head."""
+    lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {len(plane)}), "
+        f"i -> CAST({col}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _srp_oracle(bits: int, bands: int, threshold: float) -> str:
+    from ..operators.similarity import srp_planes
+
+    planes = srp_planes(bits, dims=64)
+    per = bits // bands
+    buckets = []
+    for j in range(bands):
+        chars = [
+            f"(CASE WHEN {_plane_dot_sql('embedding', planes[j * per + i])}"
+            " >= 0.0 THEN '1' ELSE '0' END)"
+            for i in range(per)
+        ]
+        buckets.append("(" + " || ".join(chars) + f") AS bucket{j}")
+    band_match = " OR ".join(f"l.bucket{j} = r.bucket{j}" for j in range(bands))
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, {", ".join(buckets)} FROM embeddings
+        )
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               {_cosine_sql("l.embedding", "r.embedding")} AS cos
+        FROM sig l JOIN sig r
+          ON l.vec_id < r.vec_id AND ({band_match})
+        WHERE {_cosine_sql("l.embedding", "r.embedding")} >= {threshold}
+        ORDER BY a, b
+    """
+
+
+@register(
+    "similarity_srp_lsh",
+    "A6-analog,J8-ext",
+    "Cosine near-dup pairs via banded signed-random-projection LSH "
+    "(4 bands x 8 hyperplane sign bits, md5-derived Rademacher planes "
+    "baked as literals into both engines), candidates verified with exact "
+    "prenormed cosine at >= 0.3. The shuffle carries only (vec_id, band, "
+    "bucket) triples; vectors join back AFTER candidate dedup — the same "
+    "banding discipline as MinHash LSH, tuned for angular similarity. The "
+    "oracle replays the identical plane dots and band-OR candidacy as a "
+    "theta join (safe at oracle scale only).",
+    oracle=_srp_oracle(bits=32, bands=4, threshold=0.3),
+)
+def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import srp_near_dup_pairs
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    pairs = srp_near_dup_pairs(corpus, bits=32, bands=4, threshold=0.3)
+    # O(near-dup pairs) output — distributed orderBy per the corpus-sized rule
+    return pairs.orderBy("a", "b")
+
+
+@register(
+    "embedding_norm_profile",
+    "A3,A8-analog",
+    "Per-label embedding-norm profile: vector count, decimal-exact mean "
+    "norm, min/max norm — the vector-column data-quality scan (catches "
+    "zero/denormal vectors before they poison ANN). One array fold per "
+    "row, one tiny grouped aggregate; no shuffle of vector bytes.",
+    oracle=f"""
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+               MIN(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})) AS min_norm,
+               MAX(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})) AS max_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import norm_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(norm_sq(F.col("embedding")))
+    return ordered_small(
+        emb.select(F.col("label").cast("bigint").alias("label"), nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                F.sum(F.col("nrm").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        ),
+        "label",
+    )

@@ -34,6 +34,7 @@ from ..operators.text import (
     word_count,
 )
 from ..sources.tpch import load_table
+from .helpers import ordered_small
 from .registry import register
 
 # ---- DuckDB twins of operators/text.py (regexp_count == len(extract_all)) --
@@ -346,3 +347,95 @@ def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return ordered_small(top, "cnt", "pair")
+
+
+@register(
+    "text_quality_bands",
+    "A7,A2,P5-analog",
+    "Corpus curation rollup: documents bucketed into 5 quality bands "
+    "(floor(quality*5), capped) per source, with count, decimal-exact mean "
+    "quality, and how many docs' predicted language agrees with the "
+    "declared lang column — the go/no-go table a pre-training filter "
+    "sweep reads. Per-row scoring is shuffle-free; the rollup output is "
+    "sources x 5 bands.",
+    oracle=f"""
+        SELECT source,
+               CAST(least(floor(({_QUALITY_SCORE_SQL}) * 5.0), 4) AS BIGINT)
+                 AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(({_QUALITY_SCORE_SQL}) AS DECIMAL(38,6)))
+                    AS DOUBLE) / COUNT(*) AS avg_quality,
+               CAST(SUM(CASE WHEN ({_language_id_sql()}) = lang
+                             THEN 1 ELSE 0 END) AS BIGINT) AS lang_agree
+        FROM documents
+        GROUP BY source, band
+        ORDER BY source, band
+    """,
+)
+def text_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "source",
+        "lang",
+        quality_score(t).alias("q"),
+        language_id(t).alias("pred"),
+    )
+    return ordered_small(
+        scored.groupBy(
+            "source",
+            F.least(F.floor(F.col("q") * 5.0), F.lit(4)).cast("bigint")
+            .alias("band"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("q").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("lang_agree"),
+        ),
+        "source",
+        "band",
+    )
+
+
+@register(
+    "docs_token_length_histogram",
+    "A7,F-ext",
+    "BPE-ish token-length histogram over the whole corpus: explode each "
+    "document's regex tokens, group by token character length — token "
+    "count plus how many distinct documents contain a token of that "
+    "length. The explode is map-side (no pre-shuffle); the histogram "
+    "partial-aggregates before its tiny shuffle; COUNT(DISTINCT doc) "
+    "expands to a two-phase exact distinct on (len, doc).",
+    oracle=f"""
+        SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                   AS tok
+          FROM documents
+        ) toks
+        GROUP BY tok_len
+        ORDER BY tok_len
+    """,
+)
+def docs_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+        ).alias("tok"),
+    )
+    return ordered_small(
+        toks.groupBy(F.length("tok").cast("bigint").alias("tok_len")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        ),
+        "tok_len",
+    )
