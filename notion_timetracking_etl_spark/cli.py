@@ -330,6 +330,56 @@ def cmd_run_end_to_end(args, spark, seams) -> int:
     return rc or cmd_pbi_refresh(args, spark, seams)
 
 
+def _emit_json_lines(df, output, seams) -> int:
+    """Stream a DataFrame as JSON lines to a file or stdout — one partition
+    in driver memory at a time (toLocalIterator), never a full collect()."""
+    it = df.toJSON().toLocalIterator()
+    n = 0
+    if output:
+        with open(output, "w", encoding="utf-8") as fh:
+            for line in it:
+                fh.write(line)
+                fh.write("\n")
+                n += 1
+        seams.log(f"wrote {n} rows to {output}")
+    else:
+        for line in it:
+            print(line)
+            n += 1
+        seams.log(f"{n} rows")
+    return 0
+
+
+def cmd_sql(args, spark, seams) -> int:
+    """Engine extension: ad-hoc SQL over the lake tables.
+
+    Registers every testdata table as a temp view (through load_table, so
+    the timestamp-annotation contract holds) and executes the given ANSI
+    SQL. Results stream to --output as JSONL or to stdout as JSON lines —
+    via toJSON().toLocalIterator(), one partition in driver memory at a
+    time, never a full collect()."""
+    from .sources.tpch import register_views
+
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    return _emit_json_lines(df, args.output, seams)
+
+
+def cmd_run_query(args, spark, seams) -> int:
+    """Engine extension: execute a registered query by name against --sf-dir
+    (the same builders the driver contract exposes)."""
+    from .queries import REGISTRY
+
+    if args.query not in REGISTRY:
+        seams.log(
+            f"unknown query {args.query!r}; choose from: "
+            + " ".join(sorted(REGISTRY))
+        )
+        return 2
+    df = REGISTRY[args.query].spark(spark, args.sf_dir)
+    return _emit_json_lines(df, args.output, seams)
+
+
 COMMANDS = {
     "pull-notion": cmd_pull_notion,
     "normalize": cmd_normalize,
@@ -339,11 +389,13 @@ COMMANDS = {
     "pbi-provision": cmd_pbi_provision,
     "pbi-refresh": cmd_pbi_refresh,
     "run-end-to-end": cmd_run_end_to_end,
+    "sql": cmd_sql,
+    "run-query": cmd_run_query,
 }
 
 _NEEDS_SPARK = {
     "normalize", "run", "excel-export", "pbi-provision", "pbi-refresh",
-    "run-end-to-end",
+    "run-end-to-end", "sql", "run-query",
 }
 
 
@@ -360,6 +412,12 @@ def build_parser() -> argparse.ArgumentParser:
         c.add_argument(
             "--dataset-name", default=os.environ.get("PBI_DATASET_NAME", "TimeTracking")
         )
+        if name in ("sql", "run-query"):
+            c.add_argument("query")
+            c.add_argument(
+                "--sf-dir",
+                default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            )
     return p
 
 

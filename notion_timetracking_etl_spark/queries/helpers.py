@@ -82,3 +82,25 @@ def la_local(col: Column) -> Column:
 def la_local_sql(expr: str) -> str:
     """DuckDB twin of :func:`la_local` for naive-UTC timestamps."""
     return f"timezone('America/Los_Angeles', timezone('UTC', ({expr})))"
+
+
+def davg_floor_micros(col: Column) -> Column:
+    """Cross-engine-exact average for COMPUTED doubles (scores, norms).
+
+    ``davg``'s decimal(38,6) cast rounds HALF_UP from the double's shortest
+    decimal string in Spark but from the binary value in DuckDB — a real
+    divergence when a full-mantissa computed double sits on a 6-dp rounding
+    boundary (hit by text_quality_bands at sf0.001). Floor-to-micro-units has
+    no tie to break: ``x * 1e6`` is the same double on both engines and
+    ``floor`` of any double is unambiguous. Sum the exact BIGINT micros,
+    then divide in the mirrored order (sum/count first, then /1e6)."""
+    return (
+        F.sum(F.floor(col * F.lit(1000000.0))).cast("double") / F.count(col)
+    ) / F.lit(1000000.0)
+
+
+def davg_floor_micros_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * 1000000.0) AS BIGINT)) AS DOUBLE)"
+        f" / COUNT({expr}) / 1000000.0 AS {alias}"
+    )

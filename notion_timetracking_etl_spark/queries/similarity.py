@@ -240,14 +240,15 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norm_profile",
     "A3,A8-analog",
     "Per-label embedding-norm profile: vector count, decimal-exact mean "
-    "norm, min/max norm — the vector-column data-quality scan (catches "
+    "norm (micro-unit-exact), min/max norm — the vector-column data-quality scan (catches "
     "zero/denormal vectors before they poison ANN). One array fold per "
     "row, one tiny grouped aggregate; no shuffle of vector bytes.",
     oracle=f"""
         SELECT CAST(label AS BIGINT) AS label,
                CAST(COUNT(*) AS BIGINT) AS n_vecs,
-               CAST(SUM(CAST(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
-                    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+               CAST(SUM(CAST(floor(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                    * 1000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*)
+                 / 1000000.0 AS avg_norm,
                MIN(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})) AS min_norm,
                MAX(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})) AS max_norm
         FROM embeddings
@@ -265,9 +266,11 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            # floor-to-micros (helpers.davg_floor_micros rationale): sqrt
+            # outputs are full-mantissa doubles, decimal rounding can split
             (
-                F.sum(F.col("nrm").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.floor(F.col("nrm") * F.lit(1000000.0))).cast("double")
+                / F.count(F.lit(1)) / F.lit(1000000.0)
             ).alias("avg_norm"),
             F.min("nrm").alias("min_norm"),
             F.max("nrm").alias("max_norm"),

@@ -34,7 +34,7 @@ from ..operators.text import (
     word_count,
 )
 from ..sources.tpch import load_table
-from .helpers import ordered_small
+from .helpers import davg_floor_micros, davg_floor_micros_sql, ordered_small
 from .registry import register
 
 # ---- DuckDB twins of operators/text.py (regexp_count == len(extract_all)) --
@@ -327,7 +327,7 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import words
-    from .helpers import ordered_small
+    from .helpers import davg_floor_micros, davg_floor_micros_sql, ordered_small
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
@@ -353,7 +353,7 @@ def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_bands",
     "A7,A2,P5-analog",
     "Corpus curation rollup: documents bucketed into 5 quality bands "
-    "(floor(quality*5), capped) per source, with count, decimal-exact mean "
+    "(floor(quality*5), capped) per source, with count, micro-unit-exact mean "
     "quality, and how many docs' predicted language agrees with the "
     "declared lang column — the go/no-go table a pre-training filter "
     "sweep reads. Per-row scoring is shuffle-free; the rollup output is "
@@ -363,8 +363,9 @@ def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(least(floor(({_QUALITY_SCORE_SQL}) * 5.0), 4) AS BIGINT)
                  AS band,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CAST(({_QUALITY_SCORE_SQL}) AS DECIMAL(38,6)))
-                    AS DOUBLE) / COUNT(*) AS avg_quality,
+               CAST(SUM(CAST(floor(({_QUALITY_SCORE_SQL}) * 1000000.0)
+                    AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+                 AS avg_quality,
                CAST(SUM(CASE WHEN ({_language_id_sql()}) = lang
                              THEN 1 ELSE 0 END) AS BIGINT) AS lang_agree
         FROM documents
@@ -388,10 +389,10 @@ def text_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band"),
         ).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            (
-                F.sum(F.col("q").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_quality"),
+            # floor-to-micros, not decimal cast: computed doubles can sit on
+            # a 6-dp rounding boundary where Spark (shortest-string HALF_UP)
+            # and DuckDB (binary) round apart — helpers.davg_floor_micros
+            davg_floor_micros(F.col("q")).alias("avg_quality"),
             F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0))
             .cast("bigint")
             .alias("lang_agree"),

@@ -260,3 +260,44 @@ def test_cli_audit_notion_schema_artifact(spark, tmp_path, config_path):
     assert sorted(json.loads(open(out2).read())) == [
         "timeslices", "workflowDefinitions",
     ]
+
+
+def test_cli_sql_and_run_query(spark, tmp_path):
+    out = tmp_path / "res.jsonl"
+    logs = []
+    seams = Seams(log=logs.append)
+    rc = main(
+        [
+            "sql",
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output", str(out),
+        ],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 5
+    assert rows[0]["r_name"] == "AFRICA"
+
+    out2 = tmp_path / "q.jsonl"
+    rc = main(
+        [
+            "run-query", "pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output", str(out2),
+        ],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 0
+    assert len(out2.read_text().splitlines()) == 6
+
+    rc = main(
+        ["run-query", "no_such_query", "--sf-dir", "/root/testdata/sf0.001"],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 2
+    assert any("unknown query" in m for m in logs)
