@@ -380,6 +380,24 @@ def cmd_run_query(args, spark, seams) -> int:
     return _emit_json_lines(df, args.output, seams)
 
 
+def cmd_explain(args, spark, seams) -> int:
+    """Engine extension: print a registered query's formatted physical plan
+    (the 100 TB review surface: broadcast vs shuffle joins, pushed filters,
+    codegen spans) without executing it."""
+    from .queries import REGISTRY
+
+    if args.query not in REGISTRY:
+        seams.log(
+            f"unknown query {args.query!r}; choose from: "
+            + " ".join(sorted(REGISTRY))
+        )
+        return 2
+    df = REGISTRY[args.query].spark(spark, args.sf_dir)
+    print(df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"))
+    return 0
+
+
 COMMANDS = {
     "pull-notion": cmd_pull_notion,
     "normalize": cmd_normalize,
@@ -391,11 +409,12 @@ COMMANDS = {
     "run-end-to-end": cmd_run_end_to_end,
     "sql": cmd_sql,
     "run-query": cmd_run_query,
+    "explain": cmd_explain,
 }
 
 _NEEDS_SPARK = {
     "normalize", "run", "excel-export", "pbi-provision", "pbi-refresh",
-    "run-end-to-end", "sql", "run-query",
+    "run-end-to-end", "sql", "run-query", "explain",
 }
 
 
@@ -412,7 +431,7 @@ def build_parser() -> argparse.ArgumentParser:
         c.add_argument(
             "--dataset-name", default=os.environ.get("PBI_DATASET_NAME", "TimeTracking")
         )
-        if name in ("sql", "run-query"):
+        if name in ("sql", "run-query", "explain"):
             c.add_argument("query")
             c.add_argument(
                 "--sf-dir",

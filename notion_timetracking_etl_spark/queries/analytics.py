@@ -473,3 +473,84 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "latest_event_per_user",
+    "O3-ext,A4",
+    "Per-group argmax without a window: each user's latest event (by ts, "
+    "then event_id — tie-free) via MAX over a comparison struct whose "
+    "leading fields are the ordering key and trailing fields the payload. "
+    "One shuffle with full map-side combine (the partial max travels, not "
+    "the group's rows) — the scale shape for top-1-per-key, vs a window "
+    "sort of every group. The oracle states the same semantics as "
+    "QUALIFY row_number() = 1.",
+    oracle="""
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_id, event_type, value
+        FROM events
+        QUALIFY row_number()
+            OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import fmt_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.max(
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+        )
+    ).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            fmt_ts(F.col("m.ts")).alias("last_ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_props_extract",
+    "F1-analog,A3",
+    "Fact-scale JSON path extraction: pull the numeric payload out of the "
+    "props JSON column and profile it per event type — get_json_object is "
+    "a codegen'd JVM expression (no Python), the filter-free scan prunes "
+    "to (event_type, props), and the profile partial-aggregates map-side.",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        ) x
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ordered_small(
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        ),
+        "event_type",
+    )

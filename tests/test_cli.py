@@ -301,3 +301,16 @@ def test_cli_sql_and_run_query(spark, tmp_path):
     )
     assert rc == 2
     assert any("unknown query" in m for m in logs)
+
+
+def test_cli_explain_formatted_plan(spark, capsys):
+    rc = main(
+        ["explain", "fact_dim_enrichment", "--sf-dir", "/root/testdata/sf0.001"],
+        spark=spark,
+        seams=Seams(log=lambda m: None),
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "BroadcastHashJoin" in out
+    assert "Scan parquet" in out
