@@ -158,3 +158,30 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(stream, output_mode="append").orderBy(
         "user_id", "event_type"
     )
+
+
+@register(
+    "streaming_sliding_rollup",
+    "W2-stream-ext",
+    "Structured Streaming SLIDING windows: 1-hour windows advancing every "
+    "15 minutes per event_type (each event aggregates into 4 overlapping "
+    "windows map-side; open-window state is bounded by the watermark x "
+    "overlap factor). Deterministic on finite input; the oracle replays "
+    "the epoch-grid window assignment with an explicit 4-offset unnest.",
+    oracle="""
+        SELECT strftime(
+                 make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                - CAST(k.k AS BIGINT) * 900000000),
+                 '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import sliding_rollup
+
+    stream = sliding_rollup(read_events_stream(spark, sf_dir))
+    return run_stream_to_table(stream).orderBy("window_start", "event_type")

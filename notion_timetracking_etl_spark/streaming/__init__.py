@@ -11,7 +11,8 @@ tests.
 
 from .dedupe import dedup_keys_within_watermark
 from .joins import view_purchase_interval_join
-from .rollup import (
+from .rollup import (  # noqa: F401
+    sliding_rollup,
     hourly_rollup,
     read_events_stream,
     run_stream_to_table,

@@ -65,6 +65,31 @@ def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (overlapping) windows per event_type: each event lands in
+    window/slide = 4 concurrent windows, so the rate metric updates every
+    15 minutes with a full hour of context. State is (windows open within
+    the watermark) x types — the overlap factor multiplies state row count,
+    not event volume (events are aggregated map-side per window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows per user: a session closes after ``gap`` of
     inactivity. Spark's session_window end = last event + gap."""

@@ -122,3 +122,15 @@ def test_cosine_self_is_one(spark):
     df = spark.createDataFrame([([0.5, -0.25, 0.125],)], "v array<double>")
     val = df.select(cosine(F.col("v"), F.col("v")).alias("c")).collect()[0].c
     assert val == pytest.approx(1.0, abs=1e-12)
+
+
+def test_driver_priority_window_is_exact_and_resolvable():
+    # the driver's CORRECTNESS harness samples the FIRST 50 registered
+    # queries; every name in the priority list must exist, dedupe cleanly,
+    # and fill the window exactly so no never-sampled query is displaced
+    from notion_timetracking_etl_spark.queries import _DRIVER_PRIORITY, REGISTRY
+
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)) == 50
+    missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert missing == []
+    assert list(REGISTRY)[:50] == _DRIVER_PRIORITY
