@@ -98,3 +98,50 @@ def with_global_ranks(
         .drop("_pid", "_off")
     )
     return ranked, acc
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    val_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact distributed prefix sum (inclusive running total) over a total
+    order — same machinery as :func:`with_global_ranks`: range-partition on
+    the (tie-free) sort key, per-partition running sums, and the per-
+    partition TOTALS (≤ P longs) come back to the driver once to become
+    additive offsets. No single-partition window at any size.
+
+    ``val_col`` must be integral (LONG) so partial sums are exact and
+    order-independent; callers quantize doubles first (micro-units)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(p, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _SCOPED_CACHES.append(parts)
+    totals = {
+        r["_pid"]: r["s"]
+        for r in parts.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.sum(val_col).over(w) + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_off")
+    )

@@ -1,0 +1,212 @@
+"""Training-corpus preparation queries (engine extension): document
+chunking with overlap, token-budget batch packing via a distributed prefix
+sum, and PII-style redaction profiling — the steps between "deduped corpus"
+and "tensors", expressed shuffle-minimally.
+
+Scale notes:
+- chunking is a per-row explode (map-side, no shuffle) — the chunk count per
+  document is bounded by its own token count, never corpus-global state;
+- batch packing is a prefix sum over a total order — implemented with the
+  range-partition + driver-offset machinery (operators/rank.py), NEVER a
+  no-partition window, so it survives a corpus that does not fit one task;
+- redaction is pure regexp_replace column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.text import TOKEN_PATTERN
+from ..sources.tpch import load_table
+from .helpers import ordered_small
+from .registry import register
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "documents_chunked",
+    "P2-analog,F-ext",
+    "Sliding-window document chunking: each document's BPE-ish token array "
+    "is cut into 50-token chunks with stride 40 (10-token overlap) — the "
+    "standard long-document preparation for a fixed-context trainer. Pure "
+    "per-row tokenize + sequence + explode + slice: map-side only, chunk "
+    "fan-out bounded per document. O(chunks) output -> distributed orderBy.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(k.s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, k.s + 1, k.s + {CHUNK_TOKENS}), ' ')
+                 AS chunk_text,
+               CAST(len(list_slice(toks, k.s + 1, k.s + {CHUNK_TOKENS}))
+                    AS BIGINT) AS n_tokens
+        FROM (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+          FROM documents
+        ) d
+        CROSS JOIN LATERAL (
+          SELECT unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS s
+        ) k
+        WHERE len(toks) > 0
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    # starts 0, S, 2S, ... up to the last token index (sequence is inclusive,
+    # so the bound is size-1 — mirrors range(0, greatest(len,1), S))
+    starts = F.explode(
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    ).alias("s")
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS)
+    return (
+        with_toks.select("doc_id", starts, "toks")
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+TOKEN_BUDGET = 2000
+
+
+@register(
+    "corpus_token_batches",
+    "W-ext-scan,A3",
+    "Token-budget batch packing: documents in doc_id order are assigned to "
+    "consecutive training batches of ~2000 tokens by an EXACT distributed "
+    "prefix sum of per-document token counts (range-partition + driver "
+    "offsets, operators/rank.py — no single-partition window), with "
+    "batch_id = floor(tokens_before / budget). Per batch: document count, "
+    "token total. The oracle replays the same packing with a running-sum "
+    "window.",
+    oracle=f"""
+        WITH counted AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        run AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM counted
+        )
+        SELECT CAST((running - n_tokens) // {TOKEN_BUDGET} AS BIGINT)
+                 AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+        FROM run
+        GROUP BY batch_id
+        ORDER BY batch_id
+    """,
+)
+def corpus_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    run = with_global_prefix_sum(
+        counted, [F.col("doc_id")], "n_tokens", out_col="running"
+    )
+    return ordered_small(
+        run.select(
+            F.floor((F.col("running") - F.col("n_tokens")) / TOKEN_BUDGET)
+            .cast("bigint")
+            .alias("batch_id"),
+            "n_tokens",
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+        ),
+        "batch_id",
+    )
+
+
+# Simple, RE2/Java-compatible redaction patterns (no lookarounds).
+_REDACTIONS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("number", r"[0-9]{4,}"),
+)
+
+
+@register(
+    "text_redaction_stats",
+    "F-ext,A7",
+    "PII-style redaction profile: per source, how many documents contain "
+    "each redactable pattern (email-shaped, long digit runs), total match "
+    "occurrences, and the mean character shrinkage if every match were "
+    "replaced by a fixed tag — the dry-run report before a destructive "
+    "scrub. Pure per-row regexp arithmetic, one tiny rollup.",
+    oracle=f"""
+        SELECT source,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+                    '{_REDACTIONS[0][1]}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_email,
+               CAST(SUM(len(regexp_extract_all(text, '{_REDACTIONS[0][1]}')))
+                    AS BIGINT) AS email_matches,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+                    '{_REDACTIONS[1][1]}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_number,
+               CAST(SUM(len(regexp_extract_all(text, '{_REDACTIONS[1][1]}')))
+                    AS BIGINT) AS number_matches,
+               CAST(SUM(CAST(length(text) AS BIGINT)
+                    - CAST(length(regexp_replace(regexp_replace(text,
+                        '{_REDACTIONS[0][1]}', '<X>', 'g'),
+                        '{_REDACTIONS[1][1]}', '<X>', 'g')) AS BIGINT))
+                    AS BIGINT) AS chars_removed
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    email_n = F.regexp_count(t, F.lit(_REDACTIONS[0][1]))
+    number_n = F.regexp_count(t, F.lit(_REDACTIONS[1][1]))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _REDACTIONS[0][1], "<X>"),
+        _REDACTIONS[1][1],
+        "<X>",
+    )
+    return ordered_small(
+        docs.select(
+            "source",
+            email_n.alias("e"),
+            number_n.alias("d"),
+            (F.length(t).cast("bigint") - F.length(redacted).cast("bigint"))
+            .alias("removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("e") > 0, 1).otherwise(0)).cast("bigint")
+            .alias("docs_with_email"),
+            F.sum("e").cast("bigint").alias("email_matches"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint")
+            .alias("docs_with_number"),
+            F.sum("d").cast("bigint").alias("number_matches"),
+            F.sum("removed").cast("bigint").alias("chars_removed"),
+        ),
+        "source",
+    )

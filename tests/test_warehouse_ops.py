@@ -134,3 +134,27 @@ def test_global_ranks_equal_builtin_window_functions(spark):
         )
         assert _rows(got) == _rows(want)
         release_scoped_caches()
+
+
+def test_global_prefix_sum_matches_builtin_running_total(spark):
+    from pyspark.sql import Window
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.rank import (
+        with_global_prefix_sum,
+    )
+
+    for n in (1, 17, 1000):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), ((F.col("id") * 13) % 7).alias("v")
+        )
+        got = with_global_prefix_sum(df, [F.col("k")], "v", out_col="run")
+        w = (
+            Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = df.select("k", F.sum("v").over(w).cast("bigint").alias("run"))
+        assert _rows(got.select("k", "run")) == _rows(want)
+        release_scoped_caches()
