@@ -154,3 +154,41 @@ def test_global_ranking_has_no_single_partition_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "customer_spend_deciles")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_shuffled_join(spark, sf_dir):
+    # 100 TB lever: when a selective dim side feeds a SHUFFLED fact join,
+    # Catalyst injects a runtime bloom filter that prunes fact rows before
+    # the exchange. Broadcast joins don't need it (our dims broadcast), but
+    # the posture must hold for the fact-fact joins AQE cannot broadcast.
+    restore = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "1KB",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "partial_bloom_filter_agg" in plan
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
