@@ -170,3 +170,36 @@ def _propagate(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+def triangle_participation(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (``a < b``).
+
+    Node-iterator join with ID orientation: every triangle x<y<z is
+    enumerated exactly once as wedge (x,y)+(y,z) closed by edge (x,z), so
+    the join fan-out is bounded by the oriented adjacency lists. At scale,
+    orientation by (degree, id) instead of raw id bounds the wedge count by
+    the graph's arboricity — the standard refinement; dup graphs (small
+    near-clique clusters) are benign either way. Three keyed shuffles total
+    (wedge build, closure semi-join, count rollup) — never an O(n^2)
+    pair space."""
+    e = pairs.select("a", "b")
+    wedges = (
+        e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .join(
+            e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -554,3 +554,75 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+@register(
+    "events_daily_outliers",
+    "A3-ext,A8",
+    "Deterministic z-score outlier report: per event type, the daily value "
+    "totals' mean and standard deviation computed from DECIMAL-exact sum "
+    "and sum-of-squares (never var_samp/stddev, whose streaming update "
+    "order makes the double partition-order-dependent), then the count of "
+    "days above mean + 3 sigma. Every double derives from the same exact "
+    "sums through the same IEEE op sequence on both engines. Two tiny "
+    "aggregations + a 5-row broadcast join back onto the daily grain.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss
+          FROM daily GROUP BY 1
+        )
+        SELECT st.event_type, st.n_days,
+               st.s / st.n_days AS mean_daily,
+               sqrt((st.ss - (st.s * st.s) / st.n_days) / (st.n_days - 1))
+                 AS sd_daily,
+               CAST(SUM(CASE WHEN d.v > st.s / st.n_days
+                        + 3.0 * sqrt((st.ss - (st.s * st.s) / st.n_days)
+                                     / (st.n_days - 1))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+        FROM stats st JOIN daily d USING (event_type)
+        GROUP BY st.event_type, st.n_days, st.s, st.ss
+        ORDER BY st.event_type
+    """,
+)
+def events_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum(F.col("value")).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        dsum(F.col("v")).alias("s"),
+        dsum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_days")
+    sd = F.sqrt(
+        (F.col("ss") - (F.col("s") * F.col("s")) / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    return ordered_small(
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n_days", "s", "ss")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > mean + F.lit(3.0) * sd, 1).otherwise(0)
+            ).cast("bigint").alias("n_outlier_days")
+        )
+        .select(
+            "event_type",
+            "n_days",
+            mean.alias("mean_daily"),
+            sd.alias("sd_daily"),
+            "n_outlier_days",
+        ),
+        "event_type",
+    )

@@ -152,3 +152,41 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(pairs, "a", "b", iters=_PR_ITERS)
     # bounded top-20 → TakeOrdered, no full sort
     return pr.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(20)
+
+
+@register(
+    "graph_triangle_participation",
+    "A-ext-graph,J8",
+    "Per-document triangle participation in the near-dup graph — the "
+    "clustering-coefficient numerator that separates tight dup cliques "
+    "from chain-shaped false-positive paths. Node-iterator enumeration "
+    "with ID orientation (each triangle counted once as an x<y<z wedge "
+    "closed by a semi-join; three keyed shuffles, fan-out bounded by "
+    "oriented adjacency — operators/cluster.py::triangle_participation). "
+    "The oracle replays the same oriented wedge closure off the shared "
+    "MinHash pair CTEs.",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES},
+        e AS (SELECT a, b FROM pairs),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          WHERE EXISTS (
+            SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ) participants
+        GROUP BY node
+        ORDER BY node
+    """,
+)
+def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import triangle_participation
+
+    pairs = near_dup_pairs_cached(spark, sf_dir)
+    return triangle_participation(pairs).orderBy("node")
