@@ -626,3 +626,142 @@ def events_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+@register(
+    "daily_user_accumulation",
+    "A1-ext,W-ext-scan",
+    "Daily active users, first-seen (new) users, and the running cumulative "
+    "distinct-user count — the growth dashboard triple. Cumulative distinct "
+    "is NOT a running COUNT(DISTINCT) (quadratic state): each user "
+    "collapses to a first-seen day (one groupBy), new-user counts roll up "
+    "per day, and the cumulative series is an exact distributed prefix sum "
+    "over the day order (operators/rank.py — no single-partition window "
+    "even though the daily grain is calendar-bounded).",
+    oracle="""
+        WITH dau AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+          FROM events GROUP BY 1
+        ),
+        firsts AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+          GROUP BY user_id
+        ),
+        news AS (
+          SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM firsts GROUP BY 1
+        )
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+               dau.active_users,
+               CAST(COALESCE(news.new_users, 0) AS BIGINT) AS new_users,
+               CAST(SUM(COALESCE(news.new_users, 0))
+                    OVER (ORDER BY dau.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_users
+        FROM dau LEFT JOIN news ON news.day = dau.day
+        ORDER BY day
+    """,
+)
+def daily_user_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    joined = dau.join(news, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("bigint")
+        .alias("new_users"),
+    )
+    run = with_global_prefix_sum(
+        joined, [F.col("day")], "new_users", out_col="cumulative_users"
+    )
+    return (
+        run.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            "cumulative_users",
+        )
+        .orderBy("day")
+    )
+
+
+def _windowed_funnel_oracle(days: int) -> str:
+    ctes = [
+        "s0 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN s{i - 1} p ON p.user_id = e.user_id AND e.ts > p.t"
+            f" AND e.ts <= p.t + INTERVAL {days} DAY"
+            f" WHERE e.event_type = '{step}' GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{step}' AS step,"
+        f" CAST(count(*) AS BIGINT) AS users FROM s{i}"
+        for i, step in enumerate(FUNNEL_STEPS)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f" SELECT CAST(step_idx AS BIGINT) AS"
+        f" step_idx, step, users FROM ({selects}) ORDER BY step_idx"
+    )
+
+
+@register(
+    "events_funnel_windowed",
+    "A2-ext,J1",
+    "Deadline funnel: same ordered signup->view->click->purchase chain as "
+    "events_funnel, but each step must land within 7 days of the previous "
+    "step's first qualifying event — the conversion-window semantics real "
+    "funnel reports use. Identical scale shape (chained per-user "
+    "min-aggregations co-partitioned on user_id, single persisted scan); "
+    "the deadline is one extra join-side predicate.",
+    oracle=_windowed_funnel_oracle(7),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    evf = _scoped_persist(
+        ev.filter(F.col("event_type").isin(*FUNNEL_STEPS)).select(
+            "event_type", "user_id", "ts"
+        )
+    )
+    reached = _scoped_persist(
+        evf.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [(1, FUNNEL_STEPS[0], reached)]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=1):
+        nxt = _scoped_persist(
+            evf.filter(F.col("event_type") == step)
+            .join(reached.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter(
+                (F.col("ts") > F.col("prev_t"))
+                & (F.col("ts") <= F.col("prev_t") + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((i + 1, step, nxt))
+        reached = nxt
+    rows = None
+    for idx, step, df in counts:
+        one = df.agg(
+            F.lit(idx).cast("bigint").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return ordered_small(rows, "step_idx")
