@@ -363,9 +363,7 @@ def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(least(floor(({_QUALITY_SCORE_SQL}) * 5.0), 4) AS BIGINT)
                  AS band,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CAST(floor(({_QUALITY_SCORE_SQL}) * 1000000.0)
-                    AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
-                 AS avg_quality,
+               {davg_floor_micros_sql(_QUALITY_SCORE_SQL, "avg_quality")},
                CAST(SUM(CASE WHEN ({_language_id_sql()}) = lang
                              THEN 1 ELSE 0 END) AS BIGINT) AS lang_agree
         FROM documents
