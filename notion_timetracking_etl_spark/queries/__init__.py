@@ -31,6 +31,7 @@ from . import tpch_canon  # noqa: E402,F401
 from . import canon  # noqa: E402,F401
 from . import profile  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import pq  # noqa: E402,F401
 from . import warehouse  # noqa: E402,F401
 
 # The driver's CORRECTNESS harness samples the FIRST ~50 registered queries

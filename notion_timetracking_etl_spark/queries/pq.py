@@ -1,0 +1,149 @@
+"""Registered product-quantization ANN query (engine extension): the DuckDB
+oracle regenerates the ENTIRE pipeline in SQL — M per-subspace k-means
+trainings (same deterministic init and fixed-point distance convention as
+queries/kmeans.py), the corpus code assignments, the per-query codebook
+distance tables, and the ADC ranking — so the cross-engine hash pins every
+step of the quantized search, not just the final ids."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.pq import pq_fit, pq_search
+from ..sources.tpch import load_table
+from .helpers import ordered_small
+from .registry import register
+from .similarity import _QUERY_PRED
+
+M_SUBS = 4
+PQ_K = 16
+PQ_ITERS = 2
+DIMS = 64
+TOPK = 10
+SHORTLIST = 100
+
+_FIXED = "CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5) AS DECIMAL(38,0))"
+
+
+def _pq_oracle_sql() -> str:
+    per = DIMS // M_SUBS
+    ctes = [
+        "vdims AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)",
+        f"cdinit AS (SELECT vec_id AS cid, generate_subscripts(embedding,1)"
+        f" AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM"
+        f" (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+        f" LIMIT {PQ_K}))",
+        f"q AS (SELECT vec_id AS query_id FROM embeddings WHERE {_QUERY_PRED})",
+    ]
+    adc_parts = []
+    for j in range(M_SUBS):
+        lo, hi = j * per + 1, (j + 1) * per
+        ctes.append(
+            f"cdP{j}_0 AS (SELECT cid, pos, val FROM cdinit"
+            f" WHERE pos BETWEEN {lo} AND {hi})"
+        )
+        for i in range(PQ_ITERS):
+            ctes.append(
+                f"dP{j}_{i} AS (SELECT v.vec_id, c.cid, SUM({_FIXED}) AS dist"
+                f" FROM vdims v JOIN cdP{j}_{i} c USING (pos) GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"aP{j}_{i} AS (SELECT vec_id, cid, dist FROM"
+                f" (SELECT vec_id, cid, dist, row_number() OVER"
+                f" (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+                f" FROM dP{j}_{i}) WHERE rn = 1)"
+            )
+            if i < PQ_ITERS - 1:
+                ctes.append(
+                    f"mP{j}_{i + 1} AS (SELECT a.cid, v.pos,"
+                    f" CAST(SUM(CAST(floor(v.val * 1e12 + 0.5)"
+                    f" AS DECIMAL(38,0))) AS DOUBLE)"
+                    f" / (CAST(count(*) AS DOUBLE) * 1e12) AS val"
+                    f" FROM vdims v JOIN aP{j}_{i} a USING (vec_id)"
+                    f" WHERE v.pos BETWEEN {lo} AND {hi} GROUP BY 1, 2)"
+                )
+                ctes.append(
+                    f"cdP{j}_{i + 1} AS (SELECT cd.cid, cd.pos,"
+                    f" COALESCE(m.val, cd.val) AS val FROM cdP{j}_{i} cd"
+                    f" LEFT JOIN mP{j}_{i + 1} m"
+                    f" ON m.cid = cd.cid AND m.pos = cd.pos)"
+                )
+        last = PQ_ITERS - 1
+        ctes.append(
+            f"qdP{j} AS (SELECT v.vec_id AS query_id, c.cid, SUM({_FIXED})"
+            f" AS dist FROM vdims v JOIN cdP{j}_{last} c USING (pos)"
+            f" WHERE v.vec_id IN (SELECT query_id FROM q) GROUP BY 1, 2)"
+        )
+        adc_parts.append(
+            f"SELECT qd.query_id, a.vec_id, qd.dist FROM aP{j}_{last} a"
+            f" JOIN qdP{j} qd ON qd.cid = a.cid"
+        )
+    ctes.append("adcparts AS (" + " UNION ALL ".join(adc_parts) + ")")
+    ctes.append(
+        "adc AS (SELECT query_id, vec_id, SUM(dist) AS adc FROM adcparts"
+        " GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, vec_id, adc, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)"
+    )
+    ctes.append(
+        f"short AS (SELECT query_id, vec_id FROM ranked"
+        f" WHERE rank <= {SHORTLIST})"
+    )
+    # exact re-rank of the shortlist: full-vector fixed-point distances
+    ctes.append(
+        "exact AS (SELECT s.query_id, s.vec_id,"
+        " SUM(CAST(floor((vq.val - vc.val)*(vq.val - vc.val)*1e12 + 0.5)"
+        " AS DECIMAL(38,0))) AS dist"
+        " FROM short s"
+        " JOIN vdims vq ON vq.vec_id = s.query_id"
+        " JOIN vdims vc ON vc.vec_id = s.vec_id AND vc.pos = vq.pos"
+        " GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "rr AS (SELECT query_id, vec_id, dist, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY dist, vec_id) AS rank FROM exact)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+               CAST(dist AS DOUBLE) / 1e12 AS dist
+        FROM rr WHERE rank <= {TOPK}
+        ORDER BY query_id, rank
+    """
+    )
+
+
+@register(
+    "similarity_topk_pq",
+    "J4-analog,A3-ext,O3",
+    f"Product-quantization ANN (PQ{M_SUBS}x{PQ_K}, ADC shortlist "
+    f"{SHORTLIST} + exact re-rank): each 64-dim vector is encoded as "
+    f"{M_SUBS} codebook codes (independent per-subspace k-means, "
+    f"{PQ_ITERS} assignment passes, deterministic min-id init); queries "
+    "precompute a broadcastable M x k centroid-distance table, the ADC "
+    "shortlist is one broadcast join + combinable DECIMAL sum over M-byte "
+    "codes (corpus vectors never move), and only the |Q| x shortlist "
+    "survivors get full-vector exact distances for the final top-10. "
+    "Measured recall@10 0.88 vs brute force on the isotropic testdata "
+    "(0.42 ADC-only — the re-rank is the production trick). Fixed-point "
+    "pico-unit convention end-to-end; the oracle replays training, "
+    "encoding, ADC, and re-rank in SQL.",
+    oracle=_pq_oracle_sql(),
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    models = pq_fit(emb, m=M_SUBS, k=PQ_K, iters=PQ_ITERS, dims=DIMS)
+    top = pq_search(
+        models, queries, emb, shortlist=SHORTLIST, k_top=TOPK, m=M_SUBS,
+        dims=DIMS,
+    )
+    return ordered_small(top, "query_id", "rank")

@@ -82,3 +82,49 @@ def test_ivf_kmeans_recall_against_bruteforce(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_pq_rerank_recall_beats_adc_only(spark):
+    # PQ4x16 ADC shortlist + exact re-rank must recover most of the true
+    # top-10 (measured 0.88 on this corpus); ADC-only is strictly coarser.
+    # Thresholds leave margin for driver-side testdata regeneration.
+    import numpy as np
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.pq import (
+        pq_adc_topk,
+        pq_fit,
+        pq_search,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    raw = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in raw])
+    V = np.array([np.array(r["embedding"], dtype=np.float64) for r in raw])
+
+    def truth(q):
+        d = ((V - V[ids == q][0]) ** 2).sum(axis=1)
+        return set(ids[np.lexsort((ids, d))][:10].tolist())
+
+    models = pq_fit(emb, m=4, k=16, iters=2)
+    rerank = pq_search(models, queries, emb, shortlist=100, k_top=10).collect()
+    adc = pq_adc_topk(models, queries, k_top=10).collect()
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(truth(q) & g) / 10 for q, g in got.items()) / len(got)
+
+    r_rerank, r_adc = recall(rerank), recall(adc)
+    assert r_rerank >= 0.7, r_rerank
+    assert r_rerank > r_adc, (r_rerank, r_adc)
+    release_scoped_caches()
