@@ -41,6 +41,14 @@ from . import warehouse  # noqa: E402,F401
 # are promoted to the front of the registry; everything else keeps its
 # family-order position after them. Keep this list to the queries still
 # missing a driver CORRECTNESS row; rotate once their rows land.
+#
+# ROUND-5 ROTATION NOTE: the round-4 additions registered AFTER this
+# 50-entry window (latest_event_per_user, events_props_extract,
+# streaming_sliding_rollup, documents_chunked, corpus_token_batches,
+# text_redaction_stats, graph_triangle_participation, events_daily_outliers,
+# daily_user_accumulation, events_funnel_windowed, similarity_topk_pq,
+# event_transition_matrix) have no driver row yet — promote them into the
+# window next round, displacing entries whose r4 rows are green.
 _DRIVER_PRIORITY = [
     # round-4 additions — no row in any prior round
     "tpch_order_priority_waiting",

@@ -765,3 +765,60 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = one if rows is None else rows.unionAll(one)
     return ordered_small(rows, "step_idx")
+
+
+@register(
+    "event_transition_matrix",
+    "W-ext,A7",
+    "First-order event-type transition counts (the Markov matrix behind "
+    "path analysis): per user, consecutive event pairs by (ts, event_id) "
+    "order via LAG over the user partition, then a tiny (type x type) "
+    "count rollup with transition probability = count / row-total "
+    "(decimal-exact denominator, one IEEE divide). One hash shuffle on "
+    "user_id; the window is per-user, never global.",
+    oracle="""
+        WITH pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events
+        ),
+        counts AS (
+          SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                 AS p_next
+        FROM counts
+        ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # ratio-to-report over the 5x5 matrix — the window input is (types^2),
+    # bounded by the type vocabulary, not the corpus
+    wr = Window.partitionBy("prev_type")
+    return ordered_small(
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wr).cast("double"))
+            .alias("p_next"),
+        ),
+        "prev_type",
+        "next_type",
+    )
