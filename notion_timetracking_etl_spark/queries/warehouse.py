@@ -156,3 +156,122 @@ def scd2_definition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "def_key",
         "valid_from",
     )
+
+
+@register(
+    "acctbal_histogram",
+    "A7-ext,A8",
+    "Equi-WIDTH histogram (the complement of the equi-depth deciles): "
+    "customer account balances bucketed into 10 fixed-width bins between "
+    "the global min/max — bounds come from one 1-row aggregate broadcast "
+    "back over the scan, bin assignment is pure arithmetic, the rollup "
+    "partial-aggregates map-side. The bin edges divide once in double on "
+    "both engines, so boundary membership cannot flip.",
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer
+        )
+        SELECT CAST(least(floor((c.c_acctbal - b.lo) * 10.0
+                                 / (b.hi - b.lo)), 9) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_balance
+        FROM customer c, bounds b
+        GROUP BY bin
+        ORDER BY bin
+    """,
+)
+def acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    binned = cust.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("c_acctbal") - F.col("lo")) * 10.0
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(9),
+        ).cast("bigint").alias("bin"),
+        "c_acctbal",
+    )
+    return ordered_small(
+        binned.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_balance"),
+        ),
+        "bin",
+    )
+
+
+@register(
+    "revenue_pareto_curve",
+    "W-ext-rank,W-ext-scan",
+    "Pareto (cumulative-share) curve: customers ranked by total spend "
+    "descending, the running spend total computed by the exact distributed "
+    "prefix sum over that rank order, grouped into 10 rank-percentile "
+    "buckets with each bucket's cumulative share of all revenue — the "
+    "80/20 report. Combines both scale primitives (global rank + prefix "
+    "sum from operators/rank.py, neither a single-partition window); "
+    "spend quantizes to exact micro-units so the running totals are "
+    "order-independent BIGINTs.",
+    oracle="""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(floor(o_totalprice * 1000000.0) AS BIGINT))
+                      AS BIGINT) AS micros
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, micros,
+                 row_number() OVER (ORDER BY micros DESC, o_custkey) AS rn,
+                 SUM(micros) OVER (ORDER BY micros DESC, o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running,
+                 COUNT(*) OVER () AS n,
+                 SUM(micros) OVER () AS total
+          FROM spend
+        )
+        SELECT CAST(floor((rn - 1) * 10 / n) AS BIGINT) AS rank_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(MAX(running) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+                 AS cum_revenue_share
+        FROM ranked
+        GROUP BY rank_decile
+        ORDER BY rank_decile
+    """,
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_prefix_sum, with_global_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000.0)))
+        .cast("bigint")
+        .alias("micros")
+    )
+    sort = [F.col("micros").desc(), F.col("o_custkey")]
+    ranked, n = with_global_ranks(spend, sort, rank_col="rn")
+    run = with_global_prefix_sum(
+        ranked, sort, "micros", out_col="running"
+    )
+    total = int(
+        run.agg(F.max("running").alias("t")).collect()[0]["t"]
+    )
+    return ordered_small(
+        run.select(
+            F.floor((F.col("rn") - 1) * 10 / F.lit(n)).cast("bigint")
+            .alias("rank_decile"),
+            "running",
+        )
+        .groupBy("rank_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.max("running").cast("double") / F.lit(float(total)))
+            .alias("cum_revenue_share"),
+        ),
+        "rank_decile",
+    )
