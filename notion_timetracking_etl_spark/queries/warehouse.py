@@ -275,3 +275,78 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rank_decile",
     )
+
+
+@register(
+    "ols_price_vs_quantity",
+    "A3-ext,A8",
+    "Closed-form simple linear regression per l_returnflag: slope, "
+    "intercept, Pearson r and R^2 of extendedprice vs quantity, all "
+    "derived from six order-independent fixed-point sums (n, Sx, Sy, "
+    "Sxy, Sxx, Syy — floor-to-micros in DECIMAL(38,0), the convention for "
+    "full-mantissa computed doubles) in "
+    "ONE aggregation pass — the deterministic alternative to "
+    "regr_slope/corr, whose streaming updates make the result double "
+    "partition-order-dependent. Every derived double follows the same "
+    "IEEE op sequence on both engines.",
+    oracle="""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(floor(l_quantity * 1000000.0)
+                      AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+                 CAST(SUM(CAST(floor(l_extendedprice * 1000000.0)
+                      AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+                 CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 1000000.0)
+                      AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy,
+                 CAST(SUM(CAST(floor(l_quantity * l_quantity * 1000000.0)
+                      AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+                 CAST(SUM(CAST(floor(l_extendedprice * l_extendedprice
+                      * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+                   AS syy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+               sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n)
+                 AS intercept,
+               (sxy - sx * sy / n)
+               / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS pearson_r,
+               ((sxy - sx * sy / n)
+                / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+               * ((sxy - sx * sy / n)
+                  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+                 AS r_squared
+        FROM s
+        ORDER BY l_returnflag
+    """,
+)
+def ols_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(F.floor(x * F.lit(1000000.0)).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("sx"),
+        (F.sum(F.floor(y * F.lit(1000000.0)).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("sy"),
+        (F.sum(F.floor((x * y) * F.lit(1000000.0)).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("sxy"),
+        (F.sum(F.floor((x * x) * F.lit(1000000.0)).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("sxx"),
+        (F.sum(F.floor((y * y) * F.lit(1000000.0)).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = cov / varx
+    r = cov / F.sqrt(varx * vary)
+    return ordered_small(
+        s.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            slope.alias("slope"),
+            (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")))
+            .alias("intercept"),
+            r.alias("pearson_r"),
+            (r * r).alias("r_squared"),
+        ),
+        "l_returnflag",
+    )
