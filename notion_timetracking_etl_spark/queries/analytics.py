@@ -822,3 +822,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
     )
+
+
+@register(
+    "events_debounce",
+    "W-ext,P-ext",
+    "Telemetry debounce: drop any event of the same (user, type) arriving "
+    "within 5 minutes of the previous KEPT one — duplicate-click "
+    "suppression. Kept-state debounce is iterative, so this implements the "
+    "standard window approximation (gap-to-previous-event >= 5 min keeps "
+    "the row), the same LAG-per-key pass as sessionization: one hash "
+    "shuffle on (user, type), per-key in-partition ordering, O(events) "
+    "output through a distributed sort.",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+        FROM (
+          SELECT event_id, user_id, event_type, ts,
+                 LAG(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ) g
+        WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE
+        ORDER BY user_id, event_id
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .helpers import fmt_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type", "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") >= F.col("prev_ts") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select(
+            "event_id", "user_id", "event_type", fmt_ts(F.col("ts")).alias("ts")
+        )
+        .orderBy("user_id", "event_id")
+    )
