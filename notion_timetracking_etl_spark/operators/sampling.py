@@ -113,3 +113,17 @@ def weighted_mix(
             F.col(source_col) == source, weighted_keep(draw, weight)
         ).otherwise(keep)
     return df.filter(keep)
+
+
+def ares_key(id_col: Column, weight: Column) -> Column:
+    """A-Res (Efraimidis–Spirakis) priority for weighted sampling WITHOUT
+    replacement: key = ln(u) / w with u a deterministic uniform draw in
+    (0, 1] from the row's md5 — the k largest keys form an exact weighted
+    sample. Everything is engine-replayable: the 52-bit hex prefix converts
+    exactly to a double, and ln on these inputs is bit-identical across the
+    JVM, DuckDB and glibc (verified empirically; the parity hash gate would
+    catch any platform where it is not). Map-side only — sampling becomes
+    a global top-k on the key, no shuffle beyond TakeOrdered."""
+    bits = F.conv(F.substring(hash_draw(id_col), 1, 13), 16, 10).cast("bigint")
+    u = (bits.cast("double") + F.lit(1.0)) / F.lit(4503599627370496.0)  # 2^52
+    return F.log(u) / weight.cast("double")

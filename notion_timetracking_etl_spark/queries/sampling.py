@@ -177,3 +177,59 @@ def sample_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "split",
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    "O3-ext,P-ext",
+    "Exact weighted sampling WITHOUT replacement (A-Res, Efraimidis-"
+    "Spirakis): every document gets priority ln(u)/w (u = deterministic "
+    "md5 uniform, w = n_chars), and the 100 largest priorities are the "
+    "sample — longer documents proportionally likelier, no rand(), no "
+    "replacement, repartition-stable. Priority is map-side arithmetic; "
+    "selection is a global top-k (TakeOrdered — never a full sort). The "
+    "raw priority is NOT exposed: ln differs by 1 ulp between libms on "
+    "rare inputs, which cannot flip the ORDER (adjacent priorities sit "
+    "thousands of ulps apart — pinned in tests) but would break a hash on "
+    "the double itself. The oracle replays draw, ln, divide, tie-break.",
+    oracle="""
+        SELECT rank, doc_id, n_chars
+        FROM (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(row_number() OVER (ORDER BY
+                      ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                   1, 13)) AS BIGINT) AS DOUBLE)
+                          + 1.0) / 4503599627370496.0)
+                      / CAST(n_chars AS DOUBLE) DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM documents
+          WHERE n_chars > 0
+        ) ranked
+        WHERE rank <= 100
+        ORDER BY rank
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import ares_key
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        ares_key(F.col("doc_id"), F.col("n_chars")).alias("lnkey"),
+    )
+    top = (
+        keyed.orderBy(F.col("lnkey").desc(), "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("lnkey").desc(), "doc_id")
+    # rank attaches AFTER the limit: the window input is the bounded top-100,
+    # never the corpus
+    return ordered_small(
+        top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+            "rank", "doc_id", "n_chars"
+        ),
+        "rank",
+    )

@@ -90,3 +90,34 @@ def test_streaming_dedup_keys_equals_batch_distinct(spark, sf_dir):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got == expected
+
+
+def test_ares_priority_gaps_dwarf_libm_ulp_drift(spark):
+    # ln differs by <=1 ulp between JVM and DuckDB libms on rare inputs;
+    # the A-Res ordering is safe because adjacent priorities are separated
+    # by many orders of magnitude more than an ulp. Pin that margin.
+    import math
+
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.sampling import ares_key
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").filter(
+        F.col("n_chars") > 0
+    )
+    keys = sorted(
+        r["k"]
+        for r in docs.select(
+            ares_key(F.col("doc_id"), F.col("n_chars")).alias("k")
+        ).collect()
+    )
+    min_rel_gap = min(
+        (b - a) / max(abs(a), abs(b))
+        for a, b in zip(keys, keys[1:])
+        if b != a
+    )
+    # 1 ulp of a double is ~2.2e-16 relative; require >= 1e6 ulps of margin
+    assert min_rel_gap > 1e-10, min_rel_gap
+    assert len(set(keys)) == len(keys)  # priorities are distinct
+    assert math.isfinite(keys[0])
