@@ -146,27 +146,16 @@ _EXACT_SQDIST = (
 )
 
 
-def pq_search(
-    models: PqModel,
+def exact_rerank(
+    short: DataFrame,
     queries: DataFrame,
     corpus: DataFrame,
-    shortlist: int = 100,
     k_top: int = 10,
-    m: int = 4,
-    dims: int = 64,
 ) -> DataFrame:
-    """Production PQ search: ADC shortlist (cheap, codes only) then EXACT
-    re-rank of the shortlist (full vectors touched for |Q|·shortlist rows
-    only). Same fixed-point distance convention end-to-end, so the final
-    ranking is deterministic and oracle-replayable. Measured on the
-    isotropic testdata (the hard case): recall@10 ≈ 0.88 at k=16,
-    shortlist=100 vs 0.42 for ADC-only top-10 — the re-rank stage is where
-    PQ earns its keep."""
+    """Exact fixed-point re-rank of (query_id, vec_id) shortlist pairs —
+    full vectors touched for the shortlist only."""
     from pyspark.sql import Window
 
-    short = pq_adc_topk(models, queries, k_top=shortlist, m=m, dims=dims).select(
-        "query_id", "vec_id"
-    )
     qvec = queries.select(
         "query_id",
         F.expr("transform(query_vec, x -> cast(x as double))").alias("qdvec"),
@@ -191,3 +180,136 @@ def pq_search(
             (F.col("dist").cast("double") / F.lit(1e12)).alias("dist"),
         )
     )
+
+
+def pq_search(
+    models: PqModel,
+    queries: DataFrame,
+    corpus: DataFrame,
+    shortlist: int = 100,
+    k_top: int = 10,
+    m: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Production PQ search: ADC shortlist (cheap, codes only) then EXACT
+    re-rank of the shortlist (full vectors touched for |Q|·shortlist rows
+    only). Same fixed-point distance convention end-to-end, so the final
+    ranking is deterministic and oracle-replayable. Measured on the
+    isotropic testdata (the hard case): recall@10 ≈ 0.88 at k=16,
+    shortlist=100 vs 0.42 for ADC-only top-10 — the re-rank stage is where
+    PQ earns its keep."""
+    from pyspark.sql import Window
+
+    short = pq_adc_topk(models, queries, k_top=shortlist, m=m, dims=dims).select(
+        "query_id", "vec_id"
+    )
+    return exact_rerank(short, queries, corpus, k_top=k_top)
+
+
+def ivfpq_search(
+    coarse_asg: DataFrame,
+    coarse_cent: DataFrame,
+    models: PqModel,
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    k_top: int = 10,
+    m: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the coarse k-means quantizer routes each query to its
+    n_probe nearest cells, and PQ ADC + exact re-rank run over the probed
+    cells' members only. The full production stack: cells prune the corpus
+    (cost drops by ~n_probe/k_cells), codes make the surviving candidates
+    M bytes each, the re-rank touches |Q|·shortlist full vectors. Every
+    stage keeps the fixed-point convention, so the composite is
+    oracle-replayable end-to-end. (Codebooks here are global, FAISS's
+    by_residual=false configuration — residual codebooks would break the
+    clean per-stage SQL replay for a modest recall gain.)"""
+    from pyspark.sql import Window
+
+    # route: distance from each query's FULL vector to every coarse centroid
+    qfull = queries.select(
+        "query_id",
+        F.expr("transform(query_vec, x -> cast(x as double))").alias("dvec"),
+    )
+    cent_row = coarse_cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    dq = (
+        qfull.crossJoin(F.broadcast(cent_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.expr(
+                    "transform(cents, c -> "
+                    f"struct(c.cid as cid, {_SQDIST} as dist))"
+                )
+            ).alias("s"),
+        )
+        .select("query_id", F.col("s.cid").alias("cid"), F.col("s.dist").alias("dist"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cid"))
+    probes = (
+        dq.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    # candidates: members of the probed cells (each vector lives in exactly
+    # one cell, so (query, vec) pairs are unique)
+    cand = coarse_asg.select("vec_id", "cid").join(
+        F.broadcast(probes), "cid"
+    ).select("query_id", "vec_id")
+
+    # ADC restricted to candidates: expand to (candidate, sub) rows, then
+    # the broadcast code-distance lookup
+    per = dims // m
+    qd_parts = []
+    for j, _, cent in models:
+        qsub = queries.select(
+            "query_id",
+            F.expr(
+                f"transform(slice(query_vec, {j * per + 1}, {per}),"
+                " x -> cast(x as double))"
+            ).alias("dvec"),
+        )
+        crow = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+        )
+        qd_parts.append(
+            qsub.crossJoin(F.broadcast(crow))
+            .select(
+                "query_id",
+                F.explode(
+                    F.expr(
+                        "transform(cents, c -> "
+                        f"struct(c.cid as code, {_SQDIST} as dist))"
+                    )
+                ).alias("s"),
+            )
+            .select(
+                "query_id",
+                F.lit(j).alias("sub"),
+                F.col("s.code").alias("code"),
+                F.col("s.dist").alias("dist"),
+            )
+        )
+    qd = qd_parts[0]
+    for p in qd_parts[1:]:
+        qd = qd.unionAll(p)
+
+    codes = pq_codes(models).select("vec_id", "sub", "code")
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qd), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dist").alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return exact_rerank(short, queries, corpus, k_top=k_top)

@@ -26,7 +26,11 @@ SHORTLIST = 100
 _FIXED = "CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5) AS DECIMAL(38,0))"
 
 
-def _pq_oracle_sql() -> str:
+def _pq_ctes(include_vdims: bool = True) -> tuple[list[str], list[str], list[str]]:
+    """The PQ training/encoding/query-distance pipeline as DuckDB CTEs.
+    Returns (ctes, per-subspace code CTE names, per-subspace query-distance
+    CTE names) so composite oracles (IVF-PQ) can reuse the same trained
+    codebooks with extra routing CTEs layered on top."""
     per = DIMS // M_SUBS
     ctes = [
         "vdims AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
@@ -37,7 +41,8 @@ def _pq_oracle_sql() -> str:
         f" LIMIT {PQ_K}))",
         f"q AS (SELECT vec_id AS query_id FROM embeddings WHERE {_QUERY_PRED})",
     ]
-    adc_parts = []
+    if not include_vdims:
+        ctes = ctes[1:]  # composite oracles already define vdims
     for j in range(M_SUBS):
         lo, hi = j * per + 1, (j + 1) * per
         ctes.append(
@@ -76,10 +81,20 @@ def _pq_oracle_sql() -> str:
             f" AS dist FROM vdims v JOIN cdP{j}_{last} c USING (pos)"
             f" WHERE v.vec_id IN (SELECT query_id FROM q) GROUP BY 1, 2)"
         )
-        adc_parts.append(
-            f"SELECT qd.query_id, a.vec_id, qd.dist FROM aP{j}_{last} a"
-            f" JOIN qdP{j} qd ON qd.cid = a.cid"
-        )
+    return (
+        ctes,
+        [f"aP{j}_{PQ_ITERS - 1}" for j in range(M_SUBS)],
+        [f"qdP{j}" for j in range(M_SUBS)],
+    )
+
+
+def _pq_oracle_sql() -> str:
+    ctes, code_names, qd_names = _pq_ctes()
+    adc_parts = [
+        f"SELECT qd.query_id, a.vec_id, qd.dist FROM {a} a"
+        f" JOIN {qd} qd ON qd.cid = a.cid"
+        for a, qd in zip(code_names, qd_names)
+    ]
     ctes.append("adcparts AS (" + " UNION ALL ".join(adc_parts) + ")")
     ctes.append(
         "adc AS (SELECT query_id, vec_id, SUM(dist) AS adc FROM adcparts"
@@ -145,5 +160,107 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pq_search(
         models, queries, emb, shortlist=SHORTLIST, k_top=TOPK, m=M_SUBS,
         dims=DIMS,
+    )
+    return ordered_small(top, "query_id", "rank")
+
+
+IVFPQ_PROBE = 2
+IVFPQ_SHORTLIST = 50
+
+
+def _ivfpq_oracle_sql() -> str:
+    from .kmeans import ITERS as C_ITERS, K as C_K, kmeans_ctes
+
+    cctes, a_coarse, cd_coarse = kmeans_ctes(C_K, C_ITERS)
+    pctes, code_names, qd_names = _pq_ctes(include_vdims=False)
+    ctes = cctes + pctes
+    ctes.append(
+        f"dqc AS (SELECT v.vec_id AS query_id, c.cid, SUM({_FIXED}) AS dist"
+        f" FROM vdims v JOIN {cd_coarse} c USING (pos)"
+        f" WHERE v.vec_id IN (SELECT query_id FROM q) GROUP BY 1, 2)"
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, cid FROM"
+        f" (SELECT query_id, cid, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY dist, cid) AS rn FROM dqc)"
+        f" WHERE rn <= {IVFPQ_PROBE})"
+    )
+    ctes.append(
+        f"cand AS (SELECT p.query_id, a.vec_id FROM probes p"
+        f" JOIN {a_coarse} a ON a.cid = p.cid)"
+    )
+    adc_parts = [
+        f"SELECT qd.query_id, a.vec_id, qd.dist FROM {a} a"
+        f" JOIN {qd} qd ON qd.cid = a.cid"
+        f" JOIN cand c ON c.vec_id = a.vec_id AND c.query_id = qd.query_id"
+        for a, qd in zip(code_names, qd_names)
+    ]
+    ctes.append("adcparts AS (" + " UNION ALL ".join(adc_parts) + ")")
+    ctes.append(
+        "adc AS (SELECT query_id, vec_id, SUM(dist) AS adc FROM adcparts"
+        " GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, vec_id, adc, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)"
+    )
+    ctes.append(
+        f"short AS (SELECT query_id, vec_id FROM ranked"
+        f" WHERE rank <= {IVFPQ_SHORTLIST})"
+    )
+    ctes.append(
+        "exact AS (SELECT s.query_id, s.vec_id,"
+        " SUM(CAST(floor((vq.val - vc.val)*(vq.val - vc.val)*1e12 + 0.5)"
+        " AS DECIMAL(38,0))) AS dist"
+        " FROM short s"
+        " JOIN vdims vq ON vq.vec_id = s.query_id"
+        " JOIN vdims vc ON vc.vec_id = s.vec_id AND vc.pos = vq.pos"
+        " GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "rr AS (SELECT query_id, vec_id, dist, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY dist, vec_id) AS rank FROM exact)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+               CAST(dist AS DOUBLE) / 1e12 AS dist
+        FROM rr WHERE rank <= {TOPK}
+        ORDER BY query_id, rank
+    """
+    )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    "J4-analog,A3-ext,O3",
+    f"IVF-PQ composite ANN (the full production stack): the session-cached "
+    "k-means coarse quantizer routes each query to its "
+    f"{IVFPQ_PROBE} nearest cells, PQ{M_SUBS}x{PQ_K} ADC scores only the "
+    "probed cells' members (M-byte codes, broadcast distance table, "
+    f"combinable DECIMAL sums), the top-{IVFPQ_SHORTLIST} shortlist gets "
+    "full-vector exact re-ranking. Cells prune the corpus by "
+    "~n_probe/k_cells before any code arithmetic; global (non-residual) "
+    "codebooks keep every stage SQL-replayable — the oracle regenerates "
+    "coarse training, 4 subspace trainings, routing, restricted ADC, and "
+    "re-rank end-to-end.",
+    oracle=_ivfpq_oracle_sql(),
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_search
+    from .kmeans import fitted_model
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    coarse_asg, coarse_cent = fitted_model(spark, sf_dir)
+    models = pq_fit(emb, m=M_SUBS, k=PQ_K, iters=PQ_ITERS, dims=DIMS)
+    top = ivfpq_search(
+        coarse_asg, coarse_cent, models, queries, emb,
+        n_probe=IVFPQ_PROBE, shortlist=IVFPQ_SHORTLIST, k_top=TOPK,
+        m=M_SUBS, dims=DIMS,
     )
     return ordered_small(top, "query_id", "rank")
