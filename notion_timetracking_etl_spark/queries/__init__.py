@@ -43,12 +43,15 @@ from . import warehouse  # noqa: E402,F401
 # missing a driver CORRECTNESS row; rotate once their rows land.
 #
 # ROUND-5 ROTATION NOTE: the round-4 additions registered AFTER this
-# 50-entry window (latest_event_per_user, events_props_extract,
-# streaming_sliding_rollup, documents_chunked, corpus_token_batches,
-# text_redaction_stats, graph_triangle_participation, events_daily_outliers,
-# daily_user_accumulation, events_funnel_windowed, similarity_topk_pq,
-# event_transition_matrix) have no driver row yet — promote them into the
-# window next round, displacing entries whose r4 rows are green.
+# 50-entry window have no driver row yet — promote them into the window
+# next round, displacing entries whose r4 rows are green:
+#   latest_event_per_user, events_props_extract, streaming_sliding_rollup,
+#   documents_chunked, corpus_token_batches, text_redaction_stats,
+#   graph_triangle_participation, events_daily_outliers,
+#   daily_user_accumulation, events_funnel_windowed, similarity_topk_pq,
+#   similarity_topk_ivfpq, event_transition_matrix, acctbal_histogram,
+#   revenue_pareto_curve, ols_price_vs_quantity, events_debounce,
+#   sample_weighted_reservoir
 _DRIVER_PRIORITY = [
     # round-4 additions — no row in any prior round
     "tpch_order_priority_waiting",
