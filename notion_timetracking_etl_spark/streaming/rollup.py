@@ -28,13 +28,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros)."""
     from ..sources.tpch import ensure_nanos_readable
 
+    import os
+
     ensure_nanos_readable(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory layout (a real lake table): stream the directory itself
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file layout (the driver's testdata): the file source needs
+        # a directory to list, so stream the parent filtered to this file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
