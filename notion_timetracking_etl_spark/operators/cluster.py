@@ -151,9 +151,10 @@ def _propagate(
             )
             .localCheckpoint(eager=True)
         )
+        # sum over zero rows is NULL — an EMPTY graph is converged, not stuck
         changed = new_labels.agg(
             F.sum(F.col("_changed").cast("int")).alias("n")
-        ).collect()[0]["n"]
+        ).collect()[0]["n"] or 0
         # superseded checkpoints are unreachable from the new (truncated)
         # plan — free their RDD blocks now (plain unpersist() can't; see
         # _free_checkpoint_blocks) to cap peak storage at ~3×|nodes|

@@ -49,6 +49,14 @@ def pagerank(
     und_deg = _scoped_persist(und.join(deg, "src"))
     nodes = _scoped_persist(und.select(F.col("src").alias("node")).distinct())
     n_nodes = nodes.count()  # driver scalar, like CC's convergence count
+    if n_nodes == 0:
+        # empty graph: no nodes, no ranks — short-circuit before the 1/n
+        # teleport term divides by zero
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("degree"),
+            F.lit(0.0).alias("pagerank"),
+        )
     base = F.lit(1.0 - DAMPING) / F.lit(n_nodes)
 
     p = nodes.withColumn(

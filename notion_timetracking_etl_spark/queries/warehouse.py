@@ -258,12 +258,14 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = with_global_prefix_sum(
         ranked, sort, "micros", out_col="running"
     )
+    # max over zero rows is NULL; 1 keeps the (never-evaluated-on-empty)
+    # share divide well-defined
     total = int(
-        run.agg(F.max("running").alias("t")).collect()[0]["t"]
+        run.agg(F.max("running").alias("t")).collect()[0]["t"] or 1
     )
     return ordered_small(
         run.select(
-            F.floor((F.col("rn") - 1) * 10 / F.lit(n)).cast("bigint")
+            F.floor((F.col("rn") - 1) * 10 / F.lit(max(n, 1))).cast("bigint")
             .alias("rank_decile"),
             "running",
         )

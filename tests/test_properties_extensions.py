@@ -248,3 +248,37 @@ def test_minhash_pairs_sound_and_finds_exact_dups(spark, texts, data):
         pair = (min(i, n + j), max(i, n + j))
         if sh[pair[0]] == sh[pair[1]]:  # identical shingle sets
             assert pair in got, pair
+
+
+def test_registry_tolerates_empty_inputs(spark, tmp_path):
+    # a filtered-to-zero partition is a legitimate production state: the
+    # iterative operators (CC convergence count, PageRank teleport 1/n) and
+    # driver-scalar queries (pareto total) must return empty, never raise.
+    # (Full-registry empty probe ran offline; this pins the three that bit.)
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.cluster import (
+        connected_components,
+    )
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).count() == 0
+    assert pagerank(empty).count() == 0
+    release_scoped_caches()
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    out = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    load_table(spark, "/root/testdata/sf0.001", "orders").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    assert REGISTRY["revenue_pareto_curve"].spark(spark, out).count() == 0
+    release_scoped_caches()
