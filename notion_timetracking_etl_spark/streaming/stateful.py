@@ -58,11 +58,16 @@ def _update_user_stats(
         # (a float total rounded once would drift with partition order).
         # floor(x*1e6 + 0.5) is HALF_UP — the same rule as F.floor(col*1e6+0.5)
         # in the batch twin; pandas .round() would be half-to-even.
-        total_micros += int(
-            np.floor(pdf["value"] * 1_000_000 + 0.5).astype("int64").sum()
-        )
-        batch_last = pdf["ts"].max()
-        last_micros = max(last_micros, int(batch_last.value // 1_000))
+        # NULL values are skipped like SQL SUM (NaN would poison the int
+        # cast); NULL timestamps likewise drop out of the running max.
+        vals = pdf["value"].dropna()
+        if len(vals):
+            total_micros += int(
+                np.floor(vals * 1_000_000 + 0.5).astype("int64").sum()
+            )
+        ts_vals = pdf["ts"].dropna()
+        if len(ts_vals):
+            last_micros = max(last_micros, int(ts_vals.max().value // 1_000))
     state.update((n, total_micros, last_micros))
     yield pd.DataFrame(
         {
