@@ -26,7 +26,15 @@ TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def marker_count(text: Column, word: str) -> Column:
-    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+    """Occurrences of ``word`` as a whitespace-delimited token.
+
+    Deliberately NOT ``\b``-regex counting: Java extends words across
+    combining marks at a ``\b`` boundary while RE2/DuckDB does not, so
+    decomposed unicode ("a" + U+0301) makes the engines disagree. Exact
+    equality over the same whitespace split both engines already share is
+    unicode-stable by construction."""
+    ws = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.size(F.filter(ws, lambda w: w == F.lit(word)))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -72,10 +80,8 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    stops = (
-        F.regexp_count(F.lower(text), F.lit(r"\bthe\b"))
-        + F.regexp_count(F.lower(text), F.lit(r"\ba\b"))
-    ).cast("double")
+    # token-equality counting (see marker_count) — unicode-stable
+    stops = (marker_count(text, "the") + marker_count(text, "a")).cast("double")
     return stops / F.greatest(word_count(text).cast("double"), F.lit(1.0))
 
 

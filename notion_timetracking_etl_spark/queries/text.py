@@ -44,10 +44,18 @@ def _count_sql(expr: str, pattern: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pattern}'))"
 
 
-def _lang_score_sql(lang: str) -> str:
-    return " + ".join(
-        _count_sql("lower(text)", rf"\b{m}\b") for m in LANG_MARKERS[lang]
+def _token_count_sql(word: str) -> str:
+    """DuckDB twin of operators.text.marker_count: exact token equality over
+    the shared whitespace split (unicode-stable; see marker_count's note on
+    the Java-vs-RE2 combining-mark divergence that rules out ``\b``)."""
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        f" w -> w = '{word}'))"
     )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_token_count_sql(m) for m in LANG_MARKERS[lang])
 
 
 def _language_id_sql() -> str:
@@ -68,8 +76,8 @@ def _language_id_sql() -> str:
 _WORD_COUNT_SQL = r"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
 _TOKEN_COUNT_SQL = _count_sql("lower(text)", TOKEN_PATTERN)
 _PUNCT_COUNT_SQL = _count_sql("text", r"[^\w\s]")
-_THE_COUNT_SQL = _count_sql("lower(text)", r"\bthe\b")
-_A_COUNT_SQL = _count_sql("lower(text)", r"\ba\b")
+_THE_COUNT_SQL = _token_count_sql("the")
+_A_COUNT_SQL = _token_count_sql("a")
 _PUNCT_RATIO_SQL = (
     f"CAST({_PUNCT_COUNT_SQL} AS DOUBLE)"
     " / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))"
