@@ -393,8 +393,9 @@ def cmd_explain(args, spark, seams) -> int:
         )
         return 2
     df = REGISTRY[args.query].spark(spark, args.sf_dir)
-    print(df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"))
+    # Public API only: df.explain prints the same formatted physical plan and
+    # works on Spark Connect sessions (no _sc/_jvm there).
+    df.explain(mode="formatted")
     return 0
 
 

@@ -80,8 +80,12 @@ def pq_adc_topk(
     computed once (M×k rows, broadcast); corpus codes join that table and
     a grouped DECIMAL sum yields each vector's approximate distance. The
     only corpus-sized work is one broadcast join + one combinable
-    aggregation on (query, vector) — vectors themselves never move."""
-    from pyspark.sql import Window
+    aggregation on (query, vector) — vectors themselves never move. The
+    top-k itself goes through the salted two-phase ``topk_per_group``, never
+    a per-query ``row_number`` window: a query's ADC partition is
+    corpus-sized, and one task sorting the corpus is exactly the
+    single-partition funnel operators/rank.py exists to prevent."""
+    from .sampling import topk_per_group
 
     per = dims // m
     qd_parts = []
@@ -124,16 +128,13 @@ def pq_adc_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("dist").alias("adc"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select(
-            "query_id",
-            F.col("rank").cast("bigint").alias("rank"),
-            "vec_id",
-            (F.col("adc").cast("double") / F.lit(1e12)).alias("adc_dist"),
-        )
+    return topk_per_group(
+        adc, ["query_id"], [F.col("adc"), F.col("vec_id")], k_top, rank_col="rank"
+    ).select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        (F.col("adc").cast("double") / F.lit(1e12)).alias("adc_dist"),
     )
 
 
@@ -229,6 +230,8 @@ def ivfpq_search(
     clean per-stage SQL replay for a modest recall gain.)"""
     from pyspark.sql import Window
 
+    from .sampling import topk_per_group
+
     # route: distance from each query's FULL vector to every coarse centroid
     qfull = queries.select(
         "query_id",
@@ -306,10 +309,10 @@ def ivfpq_search(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("dist").alias("adc"))
     )
-    ws = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
-    short = (
-        adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= shortlist)
-        .select("query_id", "vec_id")
-    )
+    # Salted two-phase top-k, not a per-query row_number window: a probed
+    # cell can hold a large corpus fraction, and its (query, candidate) ADC
+    # rows would otherwise sort through a single task.
+    short = topk_per_group(
+        adc, ["query_id"], [F.col("adc"), F.col("vec_id")], shortlist
+    ).select("query_id", "vec_id")
     return exact_rerank(short, queries, corpus, k_top=k_top)

@@ -126,9 +126,14 @@ def with_global_prefix_sum(
         .persist()
     )
     _SCOPED_CACHES.append(parts)
+    # Coalesce to 0: a partition whose val_col values are all NULL sums to
+    # NULL, which must contribute nothing to downstream offsets (the operator
+    # contract requires only an integral column, not a non-null one).
     totals = {
         r["_pid"]: r["s"]
-        for r in parts.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+        for r in parts.groupBy("_pid")
+        .agg(F.coalesce(F.sum(val_col), F.lit(0)).alias("s"))
+        .collect()
     }
     offsets, acc = [], 0
     for pid in sorted(totals):

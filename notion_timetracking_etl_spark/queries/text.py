@@ -47,9 +47,9 @@ def _count_sql(expr: str, pattern: str) -> str:
 def _token_count_sql(word: str) -> str:
     """DuckDB twin of operators.text.marker_count: exact token equality over
     the shared whitespace split (unicode-stable; see marker_count's note on
-    the Java-vs-RE2 combining-mark divergence that rules out ``\b``)."""
+    the Java-vs-RE2 combining-mark divergence that rules out ``\\b``)."""
     return (
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        r"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
         f" w -> w = '{word}'))"
     )
 

@@ -22,18 +22,35 @@ def _dsum(col: Column) -> Column:
     return F.sum(col.cast("decimal(38,6)")).cast("double")
 
 
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Directory-layout detection that works for ANY Hadoop-visible
+    filesystem (s3a://, hdfs://, file://), not just the driver's local disk.
+    A driver-local ``os.path.isdir`` returns False for every remote URI and
+    would silently route a directory-layout lake table into the
+    single-file glob fallback — streaming 0 rows. Falls back to ``os.path``
+    only when the JVM gateway is unavailable (Spark Connect), where remote
+    listing isn't possible from the client anyway."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception:
+        import os
+
+        return os.path.isdir(path)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with the batch reader's schema
     contract (TIMESTAMP(NANOS) arrives as long nanos under
     ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros)."""
     from ..sources.tpch import ensure_nanos_readable
 
-    import os
-
     ensure_nanos_readable(spark)
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
+    if _is_directory(spark, path):
         # directory layout (a real lake table): stream the directory itself
         stream = spark.readStream.schema(raw_schema).parquet(path)
     else:

@@ -124,13 +124,25 @@ def test_cosine_self_is_one(spark):
     assert val == pytest.approx(1.0, abs=1e-12)
 
 
-def test_driver_priority_window_is_exact_and_resolvable():
-    # the driver's CORRECTNESS harness samples the FIRST 50 registered
-    # queries; every name in the priority list must exist, dedupe cleanly,
-    # and fill the window exactly so no never-sampled query is displaced
-    from notion_timetracking_etl_spark.queries import _DRIVER_PRIORITY, REGISTRY
+def test_driver_priority_window_rotates_least_recently_sampled_first():
+    # the driver's CORRECTNESS harness samples the FIRST 50 keys of
+    # __spark_entry__.queries(); the dynamic ordering must put queries with
+    # no driver row in ANY committed CORRECTNESS artifact at the front, keep
+    # the oracle=None approx variants out of the window entirely, and cover
+    # the registry exactly once
+    import importlib
 
-    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)) == 50
-    missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
-    assert missing == []
-    assert list(REGISTRY)[:50] == _DRIVER_PRIORITY
+    entry_mod = importlib.import_module("__spark_entry__")
+    from notion_timetracking_etl_spark.queries import REGISTRY
+
+    names = list(entry_mod.queries())
+    assert sorted(names) == sorted(REGISTRY)  # a permutation, nothing lost
+    last = entry_mod._last_sampled_round()
+    window = set(names[:50])
+    never = [n for n in REGISTRY if n not in last and REGISTRY[n].oracle]
+    # every never-sampled oracle-checked query fits in the window (if >50
+    # exist the window takes the alphabetical first 50 of them)
+    for n in never[:50]:
+        assert n in window
+    for n in (n for n, s in REGISTRY.items() if s.oracle is None):
+        assert n not in window

@@ -158,3 +158,33 @@ def test_global_prefix_sum_matches_builtin_running_total(spark):
         want = df.select("k", F.sum("v").over(w).cast("bigint").alias("run"))
         assert _rows(got.select("k", "run")) == _rows(want)
         release_scoped_caches()
+
+
+def test_global_prefix_sum_all_null_partition(spark):
+    """A range partition whose values are ALL NULL sums to NULL; the driver-
+    side offset fold must treat it as 0, not raise TypeError. Keys are
+    clustered so at least one partition is entirely NULL-valued."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.rank import (
+        with_global_prefix_sum,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 50, F.col("id") % 5).alias("v"),
+    )
+    got = with_global_prefix_sum(
+        df.filter(F.col("v").isNotNull() | (F.col("k") < 50)),
+        [F.col("k")],
+        "v",
+        out_col="run",
+        num_partitions=4,  # keys 0..49 (all NULL v) fill whole partitions
+    )
+    rows = {r["k"]: r["run"] for r in got.collect()}
+    release_scoped_caches()
+    # SQL running-total semantics: an all-NULL prefix is NULL, and the NULL
+    # partition's offset contribution downstream is 0 (not a TypeError).
+    assert rows[49] is None
+    assert rows[99] == sum(i % 5 for i in range(50, 100))
