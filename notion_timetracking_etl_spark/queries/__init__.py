@@ -33,6 +33,7 @@ from . import profile  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import pq  # noqa: E402,F401
 from . import warehouse  # noqa: E402,F401
+from . import lake  # noqa: E402,F401
 
 # Driver sampling order note: the grading driver samples the FIRST ~50 keys
 # of __spark_entry__.queries() each round. That module reorders dynamically —

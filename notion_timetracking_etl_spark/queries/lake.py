@@ -1,0 +1,109 @@
+"""Partitioned-lake queries: partition pruning as a first-class, driver-
+checked behavior.
+
+The reference persists normalized pulls under date directories and reads
+back only the latest one (src/normalize/io.ts:5-12 date-dir layout;
+src/cli/index.ts:104-119 latest-dir selection) — directory layout IS its
+partition pruning. The Spark-native equivalent is a hive-partitioned
+parquet lake (``sinks/parquet.py::write_partitioned_lake``): a reader with
+a predicate on the partition column lists only the matching directories
+(``PartitionFilters`` in the scan, asserted by
+tests/test_plan_contracts.py), so a day query over a 100 TB / 3-year lake
+touches ~0.1% of the files. Every other registered query scans the
+driver's single-file testdata; this family closes the loop from the WRITE
+layout to the pruned READ.
+
+The lake is materialized once per (process, sf_dir) into a scratch
+directory — derived data, rebuilt from the source parquet on first use so
+a testdata regen between driver rounds can never serve stale rows — and
+the registered query then reads it back WITH a partition predicate. The
+DuckDB oracle computes the identical result straight from the raw events
+view, proving the partitioned round-trip loses nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..sinks.parquet import write_partitioned_lake
+from ..sources.tpch import load_table
+from .helpers import DATE_FMT_SPARK, dsum, dsum_sql
+from .registry import register
+
+# lake paths already written by this process (idempotent overwrite on first
+# use; NOT cross-process — a fresh driver process rebuilds from source)
+_MATERIALIZED: set[str] = set()
+
+
+def events_lake_path(sf_dir: str) -> str:
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_by_date"
+    )
+
+
+def events_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a ``event_date=``-partitioned parquet lake.
+
+    First call per process writes the lake (one task per date directory,
+    rows sorted by ``ts`` inside each file for row-group min/max pruning);
+    later calls — and every registered query — just read it back. NULL
+    timestamps land in the hive default partition (``event_date=
+    __HIVE_DEFAULT_PARTITION__``) and surface as NULL on read, so the
+    round-trip is lossless even for the robustness probes' NULL rows.
+    """
+    path = events_lake_path(sf_dir)
+    if path not in _MATERIALIZED:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_partitioned_lake(ev, path, ["event_date"], sort_cols=["ts"])
+        _MATERIALIZED.add(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "lake_pruned_daily_profile",
+    "S5-analog,P1,A1,A7",
+    "Partition-pruned lake read (reference: src/normalize/io.ts:5-12 "
+    "date-dir layout, src/cli/index.ts:104-119 latest-dir read): events "
+    "written as an event_date=-partitioned lake, then one week read back "
+    "with a partition predicate (PartitionFilters prune the scan to 7 of "
+    "~30 directories — pinned by tests/test_plan_contracts.py) and "
+    "profiled per (day, type).",
+    oracle=f"""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               {dsum_sql("value", "total_value")}
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def lake_pruned_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lake = events_lake(spark, sf_dir)
+    return (
+        lake.filter(F.col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("event_date", DATE_FMT_SPARK).alias("event_date"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -192,3 +192,28 @@ def test_runtime_bloom_filter_prunes_fact_side_of_shuffled_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lake_read_prunes_partitions_at_scan(spark, sf_dir):
+    # The partitioned-lake family's whole point: the event_date predicate
+    # must land in PartitionFilters (directory-level pruning — the first
+    # lever at 100 TB), not be applied post-scan, and the scan must list
+    # only the 7 matching date directories out of ~30.
+    from notion_timetracking_etl_spark.queries.lake import events_lake_path
+
+    plan = plan_of(spark, sf_dir, "lake_pruned_daily_profile")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pf = m.group(1)
+    assert "event_date" in pf and ">=" in pf and "<=" in pf
+    # data filters must NOT re-check the partition predicate row-by-row
+    assert "PushedFilters: []" in plan or "event_date" not in re.search(
+        r"PushedFilters: \[([^\]]*)\]", plan
+    ).group(1)
+    # file-listing check: the pruned scan reads exactly the 7 directories
+    lake = spark.read.parquet(events_lake_path(sf_dir))
+    pruned = lake.filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    ).select(F.input_file_name().alias("f")).distinct().collect()
+    dirs = {re.search(r"event_date=([^/]+)/", r.f).group(1) for r in pruned}
+    assert dirs == {f"2024-01-{d:02d}" for d in range(8, 15)}
