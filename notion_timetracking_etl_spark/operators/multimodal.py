@@ -81,6 +81,48 @@ def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return (n % 320 + 1, n % 240 + 1, n % 100 + 1)
 
 
+def ppm_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """A REAL (non-stub) decoder through the same ``decode_fn`` seam: binary
+    Netpbm images (P6 color / P5 grayscale), parsed pure-Python with zero
+    external libraries. Exists to prove the codec-injection interface with
+    an actual format: header tokenization with ``#`` comments, geometry
+    extraction, and payload-length validation against the advertised
+    dimensions — exactly the work a libjpeg binding would do, minus the
+    entropy coding. Returns ``(width, height, 1)``; raises ``ValueError``
+    on malformed bytes (a production pipeline wraps this in a quarantine
+    branch, see tests/test_extensions.py)."""
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        raise ValueError("not a Netpbm payload")
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"unsupported Netpbm magic {magic!r}")
+    # Header tokens: magic, width, height, maxval — whitespace-separated,
+    # '#' starts a comment running to end-of-line.
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3 or pos >= len(payload):
+        raise ValueError("truncated Netpbm header")
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not (0 < maxval < 65536):
+        raise ValueError("invalid Netpbm geometry")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    per_px = (3 if magic == "P6" else 1) * (2 if maxval > 255 else 1)
+    if len(payload) - pos < width * height * per_px:
+        raise ValueError("raster shorter than advertised geometry")
+    return (width, height, 1)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
