@@ -1,0 +1,166 @@
+"""Decontamination / repetition-quality queries (engine extension).
+
+Two standard passes every LLM training-data pipeline runs before a corpus
+ships, absent from the reference (its data is API-pulled workspace rows, not
+web text) but first-class here:
+
+- **benchmark contamination**: n-gram overlap between the training split and
+  a held-out eval set (the train/test-leak scan). Shape at 100 TB: distinct
+  per-doc shingles on both sides, one equi-join on the gram — candidates
+  prune to docs sharing at least one gram, never a doc×doc comparison.
+- **intra-document repetition**: the duplicate-3-gram fraction per document
+  (the Gopher/MassiveText repetition quality signal), banded into a bounded
+  histogram. Pure per-doc map + two-level partial aggregation; shuffle
+  payload is one row per (doc) then one per band.
+
+Both reuse the dedup family's shingle primitives (operators/dedup.py
+``words``/``shingles_from_words`` and their DuckDB CTE twins) so
+tokenization semantics — including the <n-word whole-text fallback — stay
+bit-identical across every gram-based query in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.dedup import _SCOPED_CACHES, shingles_from_words, words
+from ..sources.tpch import load_table
+from .dedup import _shingles_cte, _WORDS_SQL
+from .registry import register
+
+
+@register(
+    "contamination_ngram_overlap",
+    "ext:decontam,J8-analog",
+    "Train/eval contamination scan: docs with doc_id % 20 = 0 form the "
+    "held-out eval set; every remaining (train) doc is scored by how many "
+    "of its distinct 5-gram shingles appear anywhere in the eval set. "
+    "Contaminated docs only, with the overlap ratio — the decontamination "
+    "pass run before any corpus ships.",
+    oracle=f"""
+        WITH {_shingles_cte(5)},
+        t AS (SELECT doc AS doc_id, sh FROM sh WHERE doc % 20 <> 0),
+        e AS (SELECT DISTINCT sh FROM sh WHERE doc % 20 = 0),
+        n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM t GROUP BY 1),
+        h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+              FROM t JOIN e USING (sh) GROUP BY 1)
+        SELECT n.doc_id, n_grams, n_contaminated,
+               CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_ratio
+        FROM n JOIN h USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Three consumers (train-gram counts, the overlap join, the eval side)
+    # read the shingle table; persist it once, query-scoped (released by
+    # release_scoped_caches like every dedup-family intermediate) so the
+    # tokenize+gram fan-out runs a single time.
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from_words(words(F.col("text")), 5))
+        ).alias("sh"),
+    ).persist()
+    _SCOPED_CACHES.append(grams)
+    train = grams.filter(F.col("doc_id") % 20 != 0)
+    eval_grams = grams.filter(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    n = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(eval_grams, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    # inner join: only contaminated docs survive — O(contaminated) output,
+    # distributed orderBy (never a single-partition funnel)
+    return (
+        n.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_grams")
+            ).alias("contamination_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _all_grams_cte(n: int) -> str:
+    """Non-distinct variant of the dedup family's shingle CTE (repetition
+    needs every occurrence, not the set)."""
+    gram = ", ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+  w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+  g AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= {n}
+                  THEN list_transform(generate_series(1, len(ws) - {n - 1}),
+                       i -> concat_ws(' ', {gram}))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM w
+  )
+"""
+
+
+@register(
+    "text_repetition_bands",
+    "ext:decontam,A7-analog",
+    "Intra-document repetition histogram (the Gopher/MassiveText duplicate "
+    "3-gram fraction): per doc, 1 - distinct/total 3-grams, banded into "
+    "deciles with doc counts and the exact-decimal mean repetition per "
+    "band. Bounded 10-row output from two partial aggregations.",
+    oracle=f"""
+        WITH {_all_grams_cte(3)},
+        d AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS nt,
+                     CAST(COUNT(DISTINCT g) AS BIGINT) AS nd
+              FROM g GROUP BY 1),
+        r AS (SELECT doc_id,
+                     1.0 - CAST(nd AS DOUBLE) / nt AS rep
+              FROM d)
+        SELECT CAST(LEAST(FLOOR(rep * 10), 9) AS BIGINT) AS rep_band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(CAST(SUM(CAST(rep AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(rep) AS DOUBLE) AS mean_repetition
+        FROM r
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def text_repetition_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_from_words(words(F.col("text")), 3)).alias("g"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.countDistinct("g").alias("nd"),
+        )
+        .select(
+            (
+                F.lit(1.0) - F.col("nd").cast("double") / F.col("nt")
+            ).alias("rep")
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.least(F.floor(F.col("rep") * 10), F.lit(9).cast("long"))
+            .cast("bigint")
+            .alias("rep_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("rep").cast("decimal(38,6)")).cast("double")
+                / F.count("rep")
+            ).cast("double").alias("mean_repetition"),
+        )
+        .orderBy("rep_band")
+    )
