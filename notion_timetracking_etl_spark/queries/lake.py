@@ -58,13 +58,18 @@ def events_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip is lossless even for the robustness probes' NULL rows.
     """
     path = events_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
     if path not in _MATERIALIZED:
-        ev = load_table(spark, sf_dir, "events").withColumn(
-            "event_date", F.to_date("ts")
-        )
         write_partitioned_lake(ev, path, ["event_date"], sort_cols=["ts"])
         _MATERIALIZED.add(path)
-    return spark.read.parquet(path)
+    # Explicit schema (source schema + the partition column): an EMPTY
+    # events table writes a lake with zero partition directories, where
+    # schema/partition inference has nothing to look at and raises
+    # UNABLE_TO_INFER_SCHEMA — a legitimate filtered-to-zero production
+    # state (ROBUSTNESS.md §1), not an error.
+    return spark.read.schema(ev.schema).parquet(path)
 
 
 @register(

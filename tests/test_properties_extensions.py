@@ -282,3 +282,21 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
     ).parquet(f"{out}/orders.parquet")
     assert REGISTRY["revenue_pareto_curve"].spark(spark, out).count() == 0
     release_scoped_caches()
+
+    # round-5 additions: an empty events table writes a partitioned lake
+    # with ZERO partition directories — the read-back must use the explicit
+    # schema (inference has nothing to look at and raises), and the
+    # decontam family must tolerate an empty corpus
+    load_table(spark, "/root/testdata/sf0.001", "events").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "documents").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+    for name in (
+        "lake_pruned_daily_profile",
+        "contamination_ngram_overlap",
+        "text_repetition_bands",
+    ):
+        assert REGISTRY[name].spark(spark, out).count() == 0, name
+        release_scoped_caches()
