@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..sinks.parquet import write_partitioned_lake
+from ..sinks.parquet import write_bucketed_table, write_partitioned_lake
 from ..sources.tpch import load_table
 from .helpers import DATE_FMT_SPARK, dsum, dsum_sql
 from .registry import register
@@ -111,4 +111,89 @@ def lake_pruned_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         .orderBy("event_date", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed lake: the pre-paid shuffle
+
+
+def _bucket_tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_]+", "_", os.path.abspath(sf_dir).strip("/"))
+
+
+def bucketed_event_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Events fact + per-user cohort dim, both bucketed 8-ways on user_id.
+
+    ``bucketBy`` pre-pays the join shuffle at write time: both scans report
+    the same hash partitioning, so every later user_id equi-join between
+    them is exchange-free (pinned by tests/test_plan_contracts.py). The
+    catalog entries are session-scoped (in-memory catalog) with external
+    /tmp paths; first use in a session writes, later uses read.
+    """
+    tag = _bucket_tag(sf_dir)
+    fact, dim = f"sg_events_bu_{tag}", f"sg_user_cohort_bu_{tag}"
+    have = {t.name for t in spark.catalog.listTables()}
+    if fact not in have or dim not in have:
+        base = os.path.join(tempfile.gettempdir(), "spark_graft_lakes", tag)
+        ev = load_table(spark, sf_dir, "events")
+        write_bucketed_table(
+            ev, fact, ["user_id"], 8, sort_cols=["user_id"],
+            path=os.path.join(base, "events_bucketed"),
+        )
+        cohort = ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("cohort_date")
+        )
+        write_bucketed_table(
+            cohort, dim, ["user_id"], 8, sort_cols=["user_id"],
+            path=os.path.join(base, "user_cohort_bucketed"),
+        )
+    return fact, dim
+
+
+@register(
+    "lake_bucketed_cohort_activity",
+    "S6-analog,J1,A1",
+    "Exchange-free bucketed join (the write-side complement of partition "
+    "pruning): events fact and per-user first-seen cohort dim both written "
+    "bucketBy(8, user_id), then joined on user_id with NO shuffle of "
+    "either side (both scans report the bucket hash partitioning; plan "
+    "pinned in tests/test_plan_contracts.py) and aggregated per (cohort "
+    "week-start, event_type). At 100 TB this is the fact-fact join "
+    "bucketing exists for: the shuffle is paid once at ingest, every "
+    "daily join is free.",
+    oracle=f"""
+        WITH c AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(date_trunc('week', cohort_date), '%Y-%m-%d')
+                 AS cohort_week,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               {dsum_sql("value", "total_value")}
+        FROM events e JOIN c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def lake_bucketed_cohort_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, dim = bucketed_event_tables(spark, sf_dir)
+    ev = spark.table(fact)
+    cohort = spark.table(dim)
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("week", "cohort_date"), DATE_FMT_SPARK
+            ).alias("cohort_week"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("cohort_week", "event_type")
     )

@@ -217,3 +217,29 @@ def test_lake_read_prunes_partitions_at_scan(spark, sf_dir):
     ).select(F.input_file_name().alias("f")).distinct().collect()
     dirs = {re.search(r"event_date=([^/]+)/", r.f).group(1) for r in pruned}
     assert dirs == {f"2024-01-{d:02d}" for d in range(8, 15)}
+
+
+def test_bucketed_cohort_join_is_exchange_free(spark, sf_dir):
+    # bucketBy's whole point: both sides of the user_id join report the
+    # bucket hash partitioning, so the join runs with NO shuffle exchange
+    # on either input. Broadcast disabled so the plan can't sidestep the
+    # check (at driver scale the cohort dim is broadcastable; at 100 TB
+    # it is not — the bucketed SMJ is the plan that must hold).
+    from notion_timetracking_etl_spark.queries.lake import (
+        bucketed_event_tables,
+    )
+
+    fact, dim = bucketed_event_tables(spark, sf_dir)
+    restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(fact).join(spark.table(dim), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("SelectedBucketsCount") == 2
+    finally:
+        if restore is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)

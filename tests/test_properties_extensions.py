@@ -295,6 +295,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
     ).parquet(f"{out}/documents.parquet")
     for name in (
         "lake_pruned_daily_profile",
+        "lake_bucketed_cohort_activity",
         "contamination_ngram_overlap",
         "text_repetition_bands",
     ):
