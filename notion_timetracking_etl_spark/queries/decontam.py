@@ -58,12 +58,19 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read the shingle table; persist it once, query-scoped (released by
     # release_scoped_caches like every dedup-family intermediate) so the
     # tokenize+gram fan-out runs a single time.
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles_from_words(words(F.col("text")), 5))
-        ).alias("sh"),
-    ).persist()
+    # Bind the words array to a column BEFORE shingling: the gram transform
+    # references it 5x per gram, and inlining the tokenizer there would
+    # re-tokenize per reference (shingles_from_words' documented trap).
+    grams = (
+        docs.select("doc_id", words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("ws"), 5))
+            ).alias("sh"),
+        )
+        .persist()
+    )
     _SCOPED_CACHES.append(grams)
     train = grams.filter(F.col("doc_id") % 20 != 0)
     eval_grams = grams.filter(F.col("doc_id") % 20 == 0).select("sh").distinct()
@@ -134,9 +141,10 @@ def _all_grams_cte(n: int) -> str:
 def text_repetition_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_doc = (
-        docs.select(
+        docs.select("doc_id", words(F.col("text")).alias("ws"))
+        .select(
             "doc_id",
-            F.explode(shingles_from_words(words(F.col("text")), 3)).alias("g"),
+            F.explode(shingles_from_words(F.col("ws"), 3)).alias("g"),
         )
         .groupBy("doc_id")
         .agg(
