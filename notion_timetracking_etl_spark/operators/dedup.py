@@ -176,6 +176,21 @@ def lsh_candidate_pairs(
     (band, band-hash) struct array) — a per-band union would re-evaluate the
     upstream minhash aggregation once per band.
     """
+    buckets = band_buckets(signatures, num_hashes, bands)
+    left = buckets.select(F.col("doc").alias("a"), "band", "bh")
+    right = buckets.select(F.col("doc").alias("b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def band_buckets(
+    signatures: DataFrame, num_hashes: int = 12, bands: int = 3
+) -> DataFrame:
+    """(doc, band, band-hash) bucket assignments, all bands in one pass."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -194,17 +209,32 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select(
+    return signatures.select(
         F.col("doc"), F.explode(band_structs).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    left = buckets.select(F.col("doc").alias("a"), "band", "bh")
-    right = buckets.select(F.col("doc").alias("b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+
+
+def lsh_cross_candidates(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Incremental-ingest candidate pairs: NEW-batch docs against the
+    EXISTING corpus only — ``(a=new doc, b=corpus doc)`` sharing any LSH
+    band. The production shape for continuous ingestion: the corpus side's
+    pair space is never generated (band buckets join across sides only), so
+    a day's batch costs O(batch + matching buckets) regardless of corpus
+    size. Minhash signatures depend only on a doc's own shingles, so the
+    candidate set equals the full-corpus banding restricted to cross-side
+    pairs — which is what the DuckDB oracle replays."""
+    left = band_buckets(sig_new, num_hashes, bands).select(
+        F.col("doc").alias("a"), "band", "bh"
     )
+    right = band_buckets(sig_corpus, num_hashes, bands).select(
+        F.col("doc").alias("b"), "band", "bh"
+    )
+    return left.join(right, ["band", "bh"]).select("a", "b").distinct()
 
 
 def jaccard_verify(

@@ -315,3 +315,68 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         docs, "doc_id", "text", n_bits=32, max_hamming=2
     ).orderBy("a", "b")
+
+
+@register(
+    "dedup_incremental_batch",
+    "A6,J8,F20",
+    "Incremental-ingest near-dup gate: the arriving batch (doc_id % 10 = 9) "
+    "banded-joined against the EXISTING corpus only — the corpus pair space "
+    "is never generated, so a day's batch costs O(batch + shared buckets) "
+    "regardless of corpus size (operators/dedup.py::lsh_cross_candidates). "
+    "Per new doc: its best corpus match (highest exact Jaccard, tie to the "
+    "smallest corpus id). Oracle replays the full banding restricted to "
+    "cross-split pairs — valid because a doc's minhash signature depends "
+    "only on its own shingles.",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES},
+        cross_pairs AS (
+          SELECT CASE WHEN a % 10 = 9 THEN a ELSE b END AS doc_id,
+                 CASE WHEN a % 10 = 9 THEN b ELSE a END AS matched_doc,
+                 jaccard
+          FROM pairs
+          WHERE (a % 10 = 9) <> (b % 10 = 9)
+        )
+        SELECT doc_id, matched_doc, jaccard
+        FROM (
+          SELECT doc_id, matched_doc, jaccard,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY jaccard DESC, matched_doc
+                 ) AS rn
+          FROM cross_pairs
+        )
+        WHERE rn = 1
+        ORDER BY doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        _scoped_persist,
+        jaccard_verify,
+        lsh_cross_candidates,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _scoped_persist(shingle_table(docs, "doc_id", "text", 3))
+    is_new = F.col("doc") % 10 == 9
+    cands = lsh_cross_candidates(
+        minhash_signatures(sh.filter(is_new)),
+        minhash_signatures(sh.filter(~is_new)),
+    )
+    verified = jaccard_verify(cands, sh, 0.5)
+    # best corpus match per new doc via MAX over a comparison struct (full
+    # map-side combine — no per-doc window sort); tie on jaccard breaks to
+    # the SMALLEST corpus id, hence the negated id inside the struct.
+    return (
+        verified.groupBy("a")
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("b")).alias("nb"))).alias("m"))
+        .select(
+            F.col("a").alias("doc_id"),
+            (-F.col("m.nb")).alias("matched_doc"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )

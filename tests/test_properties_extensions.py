@@ -298,6 +298,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "lake_bucketed_cohort_activity",
         "contamination_ngram_overlap",
         "text_repetition_bands",
+        "dedup_incremental_batch",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
