@@ -30,8 +30,10 @@ _NO_ORACLE_TAIL = [name for name, spec in REGISTRY.items() if spec.oracle is Non
 
 
 def _last_sampled_round() -> dict[str, int]:
-    """Per-query latest round the driver recorded a correctness row for,
-    parsed from the committed CORRECTNESS_r*.json artifacts (0 = never)."""
+    """Per-query latest round the driver recorded a GREEN correctness row
+    for, parsed from the committed CORRECTNESS_r*.json artifacts (0 =
+    never-sampled OR most recent row was red — either way the query needs a
+    fresh driver row and sorts to the front of the sampling window)."""
     seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         m = os.path.basename(path)
@@ -40,8 +42,15 @@ def _last_sampled_round() -> dict[str, int]:
             rows = json.load(open(path, encoding="utf-8"))
         except (ValueError, OSError, json.JSONDecodeError):
             continue
-        for name in rows:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("hash_match") is not False
+                and row.get("rows_match") is not False
+                and row.get("err") in (None, "no_oracle")
+            )
+            if rnd >= seen.get(name, 0):
+                seen[name] = rnd if green else 0
     return seen
 
 
