@@ -21,6 +21,7 @@ from ..operators.text import TOKEN_PATTERN
 from ..sources.tpch import load_table
 from .helpers import ordered_small
 from .registry import register
+from .text import _QUALITY_SCORE_SQL
 
 CHUNK_TOKENS = 50
 CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
@@ -209,4 +210,112 @@ def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("removed").cast("bigint").alias("chars_removed"),
         ),
         "source",
+    )
+
+
+@register(
+    "corpus_prep_pipeline",
+    "ext:pipeline,P5-analog,A6,P2-analog,W-ext-scan",
+    "The END-TO-END corpus preparation path in ONE plan — quality gate "
+    "(score >= 0.5) -> exact dedup (keep min doc per content sha, text "
+    "carried through a struct-MIN so no join-back) -> 50-token/stride-40 "
+    "chunking -> token-budget batch packing via the exact distributed "
+    "prefix sum. Proves the independently-verified stages COMPOSE: one "
+    "registered query, one oracle replaying all four stages. Per batch: "
+    "chunk count, distinct docs, token total.",
+    oracle=f"""
+        WITH kept AS (
+          SELECT doc_id, text FROM documents
+          WHERE ({_QUALITY_SCORE_SQL}) >= 0.5
+        ),
+        ded AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+        ),
+        dd AS (
+          SELECT k.doc_id, k.text FROM kept k JOIN ded USING (doc_id)
+        ),
+        tk AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+          FROM dd
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(k.s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                 CAST(len(list_slice(toks, k.s + 1, k.s + {CHUNK_TOKENS}))
+                      AS BIGINT) AS n_tokens
+          FROM tk
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE}))
+              AS s
+          ) k
+          WHERE len(toks) > 0
+        ),
+        run AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM chunks
+        )
+        SELECT CAST((running - n_tokens) // {TOKEN_BUDGET} AS BIGINT)
+                 AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+        FROM run
+        GROUP BY batch_id
+        ORDER BY batch_id
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_prefix_sum
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(quality_score(F.col("text")) >= 0.5)
+    # exact dedup keeping the min-id doc WITH its text: MIN over a
+    # (doc_id, text) struct — the content rides the aggregation, so no
+    # second shuffle to join the text back (texts in a sha group are
+    # identical, so min-by-doc_id picks the same content)
+    surv = (
+        kept.select(
+            F.sha2(F.col("text"), 256).alias("sha"),
+            F.struct("doc_id", "text").alias("s"),
+        )
+        .groupBy("sha")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+    )
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    with_toks = surv.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS)
+    chunks = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+    run = with_global_prefix_sum(
+        chunks, [F.col("doc_id"), F.col("chunk_idx")], "n_tokens", "running"
+    )
+    return (
+        run.groupBy(
+            ((F.col("running") - F.col("n_tokens")) / TOKEN_BUDGET)
+            .cast("bigint")
+            .alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("batch_tokens"),
+        )
+        .orderBy("batch_id")
     )

@@ -299,6 +299,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "contamination_ngram_overlap",
         "text_repetition_bands",
         "dedup_incremental_batch",
+        "corpus_prep_pipeline",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
