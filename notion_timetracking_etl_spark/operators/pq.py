@@ -36,18 +36,21 @@ def pq_fit(
     k: int = 8,
     iters: int = 2,
     dims: int = 64,
+    scoped: bool = True,
 ) -> PqModel:
     """Train M independent subspace codebooks (Lloyd's, deterministic
-    min-id init per subspace — kmeans_fit conventions, query-scoped
-    checkpoints). Returns [(sub, assignments, centroids)]; the assignments
-    ARE the PQ codes (vec_id -> nearest codebook centroid per subspace)."""
+    min-id init per subspace — kmeans_fit conventions). Returns
+    [(sub, assignments, centroids)]; the assignments ARE the PQ codes
+    (vec_id -> nearest codebook centroid per subspace). ``scoped=False``
+    hands checkpoint lifetime to the caller (a session-cached model reused
+    across queries — the production fit-once shape)."""
     per = dims // m
     models: PqModel = []
     for j in range(m):
         sub = emb.select(
             F.col(id_col), F.slice(F.col(vec_col), j * per + 1, per).alias("sub")
         )
-        asg, cent = kmeans_fit(sub, id_col, "sub", k=k, iters=iters, scoped=True)
+        asg, cent = kmeans_fit(sub, id_col, "sub", k=k, iters=iters, scoped=scoped)
         models.append((j, asg, cent))
     return models
 
