@@ -223,3 +223,38 @@ def test_driver_priority_window_rotates_least_recently_sampled_first():
         assert n in window
     for n in (n for n, s in REGISTRY.items() if s.oracle is None):
         assert n not in window
+
+
+def test_incremental_lsh_finds_planted_cross_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words about spark shuffles and joins here"
+    # corpus: ids 1..3 (none ≡ 9 mod 10); batch: id 19 near-dups corpus doc 1
+    docs = spark.createDataFrame(
+        [(1, base), (2, other), (3, other + " more"), (19, base + " extra")],
+        "doc_id long, text string",
+    )
+    from notion_timetracking_etl_spark.operators.dedup import (
+        _scoped_persist,
+        jaccard_verify,
+        lsh_cross_candidates,
+        minhash_signatures,
+        release_scoped_caches,
+        shingle_table,
+    )
+
+    sh = _scoped_persist(shingle_table(docs, "doc_id", "text", 3))
+    is_new = F.col("doc") % 10 == 9
+    cands = lsh_cross_candidates(
+        minhash_signatures(sh.filter(is_new), num_hashes=12),
+        minhash_signatures(sh.filter(~is_new), num_hashes=12),
+        num_hashes=12,
+        bands=6,  # high-recall banding (see planted-near-dup test above)
+    )
+    got = {(r.a, r.b) for r in cands.collect()}
+    verified = jaccard_verify(cands, sh, 0.5).collect()
+    release_scoped_caches()
+    assert (19, 1) in got
+    assert [(r.a, r.b) for r in verified] == [(19, 1)]
+    assert verified[0].jaccard > 0.5
+    # no corpus-side pair ever surfaces — the whole point of the cross join
+    assert all(a == 19 for a, _ in got)

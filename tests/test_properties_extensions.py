@@ -303,3 +303,27 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 64),
+    st.integers(1, 64),
+    st.sampled_from(["P5", "P6"]),
+    st.booleans(),
+    st.integers(1, 255),
+)
+def test_ppm_decode_round_trips_generated_headers(w, h, magic, comment, maxval):
+    from notion_timetracking_etl_spark.operators.multimodal import ppm_decode
+
+    per_px = (3 if magic == "P6" else 1)
+    header = (
+        f"{magic}\n" + ("# c\n" if comment else "") + f"{w} {h}\n{maxval}\n"
+    ).encode()
+    raster = bytes(min(i % 251, maxval) for i in range(w * h * per_px))
+    assert ppm_decode(header + raster, "image") == (w, h, 1)
+    # one byte short of the advertised raster must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ppm_decode(header + raster[:-1], "image")
