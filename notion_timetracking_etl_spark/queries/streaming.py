@@ -21,7 +21,7 @@ from ..streaming import (
     user_stats_stateful,
     view_purchase_interval_join,
 )
-from .helpers import dsum_sql
+from .helpers import dsum, dsum_sql
 from .registry import register
 
 
@@ -185,3 +185,62 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sliding_rollup(read_events_stream(spark, sf_dir))
     return run_stream_to_table(stream).orderBy("window_start", "event_type")
+
+
+_INGEST_LAKES: dict[str, str] = {}  # sf_dir -> drained lake path (this process)
+
+
+@register(
+    "streaming_lake_ingest",
+    "S6-analog-stream,S8-analog",
+    "Exactly-once streaming ingestion into a date-partitioned lake "
+    "(sinks/parquet.py::stream_to_parquet_lake): the events backlog drains "
+    "via Trigger.AvailableNow through the transactional file sink "
+    "(checkpoint offsets + sink commit log — a re-run over the unchanged "
+    "source writes NOTHING new), then the lake is read back and profiled "
+    "per event_type. The oracle aggregates the raw events directly, so the "
+    "hash proves the drain dropped and duplicated nothing — the ingest "
+    "loop a 100 TB/day deployment runs on a schedule as incremental batch.",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               {dsum_sql("value", "total_value")}
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def streaming_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..sinks.parquet import stream_to_parquet_lake
+
+    path = _INGEST_LAKES.get(sf_dir)
+    if path is None:
+        # fresh base per (process, sf_dir): no stale-lake risk across driver
+        # rounds; within the process, the checkpoint makes re-drains no-ops
+        base = tempfile.mkdtemp(prefix="sg_stream_lake_")
+        path = f"{base}/lake"
+        stream = read_events_stream(spark, sf_dir).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        stream_to_parquet_lake(
+            stream, path, f"{base}/ckpt", partition_cols=("event_date",)
+        )
+        _INGEST_LAKES[sf_dir] = path
+    ev = read_events_stream(spark, sf_dir)  # schema donor (batch twin below)
+    lake = spark.read.schema(
+        ev.schema.add("event_date", "date")
+    ).parquet(path)
+    return (
+        lake.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -300,6 +300,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "text_repetition_bands",
         "dedup_incremental_batch",
         "corpus_prep_pipeline",
+        "streaming_lake_ingest",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
