@@ -106,37 +106,26 @@ def test_pbi_refresh_posts_exactly_the_pipeline_query_rows(
 def test_excel_export_sheet_model_matches_pipeline_queries(
     spark, sf_dir, canon_data_dir, capsys
 ):
-    try:
-        import openpyxl  # noqa: F401
+    # the writer no longer needs openpyxl (minimal OOXML fallback): the CLI
+    # must produce a real workbook whose sheets carry exactly the
+    # pipeline-query rows
+    import xml.etree.ElementTree as ET
+    import zipfile
 
-        have_openpyxl = True
-    except ImportError:
-        have_openpyxl = False
-
-    if have_openpyxl:
-        out_path = os.path.join(canon_data_dir, "export.xlsx")
-        rc = main(
-            ["excel-export", "--data-dir", canon_data_dir, "--output", out_path],
-            spark=spark, seams=Seams(),
-        )
-        assert rc == 0 and os.path.exists(out_path)
-        return
-
-    # no openpyxl in this container: the CLI must fail with the documented
-    # seam error, and the sheet MODEL (everything but the xlsx encode) must
-    # carry exactly the pipeline-query rows
-    from notion_timetracking_etl_spark.cli import _read_canon_and_derive
-    from notion_timetracking_etl_spark.sinks.excel import build_workbook_model
-
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        main(
-            ["excel-export", "--data-dir", canon_data_dir],
-            spark=spark, seams=Seams(),
-        )
-    result = _read_canon_and_derive(spark, canon_data_dir)
-    sheets = {s.name: s for s in build_workbook_model(result.tables)}
-    assert sorted(sheets) == sorted(TABLE_TO_QUERY)
-    for table, query in TABLE_TO_QUERY.items():
-        expected = REGISTRY[query].spark(spark, sf_dir).count()
-        assert len(sheets[table].rows) == expected, table
-        assert sheets[table].header  # header row present even when empty
+    out_path = os.path.join(canon_data_dir, "export.xlsx")
+    rc = main(
+        ["excel-export", "--data-dir", canon_data_dir, "--output", out_path],
+        spark=spark, seams=Seams(),
+    )
+    assert rc == 0 and os.path.exists(out_path)
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(out_path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        order = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        assert order == sorted(TABLE_TO_QUERY)
+        for i, table in enumerate(order, start=1):
+            sheet = ET.fromstring(zf.read(f"xl/worksheets/sheet{i}.xml"))
+            n_rows = len(list(sheet.iter(f"{ns}row")))
+            expected = REGISTRY[TABLE_TO_QUERY[table]].spark(spark, sf_dir).count()
+            # header row + data rows (a zero-row table still gets its header)
+            assert n_rows == expected + 1, table

@@ -49,16 +49,53 @@ def test_excel_sheet_model_sorted_nulls_coerced(spark):
     assert sheets[1].rows == [[1, ""], [2, "x"]]  # null → ''
 
 
-def test_excel_writer_gated_without_openpyxl(spark, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_writer_roundtrips_real_xlsx(spark, tmp_path):
+    """write_excel produces a REAL workbook with no dependencies: reopen the
+    zip, parse the SpreadsheetML parts, and check sheet order, header
+    styling/cells, value cells, and the column-width floor."""
+    import xml.etree.ElementTree as ET
+    import zipfile
 
-        pytest.skip("openpyxl installed; gate not exercised")
-    except ImportError:
-        pass
-    df = spark.createDataFrame([(1,)], "id long")
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        write_excel({"T": df}, str(tmp_path / "out.xlsx"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    t_b = spark.createDataFrame(
+        [(1, None), (2, 'x <&> "q"')], "id long, label string"
+    )
+    t_a = spark.createDataFrame([], "id long")
+    out = str(tmp_path / "out.xlsx")
+    sheets = write_excel({"B_table": t_b, "A_table": t_a}, out)
+    assert [s.name for s in sheets] == ["A_table", "B_table"]
+
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml", "xl/styles.xml",
+                "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml"} <= names
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        assert [s.get("name") for s in wb.iter("{%s}sheet" % ns["m"])] == [
+            "A_table", "B_table"
+        ]
+        s1 = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        assert list(s1.iter("{%s}row" % ns["m"])) == []  # empty sheet
+        s2 = ET.fromstring(zf.read("xl/worksheets/sheet2.xml"))
+        rows = list(s2.iter("{%s}row" % ns["m"]))
+        assert len(rows) == 3  # header + 2 data rows
+        hdr = [c.find("m:is/m:t", ns).text for c in rows[0]]
+        assert hdr == ["id", "label"]
+        assert all(c.get("s") == "1" for c in rows[0])  # header style
+        # row 2: numeric id cell, null label coerced to '' (empty inline str)
+        cells = list(rows[1])
+        assert cells[0].find("m:v", ns).text == "1"
+        assert cells[1].find("m:is/m:t", ns).text is None  # '' round-trip
+        cells = list(rows[2])
+        assert cells[1].find("m:is/m:t", ns).text == 'x <&> "q"'  # escaping
+        col = s2.find("m:cols/m:col", ns)
+        assert float(col.get("width")) >= 15
+        # styles: xf 1 = bold font on the solid gray fill
+        st = ET.fromstring(zf.read("xl/styles.xml"))
+        xfs = list(st.find("m:cellXfs", ns))
+        assert xfs[1].get("fontId") == "1" and xfs[1].get("fillId") == "2"
+        fill = list(st.find("m:fills", ns))[2].find("m:patternFill", ns)
+        assert fill.get("patternType") == "solid"
+        assert fill.find("m:fgColor", ns).get("rgb") == "FFE0E0E0"
 
 
 # -- Notion source (S1/S2/S3) -------------------------------------------------
