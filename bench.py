@@ -1,9 +1,13 @@
 """Benchmark harness — the driver's per-round feedback loop.
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
- "sf": <sf>}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact
+JSON line: {"metric", "value" (total sec), "unit", "sf", "n_queries",
+"queries" (slowest 10 only — the full map lives in BENCH_SELF.json),
+"worst_query", "worst_ratio_vs_baseline_min", "n_over_2x_baseline"}. The
+line is guaranteed well under 2 KB at any registry size because the
+driver's stdout-tail capture (~4 KB) truncated the old full-map line three
+rounds running (BENCH_r02..r04 `parsed: null`).
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
 shared session warm-up, so the numbers reflect steady-state engine throughput
