@@ -119,6 +119,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs, distinct per doc.
 
+    NULL text yields ZERO shingle rows — a NULL document has no content.
+    This is distinct from the EMPTY string, whose whole-text fallback is
+    the ``''`` shingle, and it is load-bearing for cross-engine parity:
+    without the filter Spark's ``concat_ws`` renders NULL words as ``''``
+    while DuckDB's ``array_to_string(NULL)`` stays NULL, so a NULL doc
+    would gram-match every empty doc on one engine and nothing on the
+    other (caught by tests/test_extensions.py unicode/NULL parity probe).
+    The oracle twin (queries/dedup.py::_shingles_cte) filters identically.
+
     Repartitions the input first: document files are small relative to
     ``spark.sql.files.maxPartitionBytes``, so a raw scan often lands on a
     handful of partitions and the (CPU-heavy) shingle+hash work would not
@@ -127,6 +136,7 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .filter(F.col("_text").isNotNull())
         .repartition(parallelism, F.col("doc"))
         .select("doc", words(F.col("_text")).alias("_w"))
         .select(

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..operators.dedup import _SCOPED_CACHES, shingles_from_words, words
+from ..operators.dedup import (
+    _SCOPED_CACHES,
+    shingle_table,
+    shingles_from_words,
+    words,
+)
 from ..sources.tpch import load_table
 from .dedup import _shingles_cte, _WORDS_SQL
 from .registry import register
@@ -57,18 +62,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers (train-gram counts, the overlap join, the eval side)
     # read the shingle table; persist it once, query-scoped (released by
     # release_scoped_caches like every dedup-family intermediate) so the
-    # tokenize+gram fan-out runs a single time.
-    # Bind the words array to a column BEFORE shingling: the gram transform
-    # references it 5x per gram, and inlining the tokenizer there would
-    # re-tokenize per reference (shingles_from_words' documented trap).
+    # tokenize+gram fan-out runs a single time. shingle_table binds the
+    # words array before shingling (the re-tokenization trap) AND carries
+    # the family's NULL-text contract (zero shingles for NULL docs).
     grams = (
-        docs.select("doc_id", words(F.col("text")).alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles_from_words(F.col("ws"), 5))
-            ).alias("sh"),
-        )
+        shingle_table(docs, "doc_id", "text", 5)
+        .withColumnRenamed("doc", "doc_id")
         .persist()
     )
     _SCOPED_CACHES.append(grams)
@@ -98,10 +97,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _all_grams_cte(n: int) -> str:
     """Non-distinct variant of the dedup family's shingle CTE (repetition
-    needs every occurrence, not the set)."""
+    needs every occurrence, not the set). Carries the same NULL-text
+    contract: NULL docs contribute zero grams on both engines."""
     gram = ", ".join(f"ws[i+{j}]" for j in range(n))
     return f"""
-  w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+  w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        WHERE text IS NOT NULL),
   g AS (
     SELECT doc_id,
            unnest(CASE WHEN len(ws) >= {n}
@@ -141,7 +142,8 @@ def _all_grams_cte(n: int) -> str:
 def text_repetition_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_doc = (
-        docs.select("doc_id", words(F.col("text")).alias("ws"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("ws"))
         .select(
             "doc_id",
             F.explode(shingles_from_words(F.col("ws"), 3)).alias("g"),

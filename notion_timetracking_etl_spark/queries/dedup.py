@@ -36,9 +36,12 @@ from .registry import register
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 def _shingles_cte(n: int) -> str:
+    # text IS NOT NULL mirrors operators/dedup.py::shingle_table: NULL docs
+    # have zero shingles on BOTH engines (see the parity note there)
     gram = ", ".join(f"ws[i+{j}]" for j in range(n))
     return f"""
-  w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+  w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        WHERE text IS NOT NULL),
   sh AS (
     SELECT DISTINCT doc_id AS doc,
            unnest(CASE WHEN len(ws) >= {n}

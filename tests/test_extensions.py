@@ -258,3 +258,46 @@ def test_incremental_lsh_finds_planted_cross_dup(spark):
     assert verified[0].jaccard > 0.5
     # no corpus-side pair ever surfaces — the whole point of the cross join
     assert all(a == 19 for a, _ in got)
+
+
+def test_decontam_family_unicode_parity(spark, tmp_path):
+    """Cross-engine hash parity for the round-5 gram queries on a hostile
+    unicode corpus (accents, CJK, emoji, DECOMPOSED combining marks) — the
+    input class that split the engines in the round-4 probes. The shared
+    whitespace tokenization must keep Spark and DuckDB bit-identical."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from tests.parity import compare_query
+
+    rows = [
+        (0, "café au lait café au lait résumé données"),
+        (1, "café au lait café au lait résumé données"),
+        (19, "café au lait café au lait résumé données extra"),
+        (2, "日本語 テスト 日本語 "
+            "テスト データ 処理 分散"),
+        (20, "emoji \U0001f600 soup \U0001f680 emoji \U0001f600 soup "
+             "\U0001f680 again \U0001f600"),
+        (3, "plain ascii words repeated words repeated words repeated here"),
+        (40, None),
+        (41, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "contamination_ngram_overlap",
+        "text_repetition_bands",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_simhash_hamming",
+        "dedup_ngram_jaccard",
+        "dedup_incremental_batch",
+    ):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
