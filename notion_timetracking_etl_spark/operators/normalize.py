@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from ..config import NotionConfig, require_configured
 from ..schemas import RAW_VALUE_SCHEMA
 from ..functions import extract as X
-from ..functions.strings import normalize_nullable_string, sort_key, stable_entity_id
+from ..functions.strings import sort_key, stable_entity_id
 from ..functions.datetimes import duration_seconds, parse_iso
 
 
