@@ -40,7 +40,11 @@ def norm_sq(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+    """NULL (never an ANSI DIVIDE_BY_ZERO crash) when either vector has
+    zero norm — cosine is undefined there, and DuckDB's double division by
+    zero is NULL too, so the engines agree; NULL comparisons then fall out
+    of every threshold filter and rank last under DESC ordering."""
+    return F.try_divide(dot(a, b), F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
 
 
 def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -48,9 +52,9 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
 
     ``norm_a``/``norm_b`` must be ``sqrt(norm_sq(v))`` of the same vectors —
     the value is then bit-identical to :func:`cosine` (same fold, same
-    multiply/divide order) while the O(pairs) work drops from three array
-    folds to one."""
-    return dot(a, b) / (norm_a * norm_b)
+    multiply/divide order, same NULL-on-zero-norm contract) while the
+    O(pairs) work drops from three array folds to one."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def topk_bruteforce(

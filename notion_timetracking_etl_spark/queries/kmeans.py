@@ -14,6 +14,7 @@ from ..operators.kmeans import kmeans_fit
 from ..sources.tpch import load_table
 from .helpers import ordered_small
 from .registry import register
+from .similarity import load_embeddings
 
 K = 8
 ITERS = 3
@@ -32,7 +33,7 @@ def fitted_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MODEL_CACHE.get(key)
     if cached is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         cached = kmeans_fit(
             emb, "vec_id", "embedding", k=K, iters=ITERS, scoped=False
         )
@@ -185,7 +186,7 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import topk_ivf_kmeans
     from .similarity import _query_set
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.select("vec_id", "embedding")
     out = topk_ivf_kmeans(
         corpus,

@@ -14,7 +14,7 @@ from ..operators.pq import PqModel, pq_fit, pq_search
 from ..sources.tpch import load_table
 from .helpers import ordered_small
 from .registry import register
-from .similarity import _QUERY_PRED
+from .similarity import _QUERY_PRED, load_embeddings
 
 M_SUBS = 4
 PQ_K = 16
@@ -37,7 +37,7 @@ def fitted_pq_model(spark: SparkSession, sf_dir: str) -> PqModel:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PQ_MODEL_CACHE.get(key)
     if cached is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         cached = pq_fit(
             emb, m=M_SUBS, k=PQ_K, iters=PQ_ITERS, dims=DIMS, scoped=False
         )
@@ -173,7 +173,7 @@ def _pq_oracle_sql() -> str:
     oracle=_pq_oracle_sql(),
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.expr(_QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -273,7 +273,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_search
     from .kmeans import fitted_model
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.expr(_QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

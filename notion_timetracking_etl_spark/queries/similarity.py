@@ -48,12 +48,30 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({dot} / (sqrt({na}) * sqrt({nb})))"
 
 
+# Vector-index ingest contract, shared by every embeddings consumer
+# (similarity / k-means / PQ): rows whose vector is NULL or not exactly
+# EMB_DIMS wide are EXCLUDED before any distance math. Without it, a single
+# ragged row poisons k-means centroid means and PQ code sums differently
+# per engine, and a NULL vector turns whole aggregates NULL (caught by
+# tests/test_extensions.py::test_embedding_family_hostile_vectors). The
+# driver corpus is all-valid, so the filter is a no-op there; the DuckDB
+# twin of the contract is the same predicate on the view/CTE.
+EMB_DIMS = 64
+VALID_EMB_PRED = f"embedding IS NOT NULL AND size(embedding) = {EMB_DIMS}"
+VALID_EMB_PRED_SQL = f"embedding IS NOT NULL AND len(embedding) = {EMB_DIMS}"
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the vector-index ingest contract."""
+    return load_table(spark, sf_dir, "embeddings").filter(F.expr(VALID_EMB_PRED))
+
+
 # Query vectors: a fixed, sf-independent slice of the corpus itself.
 _QUERY_PRED = "vec_id < 5"
 
 
 def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return emb.filter(F.expr(_QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -88,7 +106,7 @@ def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.select("vec_id", "embedding")
     return ordered_small(
         topk_bruteforce(corpus, _query_set(spark, sf_dir), k=10), "query_id", "rank"
@@ -145,7 +163,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.select("vec_id", "embedding", "label")
     return ordered_small(
         topk_ivf(corpus, _query_set(spark, sf_dir), k=10), "query_id", "rank"
@@ -168,7 +186,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.select("vec_id", "embedding", "label")
     # Near-dup pairs are Θ(corpus) on duplicated input → distributed orderBy,
     # never a repartition(1) funnel (HARD RULE in helpers.ordered_small).
@@ -230,7 +248,7 @@ def _srp_oracle(bits: int, bands: int, threshold: float) -> str:
 def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import srp_near_dup_pairs
 
-    corpus = load_table(spark, sf_dir, "embeddings")
+    corpus = load_embeddings(spark, sf_dir)
     pairs = srp_near_dup_pairs(corpus, bits=32, bands=4, threshold=0.3)
     # O(near-dup pairs) output — distributed orderBy per the corpus-sized rule
     return pairs.orderBy("a", "b")
@@ -259,7 +277,7 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import norm_sq
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     nrm = F.sqrt(norm_sq(F.col("embedding")))
     return ordered_small(
         emb.select(F.col("label").cast("bigint").alias("label"), nrm.alias("nrm"))

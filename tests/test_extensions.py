@@ -301,3 +301,55 @@ def test_decontam_family_unicode_parity(spark, tmp_path):
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
+
+
+def test_embedding_family_hostile_vectors(spark, tmp_path):
+    """Vector-index ingest contract under hostile input: a NULL vector, a
+    ragged (empty) vector, and a ZERO vector (norm 0 — undefined cosine).
+    Every embedding-family query must (a) not crash (pre-fix: ANSI
+    DIVIDE_BY_ZERO in cosine), (b) exclude the invalid rows, and (c) stay
+    hash-identical to DuckDB under the same contract predicate."""
+    import random
+
+    import duckdb
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.queries.similarity import (
+        VALID_EMB_PRED_SQL,
+    )
+    from tests.parity import compare_query
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)], i % 4)
+        for i in range(40)
+    ]
+    rows += [
+        (100, None, 0),        # NULL vector
+        (101, [], 1),          # ragged (empty) vector
+        (102, [0.0] * 64, 2),  # zero vector: valid dims, undefined cosine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet') WHERE {VALID_EMB_PRED_SQL}"
+    )
+    for name in (
+        "similarity_topk_bruteforce",
+        "similarity_topk_ivf",
+        "similarity_embedding_near_dup",
+        "similarity_srp_lsh",
+        "embedding_norm_profile",
+        "kmeans_embeddings",
+        "similarity_topk_ivf_kmeans",
+        "similarity_topk_pq",
+        "similarity_topk_ivfpq",
+    ):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        release_scoped_caches()
+        assert res.ok, f"{name}: {res.detail}"
