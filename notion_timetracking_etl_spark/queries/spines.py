@@ -4,6 +4,12 @@ The reference builds these with imperative loops (derive/index.ts:394-449);
 Spark-first they are ``sequence()`` + ``posexplode`` — a generator expression
 evaluated from a 1-row aggregate, so at 100 TB the only scan is the min/max
 aggregate (column-pruned to one column, map-side combined).
+
+Both spines clamp their upper bound (100 years of days / ~11 years of
+hours) — the same defensive posture as operators/intervals.py: ONE corrupt
+far-future timestamp in the source must cost a bounded spine, not a
+70M-element sequence array materialized inside a single row. No-ops on
+sane data; oracles clamp identically.
 """
 
 from __future__ import annotations
@@ -23,7 +29,9 @@ from .registry import register
     "(reference: derive/index.ts:394-413).",
     oracle="""
         WITH r AS (
-          SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+          SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                 LEAST(CAST(max(o_orderdate) AS DATE),
+                       CAST(min(o_orderdate) AS DATE) + 36500) AS hi
           FROM orders
         ),
         spine AS (
@@ -47,6 +55,10 @@ def dim_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min(F.col("o_orderdate").cast("date")).alias("lo"),
         F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    ).select(
+        "lo",
+        # 100-year clamp: a corrupt year-9999 date costs 36.5k rows, not 3M
+        F.least(F.col("hi"), F.date_add(F.col("lo"), 36500)).alias("hi"),
     )
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
@@ -70,7 +82,9 @@ def dim_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic off the hour delta — no window function, no extra shuffle.",
     oracle="""
         WITH r AS (
-          SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+          SELECT date_trunc('hour', min(ts)) AS lo,
+                 LEAST(date_trunc('hour', max(ts)),
+                       date_trunc('hour', min(ts)) + INTERVAL 100000 HOUR) AS hi
           FROM events
         ),
         spine AS (
@@ -91,6 +105,16 @@ def playback_frame_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = events.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(
+        "lo",
+        # ~11-year clamp: a corrupt far-future ts costs 100k frames, not a
+        # 70M-element array inside one row (intervals.py posture, W2 spine)
+        F.least(
+            F.col("hi"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("lo")) + F.lit(100_000 * 3_600_000_000)
+            ),
+        ).alias("hi"),
     )
     spine = bounds.select(
         F.col("lo"),

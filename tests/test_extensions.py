@@ -353,3 +353,34 @@ def test_embedding_family_hostile_vectors(spark, tmp_path):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         release_scoped_caches()
         assert res.ok, f"{name}: {res.detail}"
+
+
+def test_spines_bounded_under_corrupt_far_future_timestamp(spark, tmp_path):
+    """ONE corrupt year-9999 row must cost a clamped spine (100k hourly /
+    36.5k daily rows), not a 70M-element sequence array inside a single
+    row — the operators/intervals.py posture applied to the W2/W3 spines.
+    Cross-engine: the oracles clamp identically (checked by the NULL/
+    hostile parity harness; here we pin the bound itself)."""
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") == 1,
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).otherwise(F.col("ts")),
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "o_orderdate",
+        F.when(
+            F.col("o_orderkey") == 1,
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).otherwise(F.col("o_orderdate")),
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    n_days = REGISTRY["dim_date_spine"].spark(spark, str(tmp_path)).count()
+    assert n_days == 36500 + 1  # lo..lo+36500 inclusive
+    n_hours = REGISTRY["playback_frame_spine"].spark(spark, str(tmp_path)).count()
+    assert n_hours == 100_000 + 1
