@@ -533,7 +533,12 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(k) AS BIGINT) AS max_k
         FROM (
           SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 -- json_valid guard = the tolerant twin of Spark's
+                 -- get_json_object, which yields NULL on malformed JSON
+                 -- where DuckDB's json_extract_string raises
+                 CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS k
           FROM events
         ) x
         GROUP BY event_type

@@ -384,3 +384,31 @@ def test_spines_bounded_under_corrupt_far_future_timestamp(spark, tmp_path):
     assert n_days == 36500 + 1  # lo..lo+36500 inclusive
     n_hours = REGISTRY["playback_frame_spine"].spark(spark, str(tmp_path)).count()
     assert n_hours == 100_000 + 1
+
+
+def test_props_extract_tolerates_malformed_json(spark, tmp_path):
+    """Garbage in the props column must NOT crash either engine: Spark's
+    get_json_object yields NULL on malformed JSON, and the oracle's
+    json_valid guard is its tolerant DuckDB twin (raw json_extract_string
+    raises there)."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+    from tests.parity import compare_query
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 7 == 0, F.lit("{not json at all"))
+        .when(F.col("event_id") % 11 == 0, F.lit(""))
+        .otherwise(F.col("props")),
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    res = compare_query(spark, con, REGISTRY["events_props_extract"], str(tmp_path))
+    assert res.ok, res.detail
