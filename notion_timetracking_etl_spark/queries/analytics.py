@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 
 from ..operators.dedup import _scoped_persist
 from ..sources.tpch import load_table
-from .helpers import ordered_small
+from .helpers import _finite, ordered_small
 from .registry import register
 
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
@@ -171,7 +171,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
-                 SUM(CAST(value AS DECIMAL(38,6))) AS v
+                 SUM(CAST((CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END) AS DECIMAL(38,6))) AS v
           FROM events GROUP BY 1, 2
         )
         SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
@@ -190,7 +190,7 @@ def rolling_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+        F.sum(_finite(F.col("value")).cast("decimal(38,6)")).alias("v"),
     )
     # unix_date = days-since-epoch, a pure DATE computation — timezone-free,
     # unlike date→timestamp→long which shifts with the session timezone on a
@@ -236,7 +236,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
                     ELSE event_type END AS event_type,
                CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CAST((CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
                  AS total_value
         FROM daily GROUP BY ROLLUP(event_type, day)
         ORDER BY event_type, day
@@ -253,7 +253,7 @@ def rollup_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.rollup("event_type", "day")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)"))
+            F.sum(_finite(F.col("value")).cast("decimal(38,6)"))
             .cast("double")
             .alias("total_value"),
             F.grouping("event_type").alias("g_et"),
@@ -332,7 +332,7 @@ def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE event_type END AS event_type,
                CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CAST((CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
                  AS total_value
         FROM daily GROUP BY CUBE(event_type, day)
         ORDER BY event_type, day
@@ -349,7 +349,7 @@ def cube_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.cube("event_type", "day")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)"))
+            F.sum(_finite(F.col("value")).cast("decimal(38,6)"))
             .cast("double")
             .alias("total_value"),
             F.grouping("event_type").alias("g_et"),
@@ -385,7 +385,7 @@ def cube_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH spend AS (
           SELECT o_custkey,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 CAST(SUM(CAST((CASE WHEN isfinite(CAST(o_totalprice AS DOUBLE)) THEN o_totalprice END) AS DECIMAL(38,6))) AS DOUBLE)
                    AS total_spend,
                  CAST(COUNT(*) AS BIGINT) AS n_orders
           FROM orders GROUP BY o_custkey
@@ -404,7 +404,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        F.sum(_finite(F.col("o_totalprice")).cast("decimal(38,6)"))
         .cast("double")
         .alias("total_spend"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -574,7 +574,7 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS day,
-                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+                 CAST(SUM(CAST((CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END) AS DECIMAL(38,6))) AS DOUBLE) AS v
           FROM events GROUP BY 1, 2
         ),
         stats AS (

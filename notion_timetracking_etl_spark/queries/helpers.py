@@ -26,26 +26,47 @@ DATE_FMT_SPARK = "yyyy-MM-dd"
 DATE_FMT_DUCK = "%Y-%m-%d"
 
 
+def _finite(col: Column) -> Column:
+    """NaN/±inf → NULL, so non-finite doubles fall out of aggregates like
+    SQL NULLs do — on BOTH engines. Without the guard the convention
+    diverges hard: Spark's decimal cast nulls NaN while DuckDB's RAISES
+    (`can't be cast ... INT128`), so one corrupt measure kills the oracle
+    (ROBUSTNESS.md round-5). A no-op for finite values (and for integral
+    inputs, which can never be non-finite)."""
+    d = col.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) < F.lit(float("inf"))), col)
+
+
+def _finite_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_finite` (isfinite(NULL) is NULL → stays NULL)."""
+    return f"CASE WHEN isfinite(CAST(({expr}) AS DOUBLE)) THEN ({expr}) END"
+
+
 def dsum(col: Column) -> Column:
-    """Order-independent, cross-engine-exact sum of a double expression."""
-    return F.sum(col.cast("decimal(38,6)")).cast("double")
+    """Order-independent, cross-engine-exact sum of a double expression;
+    non-finite inputs are excluded (see :func:`_finite`)."""
+    return F.sum(_finite(col).cast("decimal(38,6)")).cast("double")
 
 
 def davg(col: Column) -> Column:
-    """Cross-engine-exact average: exact decimal sum / count, one double divide."""
+    """Cross-engine-exact average: exact decimal sum / count of FINITE
+    values, one double divide."""
+    g = _finite(col)
     return (
-        F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col)
+        F.sum(g.cast("decimal(38,6)")).cast("double") / F.count(g)
     ).cast("double")
 
 
 def dsum_sql(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    g = _finite_sql(expr)
+    return f"CAST(SUM(CAST(({g}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
 
 
 def davg_sql(expr: str, alias: str) -> str:
+    g = _finite_sql(expr)
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS DOUBLE) AS {alias}"
+        f"CAST(CAST(SUM(CAST(({g}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({g}) AS DOUBLE) AS {alias}"
     )
 
 

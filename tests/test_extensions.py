@@ -412,3 +412,38 @@ def test_props_extract_tolerates_malformed_json(spark, tmp_path):
     )
     res = compare_query(spark, con, REGISTRY["events_props_extract"], str(tmp_path))
     assert res.ok, res.detail
+
+
+def test_events_aggregates_tolerate_non_finite_values(spark, tmp_path):
+    """NaN/±inf in a measure column must not crash either engine or drift
+    the hashes: the decimal-sum convention guards with finite-only (Spark
+    nulls NaN on the decimal cast; DuckDB RAISES without the isfinite
+    guard). Probe pins cross-engine parity on a poisoned corpus."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+    from tests.parity import compare_query
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "value",
+        F.when(F.col("event_id") == 3, F.lit(float("nan")))
+        .when(F.col("event_id") == 5, F.lit(float("inf")))
+        .when(F.col("event_id") == 7, F.lit(float("-inf")))
+        .otherwise(F.col("value")),
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    for name in (
+        "rollup_event_day_totals",
+        "events_daily_outliers",
+        "rolling_daily_metrics",
+        "streaming_hourly_rollup",
+    ):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
