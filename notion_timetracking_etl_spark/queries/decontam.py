@@ -174,3 +174,35 @@ def text_repetition_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rep_band")
     )
+
+
+@register(
+    "text_boilerplate_passages",
+    "ext:decontam,A7-analog",
+    "Boilerplate/template detection (the C4-style curation signal): the 20 "
+    "most widely repeated 6-gram passages ACROSS documents — distinct "
+    "per-doc shingles from the shared shingle primitive, one gram "
+    "aggregation counting document spread, global top-k by spread with "
+    "lexicographic tie-break. Map-side partial aggregation; the top-k is "
+    "a bounded TakeOrdered, never a corpus-wide single-partition sort.",
+    oracle=f"""
+        WITH {_shingles_cte(6)}
+        SELECT sh AS passage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sh
+        GROUP BY sh
+        HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, passage
+        LIMIT 20
+    """,
+)
+def text_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_table(docs, "doc_id", "text", 6)
+    return (
+        grams.groupBy(F.col("sh").alias("passage"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("passage"))
+        .limit(20)
+    )

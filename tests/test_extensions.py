@@ -298,6 +298,7 @@ def test_decontam_family_unicode_parity(spark, tmp_path):
         "dedup_simhash_hamming",
         "dedup_ngram_jaccard",
         "dedup_incremental_batch",
+        "text_boilerplate_passages",
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"

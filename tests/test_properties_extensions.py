@@ -301,6 +301,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "dedup_incremental_batch",
         "corpus_prep_pipeline",
         "streaming_lake_ingest",
+        "text_boilerplate_passages",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
