@@ -1,0 +1,301 @@
+"""Corpus-curation planning queries (engine extension).
+
+The decision layer a pre-training data pipeline runs AFTER the per-document
+signals (queries/text.py) and dedup passes (queries/dedup.py) exist: which
+sources to trust, how a tokenizer behaves per language, which documents an
+n-gram LM flags as gibberish, and how to mix languages into a training
+budget. Absent from the reference (its corpus is API-pulled workspace rows,
+not web text) but first-class here per BASELINE.json's training-data scope.
+
+Scale shape at 100 TB:
+
+- ``source_reputation_summary``: one uniform-key shuffle (sha256 content
+  fingerprint) to find duplicate buckets, then a sources-sized rollup —
+  never doc×doc.
+- ``tokenizer_fertility_by_lang``: pure per-row counting, one partial-agg
+  shuffle carrying ≤ |langs| rows per partition.
+- ``unigram_lm_doc_scores``: the classic two-pass LM score — vocabulary
+  build (term shuffle, map-side combined) then a term join back to the
+  token stream. The vocabulary is Zipf-bounded (≪ corpus), so AQE
+  broadcasts it in practice; the plan never materializes doc×vocab.
+- ``corpus_mixture_plan``: aggregates to |langs| rows, then scalar
+  arithmetic against one broadcast row.
+
+FP parity: no libm calls anywhere (cf. text_tfidf_terms' note — ln() is
+cross-engine unstable in the last ulp). Every ratio is a single IEEE divide
+of exactly-computed integers, and every mean of computed doubles goes
+through helpers.davg_floor_micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.dedup import words
+from ..operators.text import fingerprint, quality_score, token_count, word_count
+from ..sources.tpch import load_table
+from .helpers import davg_floor_micros, davg_floor_micros_sql, ordered_small
+from .registry import register
+from .text import (
+    _FINGERPRINT_SQL,
+    _QUALITY_SCORE_SQL,
+    _TOKEN_COUNT_SQL,
+    _WORD_COUNT_SQL,
+)
+
+# Whitespace-token stream shared with the dedup family (operators/dedup.py
+# ``words`` and queries/dedup.py ``_WORDS_SQL``): NULL text explodes to zero
+# rows on both engines (Spark explode skips NULL arrays; DuckDB unnest(NULL)
+# yields none).
+_TOKS_CTE = r"""
+  toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+    WHERE text IS NOT NULL
+  )
+"""
+
+
+@register(
+    "source_reputation_summary",
+    "ext:curation,A6,A7,J8-analog",
+    "Domain-level curation table: per source, document/token volume, "
+    "language breadth, exact-duplicate incidence (normalized-content "
+    "sha256 appearing >1x corpus-wide), and mean quality — the table a "
+    "RefinedWeb-style source allow/block list is cut from. One shuffle on "
+    "the uniform fingerprint key, then a sources-sized rollup.",
+    oracle=f"""
+        WITH fps AS (
+          SELECT source,
+                 {_FINGERPRINT_SQL} AS fp,
+                 CAST({_TOKEN_COUNT_SQL} AS BIGINT) AS n_tokens,
+                 {_QUALITY_SCORE_SQL} AS q,
+                 lang
+          FROM documents
+        ),
+        buckets AS (SELECT fp, COUNT(*) AS n FROM fps GROUP BY 1)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(CASE WHEN buckets.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               CAST(SUM(CASE WHEN buckets.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS dup_ratio,
+               {davg_floor_micros_sql("q", "avg_quality")}
+        FROM fps JOIN buckets USING (fp)
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def source_reputation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    fps = docs.select(
+        "source",
+        fingerprint(t).alias("fp"),
+        token_count(t).cast("bigint").alias("n_tokens"),
+        quality_score(t).alias("q"),
+        "lang",
+    )
+    buckets = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    joined = fps.join(buckets, "fp")
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return ordered_small(
+        joined.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(dup).cast("bigint").alias("dup_docs"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+            davg_floor_micros(F.col("q")).alias("avg_quality"),
+        ),
+        "source",
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    "ext:curation,A3,A7",
+    "Tokenizer fertility report per declared language: BPE-ish tokens per "
+    "whitespace word (the 'fertility' every tokenizer paper tables) and "
+    "characters per token, from exact corpus-wide integer sums with one "
+    "IEEE divide each. Pure per-row counting; the shuffle carries |langs| "
+    "rows per partition after map-side combine.",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST({_WORD_COUNT_SQL} AS BIGINT)) AS BIGINT)
+                 AS n_words,
+               CAST(SUM(CAST({_TOKEN_COUNT_SQL} AS BIGINT)) AS BIGINT)
+                 AS n_tokens,
+               CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+               CASE WHEN SUM(CAST({_WORD_COUNT_SQL} AS BIGINT)) <> 0 THEN
+                 CAST(SUM(CAST({_TOKEN_COUNT_SQL} AS BIGINT)) AS DOUBLE)
+                   / SUM(CAST({_WORD_COUNT_SQL} AS BIGINT)) END
+                 AS tokens_per_word,
+               CASE WHEN SUM(CAST({_TOKEN_COUNT_SQL} AS BIGINT)) <> 0 THEN
+                 CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE)
+                   / SUM(CAST({_TOKEN_COUNT_SQL} AS BIGINT)) END
+                 AS chars_per_token
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        word_count(t).cast("bigint").alias("w"),
+        token_count(t).cast("bigint").alias("k"),
+        F.length(t).cast("bigint").alias("c"),
+    )
+    return ordered_small(
+        per_doc.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_chars"),
+            # Explicit zero-guard, not try_divide: a pure-punctuation or
+            # whitespace-only language bucket has zero tokens, and the two
+            # engines disagree on bare x/0 (Spark ANSI raises, DuckDB
+            # differs by type) — CASE WHEN is engine-independent NULL.
+            F.when(
+                F.sum("w") != 0, F.sum("k").cast("double") / F.sum("w")
+            ).alias("tokens_per_word"),
+            F.when(
+                F.sum("k") != 0, F.sum("c").cast("double") / F.sum("k")
+            ).alias("chars_per_token"),
+        ),
+        "lang",
+    )
+
+
+@register(
+    "unigram_lm_doc_scores",
+    "ext:curation,A1-analog,J1-analog",
+    "Unigram-LM document scoring (the CCNet quality pass, log-free): build "
+    "the corpus unigram model (term -> count / total), then score every "
+    "document by its mean inverse token probability — a monotone stand-in "
+    "for perplexity that needs one IEEE divide per VOCAB term instead of a "
+    "libm ln() per token (cross-engine unstable in the last ulp; cf. "
+    "text_tfidf_terms). High scores = rare-token gibberish, low = stopword "
+    "soup. Two passes: vocab build (term shuffle, map-side combined; "
+    "Zipf-bounded output), then a vocab join back to the token stream — "
+    "AQE broadcasts the small side; never doc x vocab.",
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(tf) AS n_total FROM vocab),
+        inv AS (
+          SELECT term, CAST(n_total AS DOUBLE) / tf AS inv_p
+          FROM vocab, tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               {davg_floor_micros_sql("inv_p", "mean_inv_p")}
+        FROM toks JOIN inv USING (term)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def unigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    inv = vocab.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("n_total").cast("double") / F.col("tf")).alias("inv_p")
+    )
+    return (
+        toks.join(inv, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            davg_floor_micros(F.col("inv_p")).alias("mean_inv_p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Target language mix for the training run — the fractions every pre-training
+# spec pins up front. Declared literally so the Spark CASE chain and the
+# DuckDB oracle share the exact double constants.
+_MIX_WEIGHTS: dict[str, float] = {
+    "en": 0.4,
+    "zh": 0.15,
+    "de": 0.15,
+    "es": 0.15,
+    "fr": 0.15,
+}
+
+
+@register(
+    "corpus_mixture_plan",
+    "ext:curation,A3,O1",
+    "Data-mixture plan: given target language weights, find the largest "
+    "epoch-1 token budget the corpus supports without upsampling (the "
+    "bottleneck language's available/weight), then per language the target "
+    "token count and the sampling rate to hit it — the table a dataloader "
+    "mixture config is generated from. Aggregates to |langs| rows, then "
+    "scalar arithmetic vs one broadcast min row; unmixed languages get "
+    "weight 0 and drop from the budget.",
+    oracle=f"""
+        WITH avail AS (
+          SELECT lang,
+                 CAST(SUM(CAST({_WORD_COUNT_SQL} AS BIGINT)) AS BIGINT)
+                   AS available_tokens,
+                 CASE lang
+                   {" ".join(f"WHEN '{k}' THEN CAST({w} AS DOUBLE)"
+                             for k, w in _MIX_WEIGHTS.items())}
+                   ELSE CAST(0.0 AS DOUBLE) END AS weight
+          FROM documents
+          GROUP BY lang
+        ),
+        budget AS (
+          SELECT MIN(CAST(available_tokens AS DOUBLE) / weight) AS b
+          FROM avail WHERE weight > CAST(0.0 AS DOUBLE)
+        )
+        SELECT lang, available_tokens, weight,
+               CAST(floor(weight * b) AS BIGINT) AS target_tokens,
+               CAST(floor(weight * b) AS DOUBLE) / available_tokens
+                 AS sample_rate
+        FROM avail, budget
+        ORDER BY lang
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.lit(0.0)
+    for k, w in reversed(_MIX_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == k, F.lit(float(w))).otherwise(weight)
+    avail = docs.groupBy("lang").agg(
+        F.sum(word_count(F.col("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("available_tokens")
+    ).withColumn("weight", weight)
+    budget = (
+        avail.filter(F.col("weight") > 0.0)
+        .agg(
+            F.min(
+                F.col("available_tokens").cast("double") / F.col("weight")
+            ).alias("b")
+        )
+    )
+    target = F.floor(F.col("weight") * F.col("b"))
+    return ordered_small(
+        avail.crossJoin(F.broadcast(budget)).select(
+            "lang",
+            "available_tokens",
+            "weight",
+            target.cast("bigint").alias("target_tokens"),
+            (
+                target.cast("double") / F.col("available_tokens")
+            ).alias("sample_rate"),
+        ),
+        "lang",
+    )

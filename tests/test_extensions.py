@@ -448,3 +448,109 @@ def test_events_aggregates_tolerate_non_finite_values(spark, tmp_path):
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
+
+
+def test_corpus_mixture_plan_bottleneck_math(spark, tmp_path):
+    """The epoch budget must come from the BOTTLENECK language (smallest
+    available/weight), that language must sample at exactly 1.0, and every
+    target must equal floor(weight * budget). Hand-built corpus: en has
+    10 words/doc x 8 docs = 80 words, zh only 10 — zh's 10/0.15 = 66.67 is
+    the binding constraint (en's is 80/0.4 = 200)."""
+    from notion_timetracking_etl_spark.queries import REGISTRY
+
+    rows = []
+    for i in range(8):
+        rows.append((i, " ".join(["tok"] * 10), "en", "s0", 0))
+    rows.append((100, " ".join(["zi"] * 10), "zh", "s0", 0))
+    rows.append((200, " ".join(["wort"] * 30), "de", "s0", 0))
+    rows.append((300, " ".join(["mot"] * 30), "fr", "s0", 0))
+    rows.append((400, " ".join(["pal"] * 30), "es", "s0", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["lang"]: r
+        for r in REGISTRY["corpus_mixture_plan"].spark(spark, str(tmp_path)).collect()
+    }
+    budget = 10 / 0.15  # zh is the bottleneck
+    assert out["zh"]["sample_rate"] == 1.0
+    assert out["zh"]["target_tokens"] == 10
+    for lang, avail, w in (
+        ("en", 80, 0.4), ("de", 30, 0.15), ("fr", 30, 0.15), ("es", 30, 0.15)
+    ):
+        row = out[lang]
+        assert row["available_tokens"] == avail
+        expected_target = int(w * budget)
+        assert row["target_tokens"] == expected_target, lang
+        assert row["sample_rate"] == expected_target / avail
+        assert row["sample_rate"] <= 1.0
+
+
+def test_unigram_lm_scores_rank_gibberish_above_stopword_soup(spark, tmp_path):
+    """A document of corpus-rare tokens must score a strictly higher mean
+    inverse probability than a document of corpus-dominant tokens — the
+    ordering the CCNet-style LM filter keys off."""
+    from notion_timetracking_etl_spark.queries import REGISTRY
+
+    common = " ".join(["the"] * 50)
+    rows = [
+        (0, common, "en", "s0", 0),
+        (1, common, "en", "s0", 0),
+        (2, common, "en", "s0", 0),
+        (3, "zxqv jklp wmbt qqfz nrgd", "en", "s0", 0),  # 5 hapax tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["unigram_lm_doc_scores"].spark(spark, str(tmp_path)).collect()
+    }
+    n_total = 155
+    assert out[3]["mean_inv_p"] > out[0]["mean_inv_p"]
+    # hapax tokens: inv_p = N/1 each -> mean is exactly N
+    assert out[3]["mean_inv_p"] == float(n_total)
+    assert out[3]["n_tokens"] == 5
+    assert out[0]["n_tokens"] == 50
+
+
+def test_curation_family_hostile_docs_parity(spark, tmp_path):
+    """Cross-engine parity for the curation family on hostile documents:
+    NULL text, empty text, NULL lang/source, and exact duplicates (the
+    dup-incidence path). NULL-text docs must drop from the fingerprint
+    join identically on both engines (equality join semantics)."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from tests.parity import compare_query
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 0),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 0),
+        (2, "der schnelle braune fuchs", "de", "s0", 0),
+        (3, None, "en", "s0", 0),
+        (4, "", "fr", "s1", 0),
+        (5, "   ", None, None, 0),
+        (6, "données résumé café \U0001f600", "fr", "s1", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "source_reputation_summary",
+        "tokenizer_fertility_by_lang",
+        "unigram_lm_doc_scores",
+        "corpus_mixture_plan",
+    ):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
