@@ -129,6 +129,96 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_T = 0.3
+
+
+def _semdedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
+    from .similarity import _cosine_sql
+
+    ctes, a_last, _cd_last = kmeans_ctes(k, iters)
+    ctes = ctes + [
+        f"mem AS (SELECT a.cid, a.vec_id, e.embedding"
+        f" FROM {a_last} a JOIN embeddings e USING (vec_id))",
+        f"pairs AS (SELECT l.cid, r.vec_id AS b"
+        f" FROM mem l JOIN mem r ON l.cid = r.cid AND l.vec_id < r.vec_id"
+        f" WHERE {_cosine_sql('l.embedding', 'r.embedding')} >= {threshold})",
+        "removed AS (SELECT DISTINCT cid, b FROM pairs)",
+        "rm AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_removed,"
+        " CAST(SUM(b) AS BIGINT) AS removed_checksum FROM removed GROUP BY 1)",
+        f"sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members"
+        f" FROM {a_last} GROUP BY 1)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT sizes.cid AS cluster_id,
+               n_members,
+               CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(n_members - COALESCE(rm.n_removed, 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(rm.removed_checksum, 0) AS BIGINT)
+                 AS removed_checksum
+        FROM sizes LEFT JOIN rm USING (cid)
+        ORDER BY cluster_id
+    """
+    )
+
+
+@register(
+    "semdedup_embeddings",
+    "A6-ext-sem,J4-analog",
+    f"SemDeDup (Abbas et al. 2023): semantic dedup via the learned k-means "
+    f"partition — cluster the embedding space (k={K}, {ITERS} Lloyd's "
+    f"iterations, the session-shared quantizer), compare pairs ONLY within "
+    f"a cluster, and remove every vector with cosine >= {SEMDEDUP_T} to a "
+    "lower-id cluster-mate (deterministic keep-lowest-id). The pair space "
+    "is (n/k)^2 per cluster, never corpus^2 — k grows with the corpus so "
+    "cluster size stays bounded; the within-cluster self-join is salted "
+    "16x for parallelism beyond the cluster count. Output: per-cluster "
+    "members/removed/kept + removed-id checksum. The oracle replays "
+    "training, pairing, and the prune end-to-end in SQL.",
+    oracle=_semdedup_oracle_sql(K, ITERS, SEMDEDUP_T),
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    asg, _cent = fitted_model(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    mem = asg.select("vec_id", "cid").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    pairs = embedding_near_dup_pairs(
+        mem.select(F.col("cid").alias("label"), "vec_id", "embedding"),
+        threshold=SEMDEDUP_T,
+    )
+    rm = (
+        pairs.select(F.col("label").alias("cid"), "b")
+        .distinct()
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+            F.sum("b").cast("bigint").alias("removed_checksum"),
+        )
+    )
+    sizes = asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return ordered_small(
+        sizes.join(rm, "cid", "left").select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
+            .alias("n_removed"),
+            (
+                F.col("n_members") - F.coalesce(F.col("n_removed"), F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("removed_checksum"), F.lit(0)).cast("bigint")
+            .alias("removed_checksum"),
+        ),
+        "cluster_id",
+    )
+
+
 N_PROBE = 2
 
 

@@ -128,3 +128,41 @@ def test_pq_rerank_recall_beats_adc_only(spark):
     assert r_rerank >= 0.7, r_rerank
     assert r_rerank > r_adc, (r_rerank, r_adc)
     release_scoped_caches()
+
+
+def test_semdedup_removes_planted_duplicates_keeps_lowest_id(spark, tmp_path):
+    """SemDeDup contract on a hand-built one-hot corpus: vectors 10 and 11
+    are exact copies of vector 2 (cosine 1.0, same cluster always); every
+    other pair of distinct one-hots has cosine 0 < threshold. Exactly the
+    two HIGHER ids must be removed, the lowest id kept — and the query must
+    stay cross-engine hash-green on this corpus."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from tests.parity import compare_query
+
+    def one_hot(i):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        return v
+
+    rows = []
+    for i in range(16):
+        vec = one_hot(2) if i in (10, 11) else one_hot(i)
+        rows.append((i, vec, i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = REGISTRY["semdedup_embeddings"].spark(spark, str(tmp_path)).collect()
+    assert sum(r["n_removed"] for r in out) == 2
+    assert sum(r["removed_checksum"] for r in out) == 21  # ids 10 + 11
+    assert sum(r["n_kept"] for r in out) == 14
+    assert sum(r["n_members"] for r in out) == 16
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    res = compare_query(spark, con, REGISTRY["semdedup_embeddings"], str(tmp_path))
+    assert res.ok, res.detail
