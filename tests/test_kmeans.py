@@ -166,3 +166,48 @@ def test_semdedup_removes_planted_duplicates_keeps_lowest_id(spark, tmp_path):
     )
     res = compare_query(spark, con, REGISTRY["semdedup_embeddings"], str(tmp_path))
     assert res.ok, res.detail
+
+
+def test_model_store_roundtrip_and_new_corpus_encoding(spark, tmp_path, sf_dir):
+    """Freeze/thaw contract for fitted ANN models: (a) a k-means model
+    reloaded from parquet re-encodes the TRAINING corpus to bit-identical
+    assignments; (b) same for all M PQ subspace code tables; (c) a frozen
+    model encodes a vector the fit never saw (the incremental-ingest
+    serve path) without retraining."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.kmeans import kmeans_fit
+    from notion_timetracking_etl_spark.operators.model_store import (
+        load_kmeans_model,
+        load_pq_model,
+        save_kmeans_model,
+        save_pq_model,
+    )
+    from notion_timetracking_etl_spark.operators.pq import pq_codes, pq_fit
+    from notion_timetracking_etl_spark.queries.similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+
+    asg, cent = kmeans_fit(emb, k=8, iters=3, scoped=False)
+    save_kmeans_model(cent, str(tmp_path / "km"))
+    asg2, cent2 = load_kmeans_model(spark, emb, str(tmp_path / "km"))
+    assert sorted(map(tuple, asg.collect())) == sorted(map(tuple, asg2.collect()))
+    assert sorted(map(tuple, cent.collect())) == sorted(map(tuple, cent2.collect()))
+
+    models = pq_fit(emb, m=4, k=8, iters=2, scoped=False)
+    save_pq_model(models, str(tmp_path / "pq"))
+    models2 = load_pq_model(spark, emb, str(tmp_path / "pq"))
+    assert [j for j, *_ in models2] == [0, 1, 2, 3]
+    c1 = sorted(map(tuple, pq_codes(models).collect()))
+    c2 = sorted(map(tuple, pq_codes(models2).collect()))
+    assert c1 == c2
+
+    # Serve path: an unseen vector encodes against the frozen model.
+    new = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> float(x) * float(0.5))")
+        .alias("embedding"),
+    )
+    nasg, _ = load_kmeans_model(spark, new, str(tmp_path / "km"))
+    rows = nasg.collect()
+    assert len(rows) == 1 and rows[0]["cid"] is not None
