@@ -14,8 +14,23 @@ scale exactly 10x:
   vector (sha256 of (i, pos)) — norms and within-copy cosine structure are
   preserved, across-copy vectors decorrelate, so ANN candidate volumes
   scale honestly.
+- ``embeddings.label`` shifts per copy like a key domain: the label is the
+  near-dup family's blocking bucket (the stand-in for a trained quantizer,
+  whose cell count grows with the corpus), so bucket CARDINALITY must
+  scale 10x while bucket SIZE stays flat — copying labels verbatim makes
+  the label-blocked pair space grow 100x, a replica artifact rather than
+  an operator property.
 - TPC-H tables + events: pure key shifts; timestamps/dates/measures are
   copied verbatim (same time range at 10x density).
+
+Output parquet is written with bounded row groups (~64 per table). Parquet
+scan parallelism is row-group-granular: a single-row-group file — which is
+what a naive ``pyarrow.write_table`` produces, and what burned the first
+version of this script — serializes every downstream scan into ONE task no
+matter how many executors exist, turning a 10x replica into a 10x
+single-thread wall-clock cliff (measured: 17x on the label-blocked pair
+join). The same lesson applies at 100 TB: file/row-group layout is part of
+the engine's scan parallelism budget.
 
 Usage: python tests/make_sf1.py [src_dir] [dst_dir]   (defaults
 /root/testdata/sf0.1 -> /tmp/sf1). Then:
@@ -81,9 +96,12 @@ def _copy_keyed(con, src: str, dst: str, table: str, strides: dict[str, int]):
         selects.append(
             f"SELECT {exprs} FROM read_parquet('{src}/{table}.parquet')"
         )
+    n = K * con.sql(
+        f"SELECT count(*) FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
     con.execute(
         f"COPY ({' UNION ALL '.join(selects)}) TO '{dst}/{table}.parquet'"
-        f" (FORMAT PARQUET)"
+        f" (FORMAT PARQUET, ROW_GROUP_SIZE {_row_group_size(n)})"
     )
 
 
@@ -93,6 +111,11 @@ def _rademacher(i: int, dims: int) -> np.ndarray:
         h = hashlib.sha256(f"{i}:{pos}".encode()).digest()
         signs[pos] = 1.0 if h[0] % 2 == 0 else -1.0
     return signs
+
+
+def _row_group_size(total: int) -> int:
+    """~64 row groups per table so scans parallelize (see module note)."""
+    return max(1024, total // 64)
 
 
 def _copy_documents(src: str, dst: str) -> None:
@@ -123,7 +146,12 @@ def _copy_documents(src: str, dst: str) -> None:
                 }
             )
         )
-    pq.write_table(pa.concat_tables(out), f"{dst}/documents.parquet")
+    merged = pa.concat_tables(out)
+    pq.write_table(
+        merged,
+        f"{dst}/documents.parquet",
+        row_group_size=_row_group_size(merged.num_rows),
+    )
 
 
 def _copy_embeddings(src: str, dst: str) -> None:
@@ -132,6 +160,8 @@ def _copy_embeddings(src: str, dst: str) -> None:
     stride = int(vec_id.max()) + 1
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     dims = vecs.shape[1]
+    label = t.column("label").to_numpy()
+    label_stride = int(label.max()) + 1
     out = []
     for i in range(K):
         masked = vecs if i == 0 else vecs * _rademacher(i, dims)
@@ -142,11 +172,18 @@ def _copy_embeddings(src: str, dst: str) -> None:
                     "embedding": pa.array(
                         list(masked), type=pa.list_(pa.float32())
                     ),
-                    "label": t.column("label"),
+                    "label": pa.array(
+                        label + i * label_stride, type=pa.int32()
+                    ),
                 }
             )
         )
-    pq.write_table(pa.concat_tables(out), f"{dst}/embeddings.parquet")
+    merged = pa.concat_tables(out)
+    pq.write_table(
+        merged,
+        f"{dst}/embeddings.parquet",
+        row_group_size=_row_group_size(merged.num_rows),
+    )
 
 
 def main() -> None:
