@@ -329,3 +329,131 @@ def test_ppm_decode_round_trips_generated_headers(w, h, magic, comment, maxval):
 
     with _pytest.raises(ValueError):
         ppm_decode(header + raster[:-1], "image")
+
+
+def _write_docs(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "zh", "de", "es", "fr", "xx"]),
+            st.lists(
+                st.text(alphabet="abcdefg", min_size=1, max_size=3),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_corpus_mixture_plan_equals_python_model(spark, docs):
+    """The mixture plan must equal a pure-Python replay of the same IEEE op
+    sequence: budget = min over weighted langs of available/weight, target =
+    floor(weight*budget), rate = target/available — plus the invariants
+    every dataloader config depends on (rate in (0,1]; the bottleneck
+    language samples at exactly 1.0 unless flooring shaved its target)."""
+    import math
+    import tempfile
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.queries.curation import _MIX_WEIGHTS
+
+    d = tempfile.mkdtemp()
+    rows = [
+        (i, " ".join(words), lang, "s0", 0)
+        for i, (lang, words) in enumerate(docs)
+    ]
+    _write_docs(spark, rows, d)
+
+    avail: dict[str, int] = {}
+    for lang, words in docs:
+        avail[lang] = avail.get(lang, 0) + len(words)
+    weighted = {
+        lang: _MIX_WEIGHTS[lang]
+        for lang in avail
+        if _MIX_WEIGHTS.get(lang, 0.0) > 0.0
+    }
+    # No weighted language in the corpus -> the budget is undefined (the
+    # zero-groupBy MIN emits one NULL row on BOTH engines) and every
+    # target/rate is NULL — the plan degrades observably, it doesn't crash.
+    budget = (
+        min(avail[lang] / w for lang, w in weighted.items())
+        if weighted
+        else None
+    )
+
+    out = {
+        r["lang"]: r
+        for r in REGISTRY["corpus_mixture_plan"].spark(spark, d).collect()
+    }
+    assert set(out) == set(avail)
+    for lang, row in out.items():
+        assert row["available_tokens"] == avail[lang]
+        w = _MIX_WEIGHTS.get(lang, 0.0)
+        if budget is None:
+            assert row["target_tokens"] is None
+            assert row["sample_rate"] is None
+            continue
+        expect_target = math.floor(w * budget)
+        assert row["target_tokens"] == expect_target, lang
+        assert row["sample_rate"] == float(expect_target) / avail[lang]
+        assert 0.0 <= row["sample_rate"] <= 1.0
+    # the binding language hits rate 1.0 exactly when flooring is a no-op
+    if budget is not None:
+        for lang, w in weighted.items():
+            if avail[lang] / w == budget and w * budget == avail[lang]:
+                assert out[lang]["sample_rate"] == 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="pqr", min_size=1, max_size=2),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_unigram_lm_scores_equal_python_model(spark, corpora):
+    """unigram_lm_doc_scores must equal the pure-Python replay of the exact
+    convention: inv_p = N/tf (one IEEE divide), per-doc mean =
+    sum(floor(inv_p*1e6)) / n / 1e6 — and every score is >= 1 (a token's
+    probability can't exceed 1)."""
+    import math
+    import tempfile
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp()
+    rows = [(i, " ".join(words), "en", "s0", 0) for i, words in enumerate(corpora)]
+    _write_docs(spark, rows, d)
+
+    tf: dict[str, int] = {}
+    for words in corpora:
+        for w in words:
+            tf[w] = tf.get(w, 0) + 1
+    n_total = sum(tf.values())
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["unigram_lm_doc_scores"].spark(spark, d).collect()
+    }
+    assert set(out) == set(range(len(corpora)))
+    for i, words in enumerate(corpora):
+        micros = sum(
+            math.floor((float(n_total) / tf[w]) * 1000000.0) for w in words
+        )
+        expect = float(micros) / len(words) / 1000000.0
+        assert out[i]["n_tokens"] == len(words)
+        assert out[i]["mean_inv_p"] == expect, i
+        assert out[i]["mean_inv_p"] >= 0.999999
