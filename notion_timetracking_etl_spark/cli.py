@@ -399,6 +399,54 @@ def cmd_explain(args, spark, seams) -> int:
     return 0
 
 
+def cmd_ann_fit(args, spark, seams) -> int:
+    """Engine extension: train the ANN index models (k-means coarse
+    quantizer + PQ subspace codebooks) on --sf-dir's embeddings and freeze
+    them under --output (<out>/kmeans, <out>/pq) — the train-once half of
+    the train-once/serve-forever seam (operators/model_store.py)."""
+    from .operators.kmeans import kmeans_fit
+    from .operators.model_store import save_kmeans_model, save_pq_model
+    from .operators.pq import pq_fit
+    from .queries.similarity import load_embeddings
+
+    out = args.output or "ann_models"
+    emb = load_embeddings(spark, args.sf_dir).select("vec_id", "embedding")
+    _asg, cent = kmeans_fit(emb, k=8, iters=3, scoped=False)
+    save_kmeans_model(cent, os.path.join(out, "kmeans"))
+    models = pq_fit(emb, m=4, k=8, iters=2, scoped=False)
+    save_pq_model(models, os.path.join(out, "pq"))
+    seams.log(f"froze kmeans (8 cells) + pq (4x8 codebooks) under {out}")
+    return 0
+
+
+def cmd_ann_encode(args, spark, seams) -> int:
+    """Engine extension: encode --sf-dir's embeddings against models frozen
+    by ann-fit (--model dir): emits one JSONL row per vector with its
+    coarse cell and the M PQ codes — the serve-side ingest path for
+    corpora the fit never saw."""
+    import pyspark.sql.functions as F
+
+    from .operators.model_store import load_kmeans_model, load_pq_model
+    from .operators.pq import pq_codes
+    from .queries.similarity import load_embeddings
+
+    model_dir = args.model
+    emb = load_embeddings(spark, args.sf_dir).select("vec_id", "embedding")
+    asg, _cent = load_kmeans_model(
+        spark, emb, os.path.join(model_dir, "kmeans")
+    )
+    codes = pq_codes(load_pq_model(spark, emb, os.path.join(model_dir, "pq")))
+    packed = codes.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")
+    ).select("vec_id", F.col("sc.code").alias("pq_codes"))
+    out = (
+        asg.select("vec_id", F.col("cid").alias("cell"))
+        .join(packed, "vec_id")
+        .orderBy("vec_id")
+    )
+    return _emit_json_lines(out, args.output, seams)
+
+
 COMMANDS = {
     "pull-notion": cmd_pull_notion,
     "normalize": cmd_normalize,
@@ -411,11 +459,13 @@ COMMANDS = {
     "sql": cmd_sql,
     "run-query": cmd_run_query,
     "explain": cmd_explain,
+    "ann-fit": cmd_ann_fit,
+    "ann-encode": cmd_ann_encode,
 }
 
 _NEEDS_SPARK = {
     "normalize", "run", "excel-export", "pbi-provision", "pbi-refresh",
-    "run-end-to-end", "sql", "run-query", "explain",
+    "run-end-to-end", "sql", "run-query", "explain", "ann-fit", "ann-encode",
 }
 
 
@@ -434,10 +484,13 @@ def build_parser() -> argparse.ArgumentParser:
         )
         if name in ("sql", "run-query", "explain"):
             c.add_argument("query")
+        if name in ("sql", "run-query", "explain", "ann-fit", "ann-encode"):
             c.add_argument(
                 "--sf-dir",
                 default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
             )
+        if name == "ann-encode":
+            c.add_argument("--model", default="ann_models")
     return p
 
 

@@ -314,3 +314,54 @@ def test_cli_explain_formatted_plan(spark, capsys):
     assert "Physical Plan" in out
     assert "BroadcastHashJoin" in out
     assert "Scan parquet" in out
+
+
+def test_cli_ann_fit_then_encode_roundtrip(spark, tmp_path):
+    """ann-fit freezes the quantizer + PQ codebooks to parquet; ann-encode
+    reloads them and emits one (vec_id, cell, pq_codes) row per valid
+    vector — and the codes must equal a direct in-session fit (the
+    bit-identical re-encoding contract of operators/model_store.py)."""
+    models_dir = tmp_path / "models"
+    out = tmp_path / "codes.jsonl"
+    logs = []
+    seams = Seams(log=logs.append)
+    sf = "/root/testdata/sf0.001"
+
+    rc = main(
+        ["ann-fit", "--sf-dir", sf, "--output", str(models_dir)],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 0
+    assert (models_dir / "kmeans").exists()
+    assert (models_dir / "pq").exists()
+
+    rc = main(
+        [
+            "ann-encode",
+            "--sf-dir", sf,
+            "--model", str(models_dir),
+            "--output", str(out),
+        ],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+
+    from notion_timetracking_etl_spark.operators.kmeans import kmeans_fit
+    from notion_timetracking_etl_spark.operators.pq import pq_codes, pq_fit
+    from notion_timetracking_etl_spark.queries.similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf).select("vec_id", "embedding")
+    assert len(rows) == emb.count()
+    asg, _ = kmeans_fit(emb, k=8, iters=3, scoped=False)
+    want_cell = {r["vec_id"]: r["cid"] for r in asg.collect()}
+    direct = pq_fit(emb, m=4, k=8, iters=2, scoped=False)
+    want_codes: dict[int, dict[int, int]] = {}
+    for r in pq_codes(direct).collect():
+        want_codes.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    for row in rows:
+        vid = row["vec_id"]
+        assert row["cell"] == want_cell[vid]
+        assert row["pq_codes"] == [want_codes[vid][s] for s in range(4)]
