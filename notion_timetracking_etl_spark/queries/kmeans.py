@@ -219,6 +219,111 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_incr_oracle_sql(k: int, iters: int, threshold: float) -> str:
+    from .similarity import _cosine_sql
+
+    ctes, a_last, _cd_last = kmeans_ctes(k, iters)
+    ctes = ctes + [
+        f"mem AS (SELECT a.cid, a.vec_id, e.embedding"
+        f" FROM {a_last} a JOIN embeddings e USING (vec_id))",
+        f"xp AS (SELECT b.cid, b.vec_id, c.vec_id AS matched_vec,"
+        f" {_cosine_sql('b.embedding', 'c.embedding')} AS cos"
+        f" FROM mem b JOIN mem c ON b.cid = c.cid"
+        f" WHERE b.vec_id % 10 = 9 AND c.vec_id % 10 <> 9"
+        f" AND {_cosine_sql('b.embedding', 'c.embedding')} >= {threshold})",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT vec_id, CAST(cid AS BIGINT) AS cell, matched_vec, cos
+        FROM (
+          SELECT vec_id, cid, matched_vec, cos,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, matched_vec
+                 ) AS rn
+          FROM xp
+        )
+        WHERE rn = 1
+        ORDER BY vec_id
+    """
+    )
+
+
+@register(
+    "semdedup_incremental",
+    "A6-ext-sem,J8-analog",
+    "Incremental-ingest SEMANTIC dedup gate — the embedding twin of "
+    "dedup_incremental_batch: the arriving batch (vec_id % 10 = 9) routes "
+    "through the frozen quantizer (broadcast centroids, shuffle-free) and "
+    f"compares ONLY against corpus vectors in its own cell, cosine >= "
+    f"{SEMDEDUP_T}. Per flagged batch vector: its best corpus match "
+    "(highest cosine, tie to the smallest corpus id) — the row an ingest "
+    "pipeline uses to drop or link the arrival. Cost is O(batch x "
+    "cell-size) per ingest; the corpus pair space is never generated. In "
+    "production the quantizer comes from operators/model_store.py; here "
+    "it is the session-shared fit so the oracle can replay it.",
+    oracle=_semdedup_incr_oracle_sql(K, ITERS, SEMDEDUP_T),
+)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_prenormed, norm_sq
+
+    asg, _cent = fitted_model(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    mem = (
+        asg.select("vec_id", "cid")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
+    )
+    is_new = F.col("vec_id") % 10 == 9
+    batch = mem.filter(is_new).select(
+        "cid",
+        F.col("vec_id"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    corpus = mem.filter(~is_new).select(
+        "cid",
+        F.col("vec_id").alias("matched_vec"),
+        F.col("embedding").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+    pairs = (
+        batch.join(corpus, "cid")
+        .select(
+            "cid",
+            "vec_id",
+            "matched_vec",
+            cosine_prenormed(
+                F.col("vb"), F.col("vc"), F.col("nb"), F.col("nc")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+    )
+    # best corpus match per arriving vector via MAX over a comparison
+    # struct (map-side combine, no per-key window sort); cosine ties break
+    # to the SMALLEST corpus id, hence the negated id inside the struct.
+    best = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col("matched_vec")).alias("nm"),
+                    F.col("cid").alias("cell"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cell").cast("bigint").alias("cell"),
+            (-F.col("m.nm")).alias("matched_vec"),
+            F.col("m.cos").alias("cos"),
+        )
+    )
+    return best.orderBy("vec_id")
+
+
 N_PROBE = 2
 
 

@@ -211,3 +211,39 @@ def test_model_store_roundtrip_and_new_corpus_encoding(spark, tmp_path, sf_dir):
     nasg, _ = load_kmeans_model(spark, new, str(tmp_path / "km"))
     rows = nasg.collect()
     assert len(rows) == 1 and rows[0]["cid"] is not None
+
+
+def test_semdedup_incremental_flags_planted_batch_dup_only(spark, tmp_path):
+    """Incremental semantic gate on a one-hot corpus: the batch is
+    vec_id % 10 = 9 — vector 9 is an exact copy of corpus vector 2 (same
+    cell, cosine 1.0), vector 19 is a unique one-hot. Exactly vector 9
+    must be flagged, matched to 2; plus cross-engine parity."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from tests.parity import compare_query
+
+    def one_hot(i):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        return v
+
+    rows = [
+        (i, one_hot(2) if i == 9 else one_hot(i), i % 3) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = REGISTRY["semdedup_incremental"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["vec_id"] == 9
+    assert out[0]["matched_vec"] == 2
+    assert out[0]["cos"] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    res = compare_query(spark, con, REGISTRY["semdedup_incremental"], str(tmp_path))
+    assert res.ok, res.detail
