@@ -351,6 +351,7 @@ def test_embedding_family_hostile_vectors(spark, tmp_path):
         "similarity_topk_pq",
         "similarity_topk_ivfpq",
         "semdedup_embeddings",
+        "semdedup_incremental",
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         release_scoped_caches()
