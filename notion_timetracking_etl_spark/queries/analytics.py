@@ -275,6 +275,65 @@ def rollup_event_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "groupingsets_event_reports",
+    "A-ext-gsets",
+    "Explicit GROUPING SETS ((event_type), (day), ()) — two independent "
+    "one-dimensional reports plus the grand total from ONE fact scan, a "
+    "shape neither ROLLUP nor CUBE can express (no (event_type, day) "
+    "detail grain is wanted or paid for). Spark's Expand emits one row "
+    "per set per input row and partial-aggregates map-side, so the "
+    "shuffle carries |types| + |days| + 1 keys, never the detail cross "
+    "product. GROUPING() flags render the inactive key as 'ALL' on both "
+    "engines.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
+          FROM events
+        )
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST((CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_value
+        FROM daily GROUP BY GROUPING SETS ((event_type), (day), ())
+        ORDER BY event_type, day
+    """,
+)
+def groupingsets_event_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return ordered_small(
+        daily.groupingSets([["event_type"], ["day"], []], "event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(_finite(F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping("event_type").alias("g_et"),
+            F.grouping("day").alias("g_day"),
+        )
+        .select(
+            F.when(F.col("g_et") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("g_day") == 1, F.lit("ALL"))
+            .otherwise(F.col("day"))
+            .alias("day"),
+            "n_events",
+            "total_value",
+        ),
+        "event_type",
+        "day",
+    )
+
+
+@register(
     "pivot_daily_event_matrix",
     "U-ext-pivot",
     "Pivot the event stream into a day × event_type count matrix — "
