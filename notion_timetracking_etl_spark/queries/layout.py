@@ -1,0 +1,251 @@
+"""Data-layout / lake-maintenance queries (engine extension): the jobs a
+100 TB training-data lake runs BETWEEN pipelines — deterministic global
+shuffle into training shards, small-file compaction planning, and Z-order
+(Morton) clustering diagnostics.
+
+Scale notes:
+- **Shard manifest**: the global permutation rank uses the range-partition +
+  driver-offset machinery (``operators/rank.py``) — NEVER a no-partition
+  window — so the permutation of a corpus that does not fit one task is
+  still exact. The permutation key is ``sha256(doc_id)``: deterministic,
+  uniform, reproducible across runs (a trainer can re-derive any shard).
+- **Compaction plan**: input rows stand in for FILE MANIFEST entries (one
+  row per file, metadata-scale — exactly what Delta/Iceberg OPTIMIZE
+  planners consume), so the per-partition window over a source's files is
+  bounded by that source's file count, not its data volume.
+- **Z-order stats**: the Morton code is pure integer arithmetic (division /
+  modulo — no engine-specific bit intrinsics), computed map-side; the
+  file-assignment rank reuses the distributed ranking operator.
+
+Reference scope: the reference ETL has no lake maintenance (single-node
+JSONL snapshots, ``src/normalize/io.ts``); this family is part of the
+training-data-pipeline extension surface the build mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ..operators.rank import ntile_from_rank, with_global_ranks
+from ..sources.tpch import load_table
+from .registry import register
+
+N_SHARDS = 16
+COMPACT_TARGET_BYTES = 2048
+ZORDER_BITS = 5  # 5 bits per dimension -> 10-bit Morton code
+ZORDER_FILE_ROWS = 1024
+
+
+@register(
+    "corpus_shard_manifest",
+    "O-ext,A7-analog",
+    "Deterministic global shuffle into training shards: every document gets "
+    f"a reproducible permutation key sha256(doc_id), an EXACT global rank "
+    "over that key (range-partition + driver offsets, operators/rank.py — "
+    f"no single-partition window), and NTILE({N_SHARDS}) contiguous-range "
+    "shard assignment. The manifest proves the shuffle: per shard, doc and "
+    "byte totals plus the min/max key prefix showing shards own disjoint "
+    "contiguous hash ranges. The oracle replays the permutation with a "
+    "window NTILE over the same keys.",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 sha256(CAST(doc_id AS VARCHAR)) AS perm
+          FROM documents
+        ),
+        assigned AS (
+          SELECT n_chars, perm,
+                 CAST(NTILE({N_SHARDS}) OVER (ORDER BY perm) - 1 AS BIGINT)
+                   AS shard_id
+          FROM keyed
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+               substr(MIN(perm), 1, 8) AS lo_key,
+               substr(MAX(perm), 1, 8) AS hi_key
+        FROM assigned
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("perm"),
+    )
+    # sha256 of a unique key is tie-free; rank IS the shuffled position
+    ranked, total = with_global_ranks(docs, [F.col("perm")], rank_col="rn")
+    out = (
+        ranked.withColumn(
+            "shard_id",
+            (ntile_from_rank(F.col("rn"), total, N_SHARDS) - 1).cast("bigint"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+            F.substring(F.min("perm"), 1, 8).alias("lo_key"),
+            F.substring(F.max("perm"), 1, 8).alias("hi_key"),
+        )
+        .orderBy("shard_id")
+    )
+    # the ranged intermediate persisted by with_global_ranks is query-scoped;
+    # the harness releases it after the consuming action (release_scoped_caches)
+    return out
+
+
+@register(
+    "lake_compaction_plan",
+    "W-ext-scan,A3",
+    "Small-file compaction planning (OPTIMIZE/bin-pack): treating each "
+    "document row as a file-manifest entry (metadata-scale input — one row "
+    "per FILE, which is what real lake planners consume), files within a "
+    "source are packed in id order into output bins of "
+    f"~{COMPACT_TARGET_BYTES} bytes by a per-source running byte total; "
+    "bin_id = floor(bytes_before / target). Per bin: file count, byte "
+    "total, largest input file. The per-source window is bounded by that "
+    "source's FILE count, never its data volume.",
+    oracle=f"""
+        WITH run AS (
+          SELECT source, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM documents
+        )
+        SELECT source,
+               CAST((running - n_chars) // {COMPACT_TARGET_BYTES} AS BIGINT)
+                 AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+               CAST(MAX(n_chars) AS BIGINT) AS max_file_bytes
+        FROM run
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+)
+def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        files.withColumn("running", F.sum("n_chars").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("running") - F.col("n_chars"))
+                / F.lit(COMPACT_TARGET_BYTES)
+            ).cast("bigint"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+            F.max("n_chars").cast("bigint").alias("max_file_bytes"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def _morton_col(x: Column, y: Column, bits: int) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit nonnegative ints as
+    pure integer arithmetic — bit i of x lands at position 2i, bit i of y
+    at 2i+1. Division/modulo only, so the SAME math runs on any engine."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + (F.floor(x / F.lit(2**i)) % 2) * F.lit(2 ** (2 * i))
+        z = z + (F.floor(y / F.lit(2**i)) % 2) * F.lit(2 ** (2 * i + 1))
+    return z.cast("bigint")
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB twin of :func:`_morton_col` — identical arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) // {2**i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"((({y}) // {2**i}) % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZX = f"user_id % {2**ZORDER_BITS}"
+_ZY = (
+    f"((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % {2**ZORDER_BITS})"
+    f" + {2**ZORDER_BITS}) % {2**ZORDER_BITS}"
+)
+
+
+@register(
+    "lake_zorder_extent_stats",
+    "O-ext,A3",
+    "Z-order clustering diagnostic: events are Morton-coded on "
+    f"(user_id mod {2**ZORDER_BITS}, day-index mod {2**ZORDER_BITS}) — the "
+    "interleave is pure div/mod arithmetic, map-side — globally sorted by "
+    "(z, event_id) via the distributed ranking operator, and cut into "
+    f"files of {ZORDER_FILE_ROWS} rows. Per file: row count and the "
+    "min/max EXTENT of each dimension — the footprint a min/max-stats "
+    "reader prunes on. Z-order keeps both extents small simultaneously "
+    "(a linear sort keeps only one), which is the whole point of the "
+    "layout; this query measures it.",
+    oracle=f"""
+        WITH coded AS (
+          SELECT event_id,
+                 CAST({_ZX} AS BIGINT) AS zx,
+                 CAST({_ZY} AS BIGINT) AS zy,
+                 CAST({_morton_sql(f"({_ZX})", f"({_ZY})", ZORDER_BITS)}
+                      AS BIGINT) AS z
+          FROM events
+        ),
+        ranked AS (
+          SELECT zx, zy,
+                 ROW_NUMBER() OVER (ORDER BY z, event_id) AS rn
+          FROM coded
+        )
+        SELECT CAST((rn - 1) // {ZORDER_FILE_ROWS} AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(zx) AS BIGINT) AS x_min,
+               CAST(MAX(zx) AS BIGINT) AS x_max,
+               CAST(MIN(zy) AS BIGINT) AS y_min,
+               CAST(MAX(zy) AS BIGINT) AS y_max
+        FROM ranked
+        GROUP BY file_id
+        ORDER BY file_id
+    """,
+)
+def lake_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = 2**ZORDER_BITS
+    events = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    coded = events.select(
+        "event_id",
+        (F.col("user_id") % m).cast("bigint").alias("zx"),
+        (((day % m) + m) % m).cast("bigint").alias("zy"),
+    ).withColumn(
+        "z", _morton_col(F.col("zx"), F.col("zy"), ZORDER_BITS)
+    )
+    ranked, _total = with_global_ranks(
+        coded, [F.col("z"), F.col("event_id")], rank_col="rn"
+    )
+    out = (
+        ranked.withColumn(
+            "file_id",
+            F.floor((F.col("rn") - 1) / F.lit(ZORDER_FILE_ROWS)).cast("bigint"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("zx").cast("bigint").alias("x_min"),
+            F.max("zx").cast("bigint").alias("x_max"),
+            F.min("zy").cast("bigint").alias("y_min"),
+            F.max("zy").cast("bigint").alias("y_max"),
+        )
+        .orderBy("file_id")
+    )
+    return out

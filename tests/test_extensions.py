@@ -556,3 +556,128 @@ def test_curation_family_hostile_docs_parity(spark, tmp_path):
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
+
+
+# --- data-layout / lake-maintenance family (queries/layout.py) ---
+
+
+def test_shard_manifest_balanced_contiguous_disjoint(spark):
+    """NTILE sharding over the sha256 permutation: shard sizes differ by at
+    most 1, cover every document, and own disjoint ORDERED hash ranges (a
+    trainer can address any shard by key range alone)."""
+    from notion_timetracking_etl_spark.operators.dedup import release_scoped_caches
+    from notion_timetracking_etl_spark.queries.layout import (
+        N_SHARDS,
+        corpus_shard_manifest,
+    )
+
+    rows = corpus_shard_manifest(spark, "/root/testdata/sf0.001").collect()
+    release_scoped_caches()
+    assert [r.shard_id for r in rows] == list(range(N_SHARDS))
+    counts = [r.n_docs for r in rows]
+    assert sum(counts) == 500
+    assert max(counts) - min(counts) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.lo_key <= prev.hi_key
+        assert prev.hi_key < cur.lo_key  # disjoint, ordered ranges
+
+
+def test_morton_code_matches_bit_interleave(spark):
+    """The pure div/mod Morton arithmetic (shared with the DuckDB oracle) is
+    exactly the bit interleave, bijective over the full 2^bits x 2^bits grid."""
+    from notion_timetracking_etl_spark.queries.layout import ZORDER_BITS, _morton_col
+
+    m = 2**ZORDER_BITS
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(m) for y in range(m)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in grid.withColumn(
+            "z", _morton_col(F.col("x"), F.col("y"), ZORDER_BITS)
+        ).collect()
+    }
+
+    def interleave(x: int, y: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): interleave(x, y) for x in range(m) for y in range(m)}
+    assert sorted(got.values()) == list(range(m * m))  # bijection
+
+
+def test_zorder_prunes_on_both_dims_linear_only_one(spark):
+    """The point of the layout, measured on the metric that matters: the
+    WORST per-dimension average extent. A linear sort on x packs x tightly
+    but leaves every file spanning (nearly) the full y range — a predicate
+    on y alone prunes nothing. Z-order keeps BOTH average extents a small
+    fraction of the domain, so min/max stats prune on either predicate.
+    (On extent AREA alone a single-dim sort can match z-order — the win is
+    two-sided prunability, not area.) Run at sf0.01 so both dims are dense
+    (149 users -> zx covers the full 0..31 range)."""
+    from notion_timetracking_etl_spark.operators.dedup import release_scoped_caches
+    from notion_timetracking_etl_spark.operators.rank import with_global_ranks
+    from notion_timetracking_etl_spark.queries.layout import ZORDER_BITS, _morton_col
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    m = 2**ZORDER_BITS
+    file_rows = 256
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    coded = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .select(
+            "event_id",
+            (F.col("user_id") % m).cast("bigint").alias("zx"),
+            (((day % m) + m) % m).cast("bigint").alias("zy"),
+        )
+        .withColumn("z", _morton_col(F.col("zx"), F.col("zy"), ZORDER_BITS))
+    )
+
+    def avg_extents(sort_cols):
+        ranked, _n = with_global_ranks(coded, sort_cols, rank_col="rn")
+        r = (
+            ranked.withColumn("file_id", F.floor((F.col("rn") - 1) / file_rows))
+            .groupBy("file_id")
+            .agg(
+                (F.max("zx") - F.min("zx") + 1).alias("xe"),
+                (F.max("zy") - F.min("zy") + 1).alias("ye"),
+            )
+            .agg(F.avg("xe").alias("x"), F.avg("ye").alias("y"))
+            .collect()[0]
+        )
+        release_scoped_caches()
+        return r.x, r.y
+
+    zx_ext, zy_ext = avg_extents([F.col("z"), F.col("event_id")])
+    lx_ext, ly_ext = avg_extents([F.col("zx"), F.col("event_id")])
+    # linear-on-x cannot prune y at all: files span ~the whole y domain
+    assert ly_ext > 0.8 * 30  # y domain is the 30 observed days
+    # z-order: both extents a small fraction of the domain, so the worst
+    # dimension is decisively better than linear's worst dimension
+    assert max(zx_ext, zy_ext) < 0.5 * max(lx_ext, ly_ext)
+
+
+def test_compaction_plan_bins_respect_target(spark):
+    """Every bin except possibly a source's last holds >= the target bytes
+    only via its LAST file (first-fit running sum): bytes_before < target
+    for every file in the bin, so bin_bytes < target + max_file_bytes."""
+    from notion_timetracking_etl_spark.queries.layout import (
+        COMPACT_TARGET_BYTES,
+        lake_compaction_plan,
+    )
+
+    rows = lake_compaction_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "plan is empty"
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    for src, bins in per_source.items():
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        for b in bins:
+            assert b.bin_bytes < COMPACT_TARGET_BYTES + b.max_file_bytes
+        # every non-final bin reached the target (no premature cuts)
+        for b in bins[:-1]:
+            assert b.bin_bytes + 0 >= COMPACT_TARGET_BYTES - b.max_file_bytes
