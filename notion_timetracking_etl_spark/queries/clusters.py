@@ -16,6 +16,7 @@ from ..operators.cluster import connected_components
 from ..sources.tpch import load_table
 from .dedup import MINHASH_PAIRS_CTES, near_dup_pairs_cached
 from .registry import register
+from .text import _QUALITY_SCORE_SQL
 
 
 @register(
@@ -190,3 +191,108 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = near_dup_pairs_cached(spark, sf_dir)
     return triangle_participation(pairs).orderBy("node")
+
+
+@register(
+    "dedup_keep_best_quality",
+    "A6,J8,O3-analog",
+    "Quality-aware canonical selection — the step between cluster "
+    "assignment and the final corpus: within each multi-document near-dup "
+    "cluster, KEEP the highest-quality member (exact integer-micro quality "
+    "argmax, doc id tiebreak) instead of the arbitrary min-id, and report "
+    "what deduplication saves (dropped docs/bytes per cluster). Quality is "
+    "computed map-side per document; the argmax is one struct-min groupBy "
+    "(no window), so the plan is two keyed shuffles past the shared pair "
+    "list at any corpus size. The oracle replays the same closure and "
+    "picks the representative with a per-cluster ROW_NUMBER.",
+    oracle=f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
+        edges AS (
+          SELECT a AS x, b AS y FROM pairs
+          UNION
+          SELECT b AS x, a AS y FROM pairs
+        ),
+        reach AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        ),
+        rep AS (
+          SELECT x, least(x, min(y)) AS component FROM reach GROUP BY x
+        ),
+        assign AS (
+          SELECT d.doc_id, d.n_chars,
+                 CAST(COALESCE(r.component, d.doc_id) AS BIGINT)
+                   AS cluster_rep,
+                 CAST(floor(({_QUALITY_SCORE_SQL}) * 1000000.0) AS BIGINT)
+                   AS q_micro
+          FROM documents d LEFT JOIN rep r ON r.x = d.doc_id
+        ),
+        best AS (
+          SELECT cluster_rep, doc_id, q_micro, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                     ORDER BY q_micro DESC, doc_id) AS rk
+          FROM assign
+        ),
+        agg AS (
+          SELECT cluster_rep,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+          FROM assign GROUP BY cluster_rep
+        )
+        SELECT a.cluster_rep, a.n_docs,
+               b.doc_id AS kept_doc_id,
+               b.q_micro AS kept_q_micro,
+               CAST(a.n_docs - 1 AS BIGINT) AS dropped_docs,
+               CAST(a.total_bytes - b.n_chars AS BIGINT) AS dropped_bytes
+        FROM agg a
+        JOIN best b ON b.cluster_rep = a.cluster_rep AND b.rk = 1
+        WHERE a.n_docs > 1
+        ORDER BY a.cluster_rep
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_cached(spark, sf_dir)
+    cc = connected_components(pairs, "a", "b")
+    assign = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(quality_score(F.col("text")) * 1000000.0)
+        .cast("bigint")
+        .alias("q_micro"),
+    ).join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        "n_chars",
+        "q_micro",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+    )
+    # exact argmax without a window: struct-min on (-quality, doc_id); the
+    # kept doc's n_chars rides along in the struct (never compared — the
+    # (q, id) prefix is already unique)
+    picked = assign.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.min(
+            F.struct(
+                (-F.col("q_micro")).alias("nq"),
+                F.col("doc_id").alias("d"),
+                F.col("n_chars").alias("nc"),
+            )
+        ).alias("m"),
+    )
+    return (
+        picked.filter(F.col("n_docs") > 1)
+        .select(
+            "cluster_rep",
+            "n_docs",
+            F.col("m.d").alias("kept_doc_id"),
+            (-F.col("m.nq")).cast("bigint").alias("kept_q_micro"),
+            (F.col("n_docs") - 1).cast("bigint").alias("dropped_docs"),
+            (F.col("total_bytes") - F.col("m.nc")).cast("bigint")
+            .alias("dropped_bytes"),
+        )
+        .orderBy("cluster_rep")
+    )

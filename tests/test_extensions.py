@@ -681,3 +681,46 @@ def test_compaction_plan_bins_respect_target(spark):
         # every non-final bin reached the target (no premature cuts)
         for b in bins[:-1]:
             assert b.bin_bytes + 0 >= COMPACT_TARGET_BYTES - b.max_file_bytes
+
+
+def test_keep_best_quality_picks_cluster_max(spark):
+    """The kept representative is a member of its cluster and no member of
+    that cluster has strictly higher quality (lower doc id breaks ties) —
+    cross-checked against the independent dedup_clusters assignment."""
+    from notion_timetracking_etl_spark.operators.dedup import release_scoped_caches
+    from notion_timetracking_etl_spark.operators.text import quality_score
+    from notion_timetracking_etl_spark.queries.clusters import (
+        dedup_clusters,
+        dedup_keep_best_quality,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    members: dict[int, list[int]] = {}
+    for r in dedup_clusters(spark, sf).collect():
+        members.setdefault(r.cluster_rep, []).append(r.doc_id)
+    q = {
+        r.doc_id: r.q
+        for r in load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.floor(quality_score(F.col("text")) * 1000000.0)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .collect()
+    }
+    picked = dedup_keep_best_quality(spark, sf).collect()
+    release_scoped_caches()
+    assert picked, "no multi-doc clusters at sf0.001"
+    seen = set()
+    for r in picked:
+        club = members[r.cluster_rep]
+        assert len(club) == r.n_docs and r.n_docs > 1
+        assert r.kept_doc_id in club
+        best = min(club, key=lambda d: (-q[d], d))
+        assert r.kept_doc_id == best
+        assert r.kept_q_micro == q[best]
+        seen.add(r.cluster_rep)
+    # every multi-doc cluster from the assignment shows up exactly once
+    assert seen == {c for c, m in members.items() if len(m) > 1}
