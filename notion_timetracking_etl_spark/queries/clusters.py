@@ -224,8 +224,8 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT d.doc_id, d.n_chars,
                  CAST(COALESCE(r.component, d.doc_id) AS BIGINT)
                    AS cluster_rep,
-                 CAST(floor(({_QUALITY_SCORE_SQL}) * 1000000.0) AS BIGINT)
-                   AS q_micro
+                 CAST(COALESCE(floor(({_QUALITY_SCORE_SQL}) * 1000000.0), 0)
+                      AS BIGINT) AS q_micro
           FROM documents d LEFT JOIN rep r ON r.x = d.doc_id
         ),
         best AS (
@@ -260,7 +260,11 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = docs.select(
         "doc_id",
         "n_chars",
-        F.floor(quality_score(F.col("text")) * 1000000.0)
+        # NULL text scores 0 (worst) on BOTH engines — a NULL q_micro would
+        # otherwise ride each engine's divergent NULL ordering into the argmax
+        F.coalesce(
+            F.floor(quality_score(F.col("text")) * 1000000.0), F.lit(0)
+        )
         .cast("bigint")
         .alias("q_micro"),
     ).join(cc, docs.doc_id == cc.node, "left").select(

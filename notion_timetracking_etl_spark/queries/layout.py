@@ -175,10 +175,12 @@ def _morton_sql(x: str, y: str, bits: int) -> str:
     return " + ".join(terms)
 
 
-_ZX = f"user_id % {2**ZORDER_BITS}"
+# NULL coordinates route to cell (0,*)/( *,0) on BOTH engines instead of
+# riding each engine's (divergent) NULL sort order through the rank
+_ZX = f"COALESCE(user_id, 0) % {2**ZORDER_BITS}"
 _ZY = (
-    f"((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % {2**ZORDER_BITS})"
-    f" + {2**ZORDER_BITS}) % {2**ZORDER_BITS}"
+    f"((COALESCE(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)), 0)"
+    f" % {2**ZORDER_BITS}) + {2**ZORDER_BITS}) % {2**ZORDER_BITS}"
 )
 
 
@@ -222,10 +224,12 @@ _ZY = (
 def lake_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = 2**ZORDER_BITS
     events = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    day = F.coalesce(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))), F.lit(0)
+    )
     coded = events.select(
         "event_id",
-        (F.col("user_id") % m).cast("bigint").alias("zx"),
+        (F.coalesce(F.col("user_id"), F.lit(0)) % m).cast("bigint").alias("zx"),
         (((day % m) + m) % m).cast("bigint").alias("zy"),
     ).withColumn(
         "z", _morton_col(F.col("zx"), F.col("zy"), ZORDER_BITS)

@@ -724,3 +724,52 @@ def test_keep_best_quality_picks_cluster_max(spark):
         seen.add(r.cluster_rep)
     # every multi-doc cluster from the assignment shows up exactly once
     assert seen == {c for c, m in members.items() if len(m) > 1}
+
+
+def test_layout_family_null_injection_parity(spark, tmp_path):
+    """NULL user_id/ts in events and NULL text/n_chars in documents must not
+    crash either engine or drift the hashes. The layout family coalesces
+    NULL coordinates to cell 0 and NULL quality to 0 explicitly — otherwise
+    each engine's divergent NULL sort order (Spark NULLS FIRST asc, DuckDB
+    NULLS LAST) would flow through the global rank into different file/
+    representative assignments."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+    from tests.parity import compare_query
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn(
+            "ts", F.when(F.col("event_id") % 97 != 3, F.col("ts"))
+        )
+        .withColumn(
+            "user_id", F.when(F.col("event_id") % 89 != 5, F.col("user_id"))
+        )
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .withColumn("text", F.when(F.col("doc_id") % 53 != 7, F.col("text")))
+        .withColumn(
+            "n_chars", F.when(F.col("doc_id") % 41 != 9, F.col("n_chars"))
+        )
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    for name in (
+        "lake_zorder_extent_stats",
+        "lake_compaction_plan",
+        "corpus_shard_manifest",
+        "dedup_keep_best_quality",
+    ):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
