@@ -299,3 +299,153 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "lang",
     )
+
+
+TOTAL_TOKEN_BUDGET = 200_000  # target training budget (tokens)
+MAX_EPOCHS = 4.0  # repetition cap per language
+
+
+@register(
+    "corpus_epoch_plan",
+    "ext:curation,A3,O1",
+    "Epoch/repetition plan — the upsampling complement to "
+    "corpus_mixture_plan: given a FIXED total token budget and the same "
+    "language weights, each language needs weight*budget tokens; "
+    "epochs = needed/available, CAPPED at the repetition limit (4 epochs "
+    "— past that, repetition hurts more than it helps), with the "
+    "unfillable remainder reported as shortfall_tokens. Aggregates to "
+    "|langs| rows then pure scalar arithmetic: every ratio is one IEEE "
+    "divide of exactly-computed integers on both engines.",
+    oracle=f"""
+        WITH avail AS (
+          SELECT lang,
+                 CAST(SUM(CAST({_WORD_COUNT_SQL} AS BIGINT)) AS BIGINT)
+                   AS available_tokens,
+                 CASE lang
+                   {" ".join(f"WHEN {chr(39)}{k}{chr(39)} THEN CAST({w} AS DOUBLE)" for k, w in _MIX_WEIGHTS.items())}
+                   ELSE CAST(0.0 AS DOUBLE) END AS weight
+          FROM documents
+          GROUP BY lang
+        )
+        SELECT lang, available_tokens, weight,
+               CAST(floor(weight * {TOTAL_TOKEN_BUDGET}.0) AS BIGINT)
+                 AS needed_tokens,
+               CASE WHEN weight > CAST(0.0 AS DOUBLE)
+                         AND available_tokens <> 0 THEN
+                 least(floor(weight * {TOTAL_TOKEN_BUDGET}.0)
+                         / available_tokens, {MAX_EPOCHS})
+                 ELSE CAST(0.0 AS DOUBLE) END AS epochs,
+               CAST(greatest(
+                 CAST(floor(weight * {TOTAL_TOKEN_BUDGET}.0) AS BIGINT)
+                   - CAST(floor({MAX_EPOCHS} * available_tokens) AS BIGINT),
+                 0) AS BIGINT) AS shortfall_tokens
+        FROM avail
+        ORDER BY lang
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.lit(0.0)
+    for k, w in reversed(_MIX_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == k, F.lit(float(w))).otherwise(weight)
+    avail = docs.groupBy("lang").agg(
+        F.sum(word_count(F.col("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("available_tokens")
+    ).withColumn("weight", weight)
+    needed = F.floor(F.col("weight") * F.lit(float(TOTAL_TOKEN_BUDGET)))
+    epochs = F.when(
+        (F.col("weight") > 0.0) & (F.col("available_tokens") != 0),
+        F.least(
+            needed / F.col("available_tokens"), F.lit(MAX_EPOCHS)
+        ),
+    ).otherwise(F.lit(0.0))
+    shortfall = F.greatest(
+        needed.cast("bigint")
+        - F.floor(F.lit(MAX_EPOCHS) * F.col("available_tokens")).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    return ordered_small(
+        avail.select(
+            "lang",
+            "available_tokens",
+            "weight",
+            needed.cast("bigint").alias("needed_tokens"),
+            epochs.cast("double").alias("epochs"),
+            shortfall.cast("bigint").alias("shortfall_tokens"),
+        ),
+        "lang",
+    )
+
+
+SEQ_LEN = 64  # model context length stand-in for the padding arithmetic
+_PAD_BUCKETS = [1, 2, 4, 8, 16, 32]  # sub-context power-of-2 caps; else SEQ_LEN
+
+
+@register(
+    "corpus_padding_efficiency",
+    "ext:curation,A3,A7",
+    "Length-bucketed batching padding audit: documents bucket by the "
+    "ceil-power-of-2 of their token count (1,2,4,...,capped at the "
+    f"context length {SEQ_LEN}); padding every doc to its BUCKET cap "
+    "wastes bucket_cap - tokens per doc, vs padding everything to the "
+    "global context length. Per bucket: docs, real tokens, padded "
+    "tokens, and both waste ratios — the table that justifies bucketed "
+    "batching in a serving/eval harness. Pure per-row arithmetic + one "
+    "|buckets|-row aggregation; no window, no rank, nothing "
+    "corpus-sized past the scan.",
+    oracle=f"""
+        WITH sized AS (
+          SELECT CAST(CASE
+                   {" ".join(f"WHEN n <= {c} THEN {c}" for c in _PAD_BUCKETS)}
+                   ELSE {SEQ_LEN} END AS BIGINT) AS bucket_cap,
+                 least(n, {SEQ_LEN}) AS n
+          FROM (
+            SELECT CAST({_WORD_COUNT_SQL} AS BIGINT) AS n FROM documents
+          ) t
+          WHERE n > 0
+        )
+        SELECT bucket_cap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS real_tokens,
+               CAST(SUM(bucket_cap) AS BIGINT) AS padded_tokens,
+               CAST(SUM(bucket_cap) - SUM(n) AS DOUBLE) / SUM(bucket_cap)
+                 AS bucket_waste,
+               CAST(COUNT(*) * {SEQ_LEN} - SUM(n) AS DOUBLE)
+                 / (COUNT(*) * {SEQ_LEN}) AS global_pad_waste
+        FROM sized
+        GROUP BY bucket_cap
+        ORDER BY bucket_cap
+    """,
+)
+def corpus_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = word_count(F.col("text")).cast("bigint")
+    n = F.least(n_raw, F.lit(SEQ_LEN))
+    # ceil-power-of-2 as an exact threshold chain (the bucket set is the
+    # fixed {1,2,...,SEQ_LEN}) — NEVER ln(n)/ln(2): that ratio lands a ULP
+    # under or over an exact power of two differently per engine, and ceil
+    # amplifies the ULP into an off-by-one bucket (module FP-parity rule)
+    bucket = F.lit(SEQ_LEN).cast("bigint")
+    for c in reversed(_PAD_BUCKETS):
+        bucket = F.when(n_raw <= c, F.lit(c).cast("bigint")).otherwise(bucket)
+    sized = docs.select(
+        bucket.alias("bucket_cap"), n.alias("n")
+    ).filter(F.col("n") > 0)
+    return (
+        sized.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("real_tokens"),
+            F.sum("bucket_cap").cast("bigint").alias("padded_tokens"),
+            (
+                (F.sum("bucket_cap") - F.sum("n")).cast("double")
+                / F.sum("bucket_cap")
+            ).alias("bucket_waste"),
+            (
+                (F.count(F.lit(1)) * SEQ_LEN - F.sum("n")).cast("double")
+                / (F.count(F.lit(1)) * SEQ_LEN)
+            ).alias("global_pad_waste"),
+        )
+        .orderBy("bucket_cap")
+    )

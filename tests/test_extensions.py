@@ -773,3 +773,76 @@ def test_layout_family_null_injection_parity(spark, tmp_path):
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
+
+
+def test_epoch_plan_cap_and_shortfall_arithmetic(spark):
+    """epochs = min(needed/available, 4) and the shortfall is exactly the
+    tokens the cap leaves unfilled — recomputed independently per language."""
+    from notion_timetracking_etl_spark.operators.text import word_count
+    from notion_timetracking_etl_spark.queries.curation import (
+        MAX_EPOCHS,
+        TOTAL_TOKEN_BUDGET,
+        _MIX_WEIGHTS,
+        corpus_epoch_plan,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    avail = {
+        r.lang: r.a
+        for r in load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.sum(word_count(F.col("text")).cast("bigint")).alias("a"))
+        .collect()
+    }
+    rows = corpus_epoch_plan(spark, sf).collect()
+    assert {r.lang for r in rows} == set(avail)
+    import math
+
+    for r in rows:
+        w = float(_MIX_WEIGHTS.get(r.lang, 0.0))
+        needed = math.floor(w * float(TOTAL_TOKEN_BUDGET))
+        assert r.available_tokens == avail[r.lang]
+        assert r.needed_tokens == needed
+        if w > 0 and avail[r.lang]:
+            assert r.epochs == min(needed / avail[r.lang], MAX_EPOCHS)
+        else:
+            assert r.epochs == 0.0
+        assert r.shortfall_tokens == max(
+            needed - math.floor(MAX_EPOCHS * avail[r.lang]), 0
+        )
+        # the cap binds iff there is a shortfall
+        assert (r.shortfall_tokens > 0) == (
+            w > 0 and needed / max(avail[r.lang], 1) > MAX_EPOCHS
+        ) or needed == 0
+
+
+def test_padding_buckets_beat_global_padding(spark):
+    """Bucketed padding strictly beats pad-to-context for every sub-context
+    bucket, bucket caps are powers of two, and the whole-corpus token count
+    is conserved across buckets."""
+    from notion_timetracking_etl_spark.operators.text import word_count
+    from notion_timetracking_etl_spark.queries.curation import (
+        SEQ_LEN,
+        corpus_padding_efficiency,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_padding_efficiency(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket_cap & (r.bucket_cap - 1) == 0  # power of two
+        assert r.padded_tokens == r.n_docs * r.bucket_cap or r.bucket_cap == SEQ_LEN
+        if r.bucket_cap < SEQ_LEN:
+            assert r.bucket_waste < r.global_pad_waste
+    total = (
+        load_table(spark, sf, "documents")
+        .select(
+            F.least(word_count(F.col("text")).cast("bigint"), F.lit(SEQ_LEN)).alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.real_tokens for r in rows) == total
