@@ -243,3 +243,39 @@ def test_bucketed_cohort_join_is_exchange_free(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+
+
+def test_layout_manifest_scans_never_read_text(spark, sf_dir):
+    """The layout family's manifest-style queries (shard manifest, compaction
+    plan) consume only id/size/key columns; at 100 TB reading the `text`
+    column for them would multiply scan volume ~50x. Column pruning must
+    reach the parquet scan."""
+    for name, expected in (
+        ("corpus_shard_manifest", {"doc_id", "n_chars"}),
+        ("lake_compaction_plan", {"source", "doc_id", "n_chars"}),
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, f"{name}: no parquet scan in plan"
+        for s in schemas:
+            cols = {c.split(":")[0] for c in s.split(",") if c}
+            assert cols <= expected, f"{name}: scan reads {cols - expected}"
+        from notion_timetracking_etl_spark.operators.dedup import (
+            release_scoped_caches,
+        )
+
+        release_scoped_caches()
+
+
+def test_zorder_rank_has_no_single_partition_window(spark, sf_dir):
+    """The z-order file assignment ranks the full corpus — it must go through
+    the distributed ranking operator (range partition + per-partition
+    row_number), never `Window [.. ORDER BY ..]` with no PARTITION BY
+    (a single-task global sort)."""
+    from notion_timetracking_etl_spark.operators.dedup import release_scoped_caches
+
+    plan = plan_of(spark, sf_dir, "lake_zorder_extent_stats")
+    release_scoped_caches()
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        partition_spec = m.group(1)
+        assert partition_spec.strip(), "windowed rank with empty PARTITION BY"
