@@ -253,3 +253,80 @@ def lake_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("file_id")
     )
     return out
+
+
+@register(
+    "corpus_shard_route_batch",
+    "O-ext,J1-analog",
+    "Incremental shard maintenance: an arriving batch (doc_id % 10 = 9, the "
+    "repo's incremental-ingest convention) routes to the EXISTING corpus "
+    "shards by their frozen hash-range boundaries — the corpus itself is "
+    "never re-ranked or re-shuffled. Boundaries = per-shard min permutation "
+    "key from the corpus NTILE (one 16-element sorted array, broadcast as a "
+    "single row, 4096 keys in production); each batch doc's shard is a "
+    "higher-order-function range lookup (count of boundaries <= its key). "
+    "A day's append costs O(batch), exactly like the incremental dedup "
+    "gate. Per shard: arriving docs and bytes.",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT sha256(CAST(doc_id AS VARCHAR)) AS perm
+          FROM documents WHERE doc_id % 10 <> 9
+        ),
+        assigned AS (
+          SELECT perm,
+                 CAST(NTILE({N_SHARDS}) OVER (ORDER BY perm) - 1 AS BIGINT)
+                   AS shard_id
+          FROM corpus
+        ),
+        bounds AS (
+          SELECT list_sort(array_agg(lo)) AS lows
+          FROM (SELECT MIN(perm) AS lo FROM assigned GROUP BY shard_id) b
+        ),
+        batch AS (
+          SELECT doc_id, n_chars,
+                 sha256(CAST(doc_id AS VARCHAR)) AS perm
+          FROM documents WHERE doc_id % 10 = 9
+        )
+        SELECT CAST(greatest(len(list_filter(lows, x -> x <= perm)) - 1, 0)
+                    AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS new_bytes
+        FROM batch, bounds
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+)
+def corpus_shard_route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("perm"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 9).select("perm")
+    ranked, total = with_global_ranks(corpus, [F.col("perm")], rank_col="rn")
+    bounds = (
+        ranked.withColumn(
+            "shard_id", ntile_from_rank(F.col("rn"), total, N_SHARDS)
+        )
+        .groupBy("shard_id")
+        .agg(F.min("perm").alias("lo"))
+        .agg(F.array_sort(F.collect_list("lo")).alias("lows"))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    return (
+        batch.crossJoin(F.broadcast(bounds))
+        .select(
+            F.greatest(
+                F.expr("size(filter(lows, x -> x <= perm))") - 1, F.lit(0)
+            )
+            .cast("bigint")
+            .alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new_docs"),
+            F.sum("n_chars").cast("bigint").alias("new_bytes"),
+        )
+        .orderBy("shard_id")
+    )

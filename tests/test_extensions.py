@@ -846,3 +846,47 @@ def test_padding_buckets_beat_global_padding(spark):
         .collect()[0][0]
     )
     assert sum(r.real_tokens for r in rows) == total
+
+
+def test_shard_routing_respects_frozen_boundaries(spark):
+    """Every routed batch doc lands in the shard whose frozen corpus hash
+    range contains its permutation key (below-range keys clamp to shard 0),
+    and batch totals are conserved."""
+    import hashlib
+
+    from notion_timetracking_etl_spark.operators.dedup import release_scoped_caches
+    from notion_timetracking_etl_spark.queries.layout import (
+        N_SHARDS,
+        corpus_shard_route_batch,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    routed = corpus_shard_route_batch(spark, sf).collect()
+    release_scoped_caches()
+
+    perm = lambda d: hashlib.sha256(str(d).encode()).hexdigest()
+    corpus_keys = sorted(perm(d) for d in docs if d % 10 != 9)
+    n, k = len(corpus_keys), N_SHARDS
+    q, r = divmod(n, k)
+    lows, pos = [], 0
+    for s in range(k):
+        lows.append(corpus_keys[pos])
+        pos += q + (1 if s < r else 0)
+    batch = {d: c for d, c in docs.items() if d % 10 == 9}
+    expected: dict[int, list[int]] = {}
+    for d in batch:
+        p = perm(d)
+        s = max(sum(1 for lo in lows if lo <= p) - 1, 0)
+        expected.setdefault(s, []).append(d)
+    assert {r_.shard_id: r_.n_new_docs for r_ in routed} == {
+        s: len(v) for s, v in expected.items()
+    }
+    assert {r_.shard_id: r_.new_bytes for r_ in routed} == {
+        s: sum(batch[d] for d in v) for s, v in expected.items()
+    }
+    assert sum(r_.n_new_docs for r_ in routed) == len(batch)
