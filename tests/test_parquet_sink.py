@@ -128,3 +128,60 @@ def test_stream_to_parquet_lake_exactly_once(spark, sf_dir, tmp_path):
         read_events_stream(spark, sf_dir), path, ckpt, ["event_type"]
     )
     assert spark.read.parquet(path).count() == n_expected
+
+
+def test_sharded_corpus_write_roundtrip_and_balance(spark, tmp_path):
+    """write_sharded_corpus materializes the shard plan: one directory per
+    shard, sizes differ by <=1, membership matches the manifest query's
+    NTILE plan, nothing lost or duplicated, and each shard file is ordered
+    by the permutation key (a shard IS a contiguous ordered hash range)."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.sinks.shards import (
+        read_shard,
+        write_sharded_corpus,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = str(tmp_path / "shards")
+    n = write_sharded_corpus(docs, out, "doc_id", 16)
+    assert n == 500
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == 16
+
+    back = spark.read.parquet(out)
+    sizes = {
+        r.shard: r.c
+        for r in back.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    }
+    assert sum(sizes.values()) == 500
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert set(
+        r.doc_id for r in back.select("doc_id").collect()
+    ) == set(r.doc_id for r in docs.collect())
+
+    # membership matches the independently computed boundary plan
+    perm = lambda d: hashlib.sha256(str(d).encode()).hexdigest()
+    ids = sorted((perm(r.doc_id), r.doc_id) for r in docs.collect())
+    q, rem = divmod(len(ids), 16)
+    expected, pos = {}, 0
+    for s in range(16):
+        take = q + (1 if s < rem else 0)
+        for p, d in ids[pos : pos + take]:
+            expected[d] = s
+        pos += take
+    got = {r.doc_id: r.shard for r in back.collect()}
+    assert got == expected
+
+    # single-shard read prunes to one directory and comes back key-ordered
+    one = read_shard(spark, out, 3)
+    rows = [r.doc_id for r in one.collect()]
+    assert sorted(rows, key=perm) == rows
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
