@@ -449,3 +449,89 @@ def corpus_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    "ext:curation,J8-analog,A10-analog",
+    "Pairwise cross-source content overlap: distinct (source, content "
+    "fingerprint) pairs, fingerprints carried by >1 source expand into "
+    "ordered source pairs, counted into a |sources|^2-bounded matrix with "
+    "per-pair Jaccard. The cross-dump contamination scan run before mixing "
+    "crawls. Scale shape: one distinct shuffle on the 64-hex fingerprint, "
+    "then per-fingerprint pair fan-out bounded by |sources| (the source "
+    "SET per fingerprint, never occurrence x occurrence) — a self-join on "
+    "the fingerprint would square the mega-duplicate buckets; the "
+    "collect_set formulation cannot.",
+    oracle="""
+        WITH fp AS (SELECT DISTINCT source, sha256(text) AS fp
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL),
+        c AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared_docs
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+              GROUP BY 1, 2),
+        n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp
+              GROUP BY 1)
+        SELECT src_a, src_b, shared_docs,
+               na.n AS n_a, nb.n AS n_b,
+               CAST(shared_docs AS DOUBLE) / (na.n + nb.n - shared_docs)
+                   AS jaccard
+        FROM c
+        JOIN n na ON na.source = c.src_a
+        JOIN n nb ON nb.source = c.src_b
+        ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        docs.filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.sha2(F.col("text"), 256).alias("fp"))
+        .distinct()
+    )
+    # Source SET per fingerprint (bounded by |sources|), expanded into
+    # ordered pairs JVM-side — the skew-proof alternative to a fingerprint
+    # self-join, whose duplicate-heavy buckets would square.
+    sets = (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.src_a", "pr.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("shared_docs")
+    )
+    n = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(
+            F.broadcast(n.select(F.col("source").alias("src_a"),
+                                 F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(n.select(F.col("source").alias("src_b"),
+                                 F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared_docs").cast("bigint").alias("shared_docs"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("shared_docs").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_docs"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -26,12 +26,13 @@ import pyspark.sql.functions as F
 
 from ..operators.dedup import (
     _SCOPED_CACHES,
+    hash64,
     shingle_table,
     shingles_from_words,
     words,
 )
 from ..sources.tpch import load_table
-from .dedup import _shingles_cte, _WORDS_SQL
+from .dedup import _hash64_sql, _shingles_cte, _WORDS_SQL
 from .registry import register
 
 
@@ -205,4 +206,135 @@ def text_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), F.col("passage"))
         .limit(20)
+    )
+
+
+_SPAN_N = 10
+
+
+def _span_oracle() -> str:
+    n = _SPAN_N
+    gram = ", ".join(f"ws[u.i+{j}]" for j in range(n))
+    g_hash = _hash64_sql("span", f"concat_ws(' ', {gram})")
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+                   WHERE text IS NOT NULL),
+        ww AS (SELECT doc_id, ws, len(ws) AS n_words FROM w
+               WHERE len(ws) >= {n}),
+        p AS (SELECT doc_id, n_words, u.i AS start_tok,
+                     u.i + {n - 1} AS end_tok, {g_hash} AS g
+              FROM ww, unnest(generate_series(1, len(ws) - {n - 1})) AS u(i)),
+        dup AS (SELECT g FROM p GROUP BY g HAVING COUNT(*) > 1),
+        m AS (SELECT p.doc_id, p.n_words, p.start_tok, p.end_tok
+              FROM p JOIN dup USING (g)),
+        i AS (SELECT *, CASE WHEN start_tok > COALESCE(MAX(end_tok) OVER (
+                    PARTITION BY doc_id ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                THEN 1 ELSE 0 END AS ni FROM m),
+        j AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island FROM i),
+        s AS (SELECT doc_id, n_words, island,
+                     MIN(start_tok) AS s, MAX(end_tok) AS e
+              FROM j GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+               CAST(SUM(e - s + 1) AS DOUBLE) / n_words AS dup_span_ratio
+        FROM s GROUP BY doc_id, n_words ORDER BY doc_id
+    """
+
+
+@register(
+    "text_duplicate_spans",
+    "ext:decontam,W-ext,A7-analog",
+    "Exact-substring duplication coverage (the suffix-array-style dedup "
+    f"signal of Lee et al. 2022, re-expressed relationally): every {_SPAN_N}"
+    "-word positional gram is hashed; grams occurring more than once "
+    "corpus-wide (cross- OR intra-document) mark their token range, and "
+    "overlapping ranges merge into maximal duplicated SPANS per document "
+    "via the classic island detection (running-max-end window). Output: "
+    "per affected doc, the merged span count and the fraction of its "
+    "tokens inside duplicated spans — the per-doc signal that drives "
+    "span-level removal. Scale shape: the gram table shuffles 8-byte "
+    "hashes (never gram text), the dup filter is one partial-aggregated "
+    "count, and the island window partitions per doc_id — bounded by "
+    "document length, never corpus-sized.",
+    oracle=_span_oracle(),
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _SPAN_N
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    # Positional grams: (doc, start, end, 64-bit gram hash). Docs shorter
+    # than the gram width cannot contain a duplicated span by definition
+    # (mirrored by the oracle's len(ws) >= n filter). Repartition before the
+    # CPU-heavy gram fan-out for the same reason shingle_table does.
+    ww = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .withColumn("n_words", F.size("ws"))
+        .filter(F.col("n_words") >= n)
+        .repartition(par, "doc_id")
+    )
+    pos = ww.select(
+        "doc_id",
+        "n_words",
+        F.posexplode(shingles_from_words(F.col("ws"), n)).alias("p", "gram"),
+    ).select(
+        "doc_id",
+        "n_words",
+        (F.col("p") + 1).alias("start_tok"),
+        (F.col("p") + n).alias("end_tok"),
+        hash64("span", F.col("gram")).alias("g"),
+    ).persist()
+    _SCOPED_CACHES.append(pos)
+    # A gram is "duplicated" when it occurs >1 time anywhere — including
+    # twice inside one document (intra-doc repetition is still duplication
+    # for span-removal purposes). 32-bit hash collisions are deterministic
+    # and identical on both engines (the oracle replays the same hash).
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("g")
+    )
+    marked = pos.join(dup, "g").select(
+        "doc_id", "n_words", "start_tok", "end_tok"
+    )
+    wo = Window.partitionBy("doc_id").orderBy("start_tok")
+    run_end = F.max("end_tok").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        marked.withColumn(
+            "ni",
+            F.when(
+                F.col("start_tok") > F.coalesce(run_end, F.lit(0)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("ni").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "n_words", "island")
+        .agg(F.min("start_tok").alias("s"), F.max("end_tok").alias("e"))
+    )
+    return (
+        islands.groupBy("doc_id", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+            (
+                F.col("dup_tokens").cast("double") / F.col("n_words")
+            ).alias("dup_span_ratio"),
+        )
+        .orderBy("doc_id")
     )

@@ -299,6 +299,7 @@ def test_decontam_family_unicode_parity(spark, tmp_path):
         "dedup_ngram_jaccard",
         "dedup_incremental_batch",
         "text_boilerplate_passages",
+        "text_duplicate_spans",
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
@@ -890,3 +891,92 @@ def test_shard_routing_respects_frozen_boundaries(spark):
         s: sum(batch[d] for d in v) for s, v in expected.items()
     }
     assert sum(r_.n_new_docs for r_ in routed) == len(batch)
+
+
+def test_duplicate_spans_merges_overlaps_and_splits_islands(spark, tmp_path):
+    """Ground truth for text_duplicate_spans' island merge: overlapping
+    duplicated 10-grams fuse into ONE maximal span; disjoint duplicated
+    regions stay separate; intra-document repetition counts as duplication;
+    docs shorter than the gram width never appear."""
+    from notion_timetracking_etl_spark.queries import REGISTRY
+
+    X = " ".join(f"x{i}" for i in range(10))        # 10-word block
+    Y = " ".join(f"y{i}" for i in range(10))
+    Z = " ".join(f"z{i}" for i in range(10))
+    rows = [
+        # docs 1/2 share an 11-word prefix -> two overlapping grams merge
+        # into one [1,11] span in doc 1 (11 of 15 tokens covered)
+        (1, X + " x10 un1 un2 un3 un4"),
+        (2, X + " x10 other1 other2"),
+        # docs 3/4 share two DISJOINT 10-word blocks around distinct filler
+        (3, X + " f1 f2 f3 f4 f5 " + Y),
+        (4, X + " g1 g2 g3 g4 g5 " + Y),
+        # doc 5 repeats a block intra-doc: both halves are duplicated spans
+        (5, Z + " " + Z),
+        # short duplicated docs (< 10 words) are out of scope by contract
+        (6, "tiny dup doc"),
+        (7, "tiny dup doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_duplicate_spans"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[1]["n_spans"], out[1]["dup_tokens"], out[1]["n_words"]) == (1, 11, 15)
+    assert out[1]["dup_span_ratio"] == 11 / 15
+    assert (out[2]["n_spans"], out[2]["dup_tokens"]) == (1, 11)
+    # disjoint blocks: two spans of 10, filler uncovered
+    assert (out[3]["n_spans"], out[3]["dup_tokens"], out[3]["n_words"]) == (2, 20, 25)
+    assert (out[4]["n_spans"], out[4]["dup_tokens"]) == (2, 20)
+    # intra-doc repeat: fully covered
+    assert (out[5]["dup_tokens"], out[5]["n_words"]) == (20, 20)
+
+
+def test_versioning_and_overlap_parity_under_null_injection(spark, tmp_path):
+    """corpus_snapshot_diff + source_overlap_matrix hash parity on a hostile
+    corpus: NULL text (fingerprints to NULL on both engines), NULL source
+    (sentinel-coalesced in the diff, excluded from the overlap matrix), and
+    cross-source exact duplicates."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from tests.parity import compare_query
+
+    rows = [
+        (0, "shared body one", "crawlA"),
+        (1, "shared body one", "crawlB"),          # cross-source dup
+        (2, "shared body one", "crawlC"),          # three-way dup
+        (3, "only in a", "crawlA"),
+        (5, "changed rev candidate", "crawlB"),    # doc_id%13==5 -> changed
+        (7, "added candidate", "crawlC"),          # doc_id%19==7 -> added
+        (20, "removed candidate", "crawlA"),       # doc_id%17==3 -> removed
+        (40, None, "crawlA"),                      # NULL text
+        (41, "null source doc", None),             # NULL source
+        (42, None, None),                          # both NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("corpus_snapshot_diff", "source_overlap_matrix"):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
+    # semantic spot-checks on the diff
+    diff = {
+        r["source"]: r
+        for r in REGISTRY["corpus_snapshot_diff"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert diff["crawlB"]["n_changed"] == 1          # doc 5
+    assert diff["crawlC"]["n_added"] == 1            # doc 7 re-added
+    assert diff["crawlA"]["n_removed"] == 2          # docs 3 and 20 (% 17 == 3)
+    # NULL-text docs fingerprint NULL on both sides -> unchanged
+    assert diff["(unknown)"]["n_unchanged"] >= 1
