@@ -338,3 +338,150 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _positional_grams(spark: SparkSession, sf_dir: str, n: int):
+    """Shared scaffold for the span family: (all non-NULL docs with their
+    word arrays, positional gram table for docs >= n words). The gram table
+    carries an order key k = doc_id * 1e6 + start (docs are bounded far
+    below 1M tokens; the key makes 'globally first occurrence' a plain MIN
+    on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    ww = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .withColumn("n_words", F.size("ws"))
+        .repartition(par, "doc_id")
+    )
+    pos = (
+        ww.filter(F.col("n_words") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_words(F.col("ws"), n)).alias("p", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p") + 1).alias("start_tok"),
+            (F.col("p") + n).alias("end_tok"),
+            (F.col("doc_id").cast("bigint") * 1_000_000 + F.col("p") + 1).alias("k"),
+            hash64("span", F.col("gram")).alias("g"),
+        )
+    )
+    return ww, pos
+
+
+def _scrub_oracle() -> str:
+    n = _SPAN_N
+    gram = ", ".join(f"ws[u.i+{j}]" for j in range(n))
+    g_hash = _hash64_sql("span", f"concat_ws(' ', {gram})")
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+                   WHERE text IS NOT NULL),
+        ww AS (SELECT doc_id, ws, len(ws) AS n_words FROM w),
+        p AS (SELECT doc_id, u.i AS start_tok, u.i + {n - 1} AS end_tok,
+                     CAST(doc_id AS BIGINT) * 1000000 + u.i AS k,
+                     {g_hash} AS g
+              FROM ww, unnest(generate_series(1, len(ws) - {n - 1})) AS u(i)
+              WHERE len(ws) >= {n}),
+        keep AS (SELECT g, MIN(k) AS keep_k FROM p GROUP BY g),
+        m AS (SELECT p.doc_id, p.start_tok, p.end_tok
+              FROM p JOIN keep USING (g) WHERE p.k <> keep.keep_k),
+        i AS (SELECT *, CASE WHEN start_tok > COALESCE(MAX(end_tok) OVER (
+                    PARTITION BY doc_id ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                THEN 1 ELSE 0 END AS ni FROM m),
+        j AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island FROM i),
+        s AS (SELECT doc_id, island, MIN(start_tok) AS s, MAX(end_tok) AS e
+              FROM j GROUP BY 1, 2),
+        sp AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS spans,
+                      CAST(COUNT(*) AS BIGINT) AS n_spans
+               FROM s GROUP BY 1),
+        o AS (SELECT ww.doc_id, ww.n_words,
+                     CASE WHEN sp.spans IS NULL THEN ws
+                          ELSE list_filter(ws, (x, i) ->
+                               NOT len(list_filter(sp.spans,
+                                   q -> i BETWEEN q.s AND q.e)) > 0) END
+                         AS kept,
+                     COALESCE(sp.n_spans, 0) AS n_spans
+              FROM ww LEFT JOIN sp USING (doc_id))
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_words - len(kept) AS BIGINT) AS removed_tokens,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               sha256(COALESCE(array_to_string(kept, ' '), ''))
+                   AS scrubbed_sha
+        FROM o ORDER BY doc_id
+    """
+
+
+@register(
+    "text_scrub_duplicate_spans",
+    "ext:decontam,W-ext,F20-analog",
+    "APPLY the span-level dedup (the remove-all-but-one-occurrence pass of "
+    "Lee et al. 2022): for every duplicated positional gram the globally "
+    "FIRST occurrence (min doc_id/offset) is the keeper; every other "
+    "occurrence marks its token range, ranges island-merge into maximal "
+    "spans, and each document is reconstructed with those spans excised — "
+    "emitted as before/after token counts plus the sha256 of the scrubbed "
+    "text (the narrow proof of reconstruction; the full text rewrite is "
+    "the same expression minus the hash). Keeper selection is one "
+    "aggregate MIN over an order key, never a per-gram window — skew-proof "
+    "under mega-duplicated grams. Spans rejoin their documents as "
+    "per-doc arrays (bounded by doc length) and the excision runs in "
+    "JVM-side higher-order functions; text bytes never shuffle between "
+    "stages, only 8-byte gram hashes and span bounds do.",
+    oracle=_scrub_oracle(),
+)
+def text_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _SPAN_N
+    ww, pos = _positional_grams(spark, sf_dir, n)
+    pos = pos.persist()
+    _SCOPED_CACHES.append(pos)
+    keep = pos.groupBy("g").agg(F.min("k").alias("keep_k"))
+    marked = (
+        pos.join(keep, "g")
+        .filter(F.col("k") != F.col("keep_k"))
+        .select("doc_id", "start_tok", "end_tok")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("start_tok")
+    run_end = F.max("end_tok").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (
+        marked.withColumn(
+            "ni",
+            F.when(
+                F.col("start_tok") > F.coalesce(run_end, F.lit(0)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("ni").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start_tok").alias("s"), F.max("end_tok").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("spans"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    out = ww.join(spans, "doc_id", "left").withColumn(
+        "kept",
+        F.when(F.col("spans").isNull(), F.col("ws")).otherwise(
+            F.expr(
+                "filter(ws, (x, i) -> NOT exists(spans, "
+                "q -> i + 1 >= q.s AND i + 1 <= q.e))"
+            )
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("n_words") - F.size("kept")).cast("bigint").alias("removed_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.sha2(F.concat_ws(" ", F.col("kept")), 256).alias("scrubbed_sha"),
+    ).orderBy("doc_id")

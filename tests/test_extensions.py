@@ -300,6 +300,7 @@ def test_decontam_family_unicode_parity(spark, tmp_path):
         "dedup_incremental_batch",
         "text_boilerplate_passages",
         "text_duplicate_spans",
+        "text_scrub_duplicate_spans",
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
@@ -934,6 +935,40 @@ def test_duplicate_spans_merges_overlaps_and_splits_islands(spark, tmp_path):
     assert (out[4]["n_spans"], out[4]["dup_tokens"]) == (2, 20)
     # intra-doc repeat: fully covered
     assert (out[5]["dup_tokens"], out[5]["n_words"]) == (20, 20)
+
+    # the APPLY counterpart: first occurrence is the keeper, every other
+    # occurrence is excised, and the scrubbed text is reconstructed exactly
+    import hashlib
+
+    scrub = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_scrub_duplicate_spans"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(scrub) == {1, 2, 3, 4, 5, 6, 7}    # every non-NULL doc
+    assert scrub[1]["removed_tokens"] == 0        # doc 1 is the keeper
+    assert (scrub[2]["removed_tokens"], scrub[2]["n_spans"]) == (11, 1)
+    assert scrub[2]["scrubbed_sha"] == hashlib.sha256(
+        b"other1 other2"
+    ).hexdigest()
+    # doc 3: X's keeper lives in doc 1, so X is excised here too — but doc 3
+    # IS the first occurrence of Y, which therefore survives
+    assert (scrub[3]["removed_tokens"], scrub[3]["n_spans"]) == (10, 1)
+    assert scrub[3]["scrubbed_sha"] == hashlib.sha256(
+        ("f1 f2 f3 f4 f5 " + " ".join(f"y{i}" for i in range(10))).encode()
+    ).hexdigest()
+    assert (scrub[4]["removed_tokens"], scrub[4]["n_spans"]) == (20, 2)
+    assert scrub[4]["scrubbed_sha"] == hashlib.sha256(
+        b"g1 g2 g3 g4 g5"
+    ).hexdigest()
+    # intra-doc: the first Z block survives, the repeat is removed
+    assert scrub[5]["removed_tokens"] == 10
+    assert scrub[5]["scrubbed_sha"] == hashlib.sha256(
+        " ".join(f"z{i}" for i in range(10)).encode()
+    ).hexdigest()
+    # short docs are untouched pass-throughs
+    assert scrub[6]["removed_tokens"] == 0 and scrub[7]["removed_tokens"] == 0
 
 
 def test_versioning_and_overlap_parity_under_null_injection(spark, tmp_path):
