@@ -279,3 +279,22 @@ def test_zorder_rank_has_no_single_partition_window(spark, sf_dir):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         partition_spec = m.group(1)
         assert partition_spec.strip(), "windowed rank with empty PARTITION BY"
+
+
+def test_selection_family_broadcasts_bounded_sides(spark, sf_dir):
+    """The selection family's small sides are all BOUNDED regardless of
+    corpus size — DSIR's bucket-weight table (≤4096 rows), BM25's per-term
+    document frequencies (≤ |query terms| rows), and the Bloom position set
+    (≤ min(k·n, m) rows). Each must return to the corpus-sized stream as a
+    broadcast hash join; a shuffled SMJ there would re-shuffle the corpus
+    for a constant-sized build."""
+    plan = plan_of(spark, sf_dir, "dsir_importance_scores")
+    assert re.search(r"BroadcastHashJoin \[bucket", plan)
+    assert not re.search(r"SortMergeJoin \[bucket", plan)
+
+    plan = plan_of(spark, sf_dir, "bm25_doc_ranking")
+    assert re.search(r"BroadcastHashJoin \[term", plan)
+
+    plan = plan_of(spark, sf_dir, "dedup_bloom_prefilter")
+    assert re.search(r"BroadcastHashJoin \[pos", plan)
+    assert not re.search(r"SortMergeJoin \[pos", plan)

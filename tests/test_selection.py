@@ -1,0 +1,163 @@
+"""Ground-truth tests for the data-selection family (operators/selection.py,
+queries/selection.py): BPE fitting vs a pure-Python reference, Bloom-filter
+invariants, DSIR discrimination, and hostile-input edges."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.operators.selection import (
+    BLOOM_K,
+    adjacent_pair_counts,
+    bloom_build,
+    bloom_probe,
+    bpe_fit,
+    chars_vocab,
+    dsir_bucket_weights,
+    hashed_bigram_features,
+    word_frequency_table,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python BPE reference (Sennrich et al. 2016, the published pseudo-code)
+# ---------------------------------------------------------------------------
+
+
+def _ref_pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    out: dict[tuple[str, str], int] = {}
+    for syms, cnt in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            out[(a, b)] = out.get((a, b), 0) + cnt
+    return out
+
+
+def _ref_merge(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe(freq: dict[str, int], n_merges: int) -> list[tuple[str, int]]:
+    vocab = {tuple(w): c for w, c in freq.items()}
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        counts = _ref_pair_counts(vocab)
+        if not counts:
+            break
+        # argmax, ties broken lexicographically on the joined "a b" string —
+        # the exact rule bpe_fit orders by
+        pair, cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        if cnt < 2:
+            break
+        merges.append((f"{pair[0]} {pair[1]}", cnt))
+        vocab = {_ref_merge(s, pair): c for s, c in vocab.items()}
+    return merges
+
+
+def test_bpe_fit_matches_pure_python_reference(spark):
+    texts = [
+        "lower lower lowest newer newer newer wider",
+        "low lower newest newest wide wider widest",
+        "new new newer lowest lowest lowest",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    freq_df = word_frequency_table(docs, "text")
+    freq = {r["word"]: r["cnt"] for r in freq_df.collect()}
+    got = bpe_fit(freq_df, n_merges=8)
+    want = _ref_bpe(freq, n_merges=8)
+    assert got == want
+    assert len(got) >= 4  # the corpus supports several real merges
+
+
+def test_bpe_overlapping_pair_merges_left_to_right(spark):
+    # 'aaaa' x3: pair ('a','a') count is 3 adjacencies x 3 = 9; the merge
+    # must collapse non-overlapping occurrences left-to-right -> ('aa','aa')
+    docs = spark.createDataFrame([(0, "aaaa aaaa aaaa")], "doc_id long, text string")
+    freq_df = word_frequency_table(docs, "text")
+    got = bpe_fit(freq_df, n_merges=2)
+    want = _ref_bpe({"aaaa": 3}, n_merges=2)
+    assert got == want
+    assert got[0] == ("a a", 9)
+    assert got[1] == ("aa aa", 3)
+
+
+def test_adjacent_pairs_single_char_words_yield_no_pairs(spark):
+    docs = spark.createDataFrame([(0, "a b c ab")], "doc_id long, text string")
+    vocab = chars_vocab(word_frequency_table(docs, "text"))
+    rows = {r["pair"]: r["pair_count"] for r in adjacent_pair_counts(vocab).collect()}
+    assert rows == {"a b": 1}
+
+
+def test_bloom_has_no_false_negatives_and_probe_counts(spark):
+    corpus = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "fp string"
+    )
+    # batch: 50 keys present in the corpus, 50 absent
+    batch = spark.createDataFrame(
+        [(f"key{i}",) for i in range(150, 250)], "fp string"
+    )
+    bloom = bloom_build(corpus, "fp")
+    probed = bloom_probe(batch, bloom, "fp")
+    rows = {r["fp"]: r["bloom_pass"] for r in probed.collect()}
+    assert len(rows) == 100
+    # structural guarantee: every true member passes
+    for i in range(150, 200):
+        assert rows[f"key{i}"] is True
+    # and with m=2^20 over 200 keys, false positives are ~impossible
+    fps = [k for k, v in rows.items() if v and int(k[3:]) >= 200]
+    assert fps == []
+
+
+def test_bloom_tiny_space_produces_false_positives_never_negatives(spark):
+    # shrink m to force collisions: FP possible, FN structurally impossible
+    corpus = spark.createDataFrame([(f"k{i}",) for i in range(64)], "fp string")
+    batch = spark.createDataFrame([(f"k{i}",) for i in range(128)], "fp string")
+    bloom = bloom_build(corpus, "fp", m_bits=64, k=2)
+    probed = bloom_probe(batch, bloom, "fp", m_bits=64, k=2)
+    rows = {r["fp"]: r["bloom_pass"] for r in probed.collect()}
+    assert all(rows[f"k{i}"] for i in range(64))  # no false negatives
+    assert any(rows[f"k{i}"] for i in range(64, 128))  # collisions seen
+
+
+def test_dsir_weights_favor_target_features(spark):
+    # target docs say 'alpha beta', raw background says 'gamma delta'
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha beta") for i in range(10)]
+        + [(i + 10, "gamma delta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    feats = hashed_bigram_features(docs, "text", "doc_id")
+    target = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    wts = dsir_bucket_weights(feats, target, "doc_id")
+    scored = (
+        feats.join(wts, "bucket")
+        .groupBy("doc_id")
+        .agg(F.avg("weight").alias("score"))
+        .collect()
+    )
+    s = {r["doc_id"]: r["score"] for r in scored}
+    assert min(s[i] for i in range(10)) > max(s[i] for i in range(10, 20))
+
+
+def test_hashed_bigrams_edge_inputs(spark):
+    # single-token, empty, NULL and unicode texts must not error;
+    # only the 2+-token docs produce features
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, None), (3, "héllo wörld"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    feats = hashed_bigram_features(docs, "text", "doc_id").collect()
+    by_doc: dict[int, int] = {}
+    for r in feats:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+    assert by_doc == {3: 1, 4: 1}
