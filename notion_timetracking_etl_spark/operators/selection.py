@@ -249,6 +249,67 @@ def chars_vocab(freq: DataFrame) -> DataFrame:
     )
 
 
+# The committed tokenizer model: 24 merges learned over the sf0.1
+# ``documents`` word-frequency table by the exact algorithm ``bpe_fit``
+# implements (ties broken lexicographically). Frozen as literals the same
+# way production tokenizers ship (the merges file IS the model artifact)
+# and the same way the SRP family freezes its projection planes —
+# cross-engine constants both the Spark query and the DuckDB oracle apply.
+# tests/test_selection.py re-derives this list from the corpus with the
+# pure-Python reference, so silent drift against the data fails CI.
+BPE_MERGES_SF01: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"), ("o", "w"),
+    ("t", "a"), ("l", "u"), ("m", "er"), ("a", "r"), ("p", "ar"),
+    ("u", "p"), ("par", "k"), ("s", "park"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("g", "e"), ("mer", "ge"), ("b", "l"), ("bl", "e"),
+    ("ta", "ble"), ("c", "o"), ("co", "lu"), ("colu", "m"),
+)
+
+
+def bpe_encode_sql(base_expr: str,
+                   merges: tuple[tuple[str, str], ...] = BPE_MERGES_SF01,
+                   ) -> str:
+    """Merge application as ONE SQL expression, valid verbatim on Spark AND
+    DuckDB: a chain of plain ``replace`` calls over the space-encoded symbol
+    string.
+
+    Encoding: each symbol wrapped in single spaces, so adjacent symbols are
+    separated by a DOUBLE space and the string carries single-space
+    sentinels at both ends (``base_expr`` must produce that shape — see
+    :func:`bpe_symbols_sql` / :func:`bpe_symbols_spark`). Replacing
+    ``' L  R '`` with ``' LR '`` then collapses exactly the adjacent
+    non-overlapping (L, R) pairs left-to-right — the scan resumes AFTER each
+    replacement, and because the pattern consumes one space of each double
+    separator while the replacement restores it, consecutive pairs
+    (``a a a a`` -> ``aa aa``) chain correctly. Symbols cannot contain
+    spaces (whitespace tokenization), so a pattern can never match across a
+    symbol boundary. No UDF, no loop — 24 merges = 24 nested JVM/DuckDB
+    string scans over a word-sized string.
+    """
+    expr = base_expr
+    for left, right in merges:
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
+    return expr
+
+
+def bpe_symbols_spark(word_col: str) -> str:
+    """Spark SQL: the space-encoded character-symbol string of a word."""
+    return (
+        f"concat(' ', concat_ws('  ', filter(split({word_col}, ''),"
+        " s -> s <> '')), ' ')"
+    )
+
+
+def bpe_symbols_duck(word_col: str) -> str:
+    """DuckDB twin of :func:`bpe_symbols_spark` (substr-based char split,
+    the same convention bpe_merge_candidates' oracle uses)."""
+    return (
+        f"' ' || array_to_string(list_transform("
+        f"generate_series(1, length({word_col})),"
+        f" i -> substr({word_col}, i, 1)), '  ') || ' '"
+    )
+
+
 def bpe_fit(freq: DataFrame, n_merges: int) -> list[tuple[str, int]]:
     """Learn ``n_merges`` BPE merges over a word-frequency table.
 

@@ -23,10 +23,14 @@ import pyspark.sql.functions as F
 from ..operators.selection import (
     BLOOM_K,
     BLOOM_M_BITS,
+    BPE_MERGES_SF01,
     DSIR_BUCKETS,
     adjacent_pair_counts,
     bloom_build,
     bloom_probe,
+    bpe_encode_sql,
+    bpe_symbols_duck,
+    bpe_symbols_spark,
     chars_vocab,
     dsir_bucket_weights,
     hashed_bigram_features,
@@ -405,4 +409,133 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         adjacent_pair_counts(chars_vocab(freq))
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (apply the committed tokenizer model)
+# ---------------------------------------------------------------------------
+
+_ENC_SPARK = bpe_encode_sql(bpe_symbols_spark("word"))
+_ENC_DUCK = bpe_encode_sql(bpe_symbols_duck("word"))
+_NTOK_SPARK = f"cast(size(split(trim({_ENC_SPARK}), '  ')) as bigint)"
+_NTOK_DUCK = f"CAST(len(string_split(trim({_ENC_DUCK}), '  ')) AS BIGINT)"
+
+
+@register(
+    "bpe_encode_fertility",
+    "ext:selection,A3-ext",
+    f"Apply the COMMITTED {len(BPE_MERGES_SF01)}-merge BPE model "
+    "(operators/selection.py BPE_MERGES_SF01, learned by bpe_fit and "
+    "re-derived from the corpus in tests) and report per-source tokenizer "
+    "fertility: words, tokens, tokens-per-word, chars-per-token. Encoding "
+    "is a chain of plain `replace` scans over the space-encoded symbol "
+    "string — one SQL expression, NO UDF, valid verbatim on both engines — "
+    "and runs over the per-source WORD-FREQUENCY table (Zipf-bounded), so "
+    "the corpus is scanned once and merges never touch doc-sized data.",
+    oracle=f"""
+        WITH w AS (
+          SELECT source, unnest({_TOKS_SQL}) AS word
+          FROM documents WHERE text IS NOT NULL
+        ),
+        f AS (
+          SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM w GROUP BY 1, 2
+        ),
+        e AS (SELECT source, word, cnt, {_NTOK_DUCK} AS n_toks FROM f)
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * n_toks) AS BIGINT) AS n_tokens,
+               CAST(CAST(SUM(cnt * n_toks) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(cnt) AS BIGINT) AS fertility,
+               CAST(CAST(SUM(cnt * length(word)) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(cnt * n_toks) AS BIGINT) AS chars_per_token
+        FROM e
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freq = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    enc = freq.withColumn("n_toks", F.expr(_NTOK_SPARK))
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_toks"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("cnt") * F.col("n_toks")).cast("bigint")
+                .cast("double")
+                / F.sum("cnt").cast("bigint")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("cnt") * F.length("word")).cast("bigint")
+                .cast("double")
+                / F.sum(F.col("cnt") * F.col("n_toks")).cast("bigint")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_VOCAB_TOP = 30
+
+
+@register(
+    "bpe_token_vocabulary",
+    "ext:selection,A7-ext",
+    f"Realized token vocabulary of the committed BPE model: encode the "
+    "word-frequency table through the replace-chain and count occurrences "
+    f"per emitted token; top {_BPE_VOCAB_TOP} by count. Shows the learned "
+    "merges surfacing as whole-word tokens ('spark', 'window', 'table') "
+    "while rare words stay character-split. The explode is over the "
+    "Zipf-bounded vocab, never the corpus.",
+    oracle=f"""
+        WITH w AS (
+          SELECT unnest({_TOKS_SQL}) AS word
+          FROM documents WHERE text IS NOT NULL
+        ),
+        f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        e AS (
+          SELECT cnt,
+                 unnest(string_split(trim({_ENC_DUCK}), '  ')) AS token
+          FROM f
+        )
+        SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+        FROM e
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT {_BPE_VOCAB_TOP}
+    """,
+)
+def bpe_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freq = word_frequency_table(docs, "text")
+    return (
+        freq.select(
+            "cnt",
+            F.explode(F.expr(f"split(trim({_ENC_SPARK}), '  ')")).alias(
+                "token"
+            ),
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(_BPE_VOCAB_TOP)
     )

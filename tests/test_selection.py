@@ -161,3 +161,72 @@ def test_hashed_bigrams_edge_inputs(spark):
     for r in feats:
         by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
     assert by_doc == {3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# committed BPE model + encode expression
+# ---------------------------------------------------------------------------
+
+
+def _ref_encode(word: str, merges) -> list[str]:
+    syms = tuple(word)
+    for pair in merges:
+        syms = _ref_merge(syms, pair)
+    return list(syms)
+
+
+def test_committed_bpe_model_rederives_from_sf01_corpus():
+    # BPE_MERGES_SF01 is a frozen model artifact; prove it is exactly what
+    # bpe_fit's algorithm learns from the sf0.1 corpus (pure-Python refit
+    # over DuckDB word frequencies — no Spark in the loop)
+    import os
+
+    import duckdb
+
+    from notion_timetracking_etl_spark.operators.selection import (
+        BPE_MERGES_SF01,
+    )
+
+    src = "/root/testdata/sf0.1/documents.parquet"
+    if not os.path.exists(src):
+        import pytest
+
+        pytest.skip("sf0.1 testdata absent")
+    con = duckdb.connect()
+    freq = dict(
+        con.execute(
+            "SELECT word, COUNT(*) FROM (SELECT unnest(regexp_split_to_array("
+            "trim(lower(text)), '\\s+')) AS word FROM read_parquet(?) "
+            "WHERE text IS NOT NULL) GROUP BY 1",
+            [src],
+        ).fetchall()
+    )
+    got = _ref_bpe(freq, n_merges=len(BPE_MERGES_SF01))
+    assert [tuple(m.split(" ", 1)) for m, _ in got] == list(BPE_MERGES_SF01)
+
+
+def test_bpe_encode_sql_matches_reference_encode():
+    # the replace-chain encode expression must tokenize exactly like the
+    # reference merge loop — including chained same-pair merges and words
+    # whose substrings overlap merge patterns. Evaluated in DuckDB (the
+    # Spark side is covered by the registered queries' hash parity).
+    import duckdb
+
+    from notion_timetracking_etl_spark.operators.selection import (
+        BPE_MERGES_SF01,
+        bpe_encode_sql,
+        bpe_symbols_duck,
+    )
+
+    words_to_check = [
+        "spark", "window", "table", "column", "merge", "lower", "newest",
+        "aaaa", "xspark", "sparkk", "a", "zz", "partpart", "ororor",
+    ]
+    con = duckdb.connect()
+    expr = bpe_encode_sql(bpe_symbols_duck("word"))
+    for w in words_to_check:
+        got = con.execute(
+            f"SELECT string_split(trim({expr}), '  ') FROM (SELECT ? AS word)",
+            [w],
+        ).fetchone()[0]
+        assert got == _ref_encode(w, BPE_MERGES_SF01), w
