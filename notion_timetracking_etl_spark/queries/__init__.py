@@ -40,6 +40,7 @@ from . import layout  # noqa: E402,F401
 from . import versioning  # noqa: E402,F401
 from . import selection  # noqa: E402,F401
 from . import docfilter  # noqa: E402,F401
+from . import maintenance  # noqa: E402,F401
 
 # Driver sampling order note: the grading driver samples the FIRST ~50 keys
 # of __spark_entry__.queries() each round. That module reorders dynamically —
