@@ -167,3 +167,121 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return ordered_small(out, "rel")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics
+# ---------------------------------------------------------------------------
+
+# (table, column, kind) — kind picks the cross-engine min/max rendering:
+# bigint/string render as-is, double as floor-micro BIGINT (float-format
+# strings differ between engines; micro units are exact), ts via the shared
+# timestamp format. NDV is exact COUNT(DISTINCT); at 100 TB swap per-column
+# NDVs for HLL sketches (the occupancy family shows that pattern) — the
+# report shape stays identical.
+_STATS_COLS = (
+    ("orders", "o_orderkey", "bigint"),
+    ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "ts"),
+    ("orders", "o_orderpriority", "string"),
+    ("lineitem", "l_quantity", "double"),
+    ("lineitem", "l_returnflag", "string"),
+    ("lineitem", "l_shipdate", "ts"),
+    ("events", "user_id", "bigint"),
+    ("events", "event_type", "string"),
+    ("events", "value", "double"),
+    ("documents", "lang", "string"),
+    ("documents", "n_chars", "bigint"),
+)
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _render_spark(agg_col, kind: str):
+    if kind == "double":
+        return F.floor(agg_col * F.lit(1000000.0)).cast("bigint").cast(
+            "string"
+        )
+    if kind == "ts":
+        return F.date_format(agg_col, _TS_FMT_SPARK)
+    return agg_col.cast("string")
+
+
+def _render_duck(expr: str, kind: str) -> str:
+    if kind == "double":
+        return f"CAST(CAST(floor(({expr}) * 1000000.0) AS BIGINT) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime(({expr}), '{_TS_FMT_DUCK}')"
+    return f"CAST(({expr}) AS VARCHAR)"
+
+
+def _stats_table_sql(table: str) -> str:
+    cols = [(c, k) for t, c, k in _STATS_COLS if t == table]
+    selects = []
+    for c, k in cols:
+        guard = f"CASE WHEN isfinite({c}) THEN {c} END" if k == "double" else c
+        selects.append(f"""
+        SELECT '{table}' AS tbl, '{c}' AS col, '{k}' AS dtype,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+               {_render_duck(f"MIN({guard})", k)} AS min_repr,
+               {_render_duck(f"MAX({guard})", k)} AS max_repr
+        FROM {table}""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "catalog_column_stats",
+    "ext:maintenance,A4-ext,V1-analog",
+    "ANALYZE-style column statistics for the star schema's hot columns: "
+    "row/NULL counts, exact NDV, and cross-engine-rendered min/max per "
+    "column (doubles as floor-micro integers, timestamps via the shared "
+    "format) — the statistics a cost-based optimizer and every broadcast/"
+    "skew decision feed on. One aggregate pass per table computes all its "
+    "columns (multi-distinct via Expand, still a single scan); the final "
+    "unpivot moves one row per profiled column.",
+    oracle=" UNION ALL ".join(
+        _stats_table_sql(t) for t in ("orders", "lineitem", "events",
+                                      "documents")
+    )
+    + " ORDER BY tbl, col",
+)
+def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table in ("orders", "lineitem", "events", "documents"):
+        cols = [(c, k) for t, c, k in _STATS_COLS if t == table]
+        df = load_table(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c, k in cols:
+            guarded = _finite(F.col(c)) if k == "double" else F.col(c)
+            aggs += [
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
+                    f"nn_{c}"
+                ),
+                F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+                _render_spark(F.min(guarded), k).alias(f"mn_{c}"),
+                _render_spark(F.max(guarded), k).alias(f"mx_{c}"),
+            ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', '{k}', nn_{c}, ndv_{c}, mn_{c}, mx_{c}" for c, k in cols
+        )
+        outs.append(
+            wide.select(
+                F.lit(table).alias("tbl"),
+                F.col("n_rows"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args})"
+                    " AS (col, dtype, n_nulls, ndv, min_repr, max_repr)"
+                ),
+            ).select(
+                "tbl", "col", "dtype", "n_rows", "n_nulls", "ndv",
+                "min_repr", "max_repr",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return ordered_small(out, "tbl", "col")
