@@ -447,6 +447,74 @@ def cmd_ann_encode(args, spark, seams) -> int:
     return _emit_json_lines(out, args.output, seams)
 
 
+def cmd_tokenizer_fit(args, spark, seams) -> int:
+    """Engine extension: learn a BPE merge list over --sf-dir's documents
+    (operators/selection.py::bpe_fit — the corpus is scanned once into the
+    word-frequency table; merge rounds iterate vocab-sized state) and
+    freeze it under --output as a rank-ordered parquet — the merges file
+    IS the tokenizer model, exactly how production tokenizers ship."""
+    from .operators.selection import bpe_fit, word_frequency_table
+    from .sources.tpch import load_table
+
+    out = args.output or "bpe_model"
+    n = int(args.merges)
+    docs = load_table(spark, args.sf_dir, "documents")
+    merges = bpe_fit(word_frequency_table(docs, "text"), n_merges=n)
+    rows = [
+        (rank, pair.split(" ", 1)[0], pair.split(" ", 1)[1], cnt)
+        for rank, (pair, cnt) in enumerate(merges)
+    ]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    seams.log(f"froze {len(rows)} BPE merges under {out}")
+    return 0
+
+
+def cmd_tokenizer_encode(args, spark, seams) -> int:
+    """Engine extension: tokenize --sf-dir's documents with a model frozen
+    by tokenizer-fit (--model dir): the rank-ordered merges load to the
+    driver (model-sized, like centroids) and apply as the cross-engine
+    replace-chain over the word-frequency table — then one broadcast join
+    back gives per-document token counts. Emits JSONL rows
+    (doc_id, n_words, n_tokens)."""
+    import pyspark.sql.functions as F
+
+    from .operators.dedup import words
+    from .operators.selection import bpe_encode_sql, bpe_symbols_spark
+    from .sources.tpch import load_table
+
+    merges = tuple(
+        (r["left"], r["right"])
+        for r in spark.read.parquet(args.model).orderBy("rank").collect()
+    )
+    ntok = (
+        f"cast(size(split(trim({bpe_encode_sql(bpe_symbols_spark('word'), merges)}),"
+        " '  ')) as bigint)"
+    )
+    docs = load_table(spark, args.sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("word", F.expr(ntok).alias("n_toks"))
+    )
+    out = (
+        tok.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+    return _emit_json_lines(out, args.output, seams)
+
+
 COMMANDS = {
     "pull-notion": cmd_pull_notion,
     "normalize": cmd_normalize,
@@ -461,11 +529,14 @@ COMMANDS = {
     "explain": cmd_explain,
     "ann-fit": cmd_ann_fit,
     "ann-encode": cmd_ann_encode,
+    "tokenizer-fit": cmd_tokenizer_fit,
+    "tokenizer-encode": cmd_tokenizer_encode,
 }
 
 _NEEDS_SPARK = {
     "normalize", "run", "excel-export", "pbi-provision", "pbi-refresh",
     "run-end-to-end", "sql", "run-query", "explain", "ann-fit", "ann-encode",
+    "tokenizer-fit", "tokenizer-encode",
 }
 
 
@@ -484,13 +555,18 @@ def build_parser() -> argparse.ArgumentParser:
         )
         if name in ("sql", "run-query", "explain"):
             c.add_argument("query")
-        if name in ("sql", "run-query", "explain", "ann-fit", "ann-encode"):
+        if name in ("sql", "run-query", "explain", "ann-fit", "ann-encode",
+                    "tokenizer-fit", "tokenizer-encode"):
             c.add_argument(
                 "--sf-dir",
                 default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
             )
         if name == "ann-encode":
             c.add_argument("--model", default="ann_models")
+        if name == "tokenizer-fit":
+            c.add_argument("--merges", default="24")
+        if name == "tokenizer-encode":
+            c.add_argument("--model", default="bpe_model")
     return p
 
 

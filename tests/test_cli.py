@@ -365,3 +365,68 @@ def test_cli_ann_fit_then_encode_roundtrip(spark, tmp_path):
         vid = row["vec_id"]
         assert row["cell"] == want_cell[vid]
         assert row["pq_codes"] == [want_codes[vid][s] for s in range(4)]
+
+
+def test_cli_tokenizer_fit_then_encode_roundtrip(spark, tmp_path):
+    """tokenizer-fit freezes a rank-ordered BPE merge list to parquet;
+    tokenizer-encode reloads it and emits per-doc (n_words, n_tokens) —
+    and the counts must equal the pure-Python reference encode applied
+    to the same frozen merges."""
+    model_dir = tmp_path / "bpe"
+    out = tmp_path / "toks.jsonl"
+    seams = Seams(log=lambda m: None)
+    sf = "/root/testdata/sf0.001"
+
+    rc = main(
+        ["tokenizer-fit", "--sf-dir", sf, "--merges", "10",
+         "--output", str(model_dir)],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 0
+    merges = [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(str(model_dir)).orderBy("rank").collect()
+    ]
+    assert 0 < len(merges) <= 10
+
+    rc = main(
+        ["tokenizer-encode", "--sf-dir", sf, "--model", str(model_dir),
+         "--output", str(out)],
+        spark=spark,
+        seams=seams,
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert rows
+
+    # reference re-encode: apply the frozen merges left-to-right per word
+    def ref_merge(syms, pair):
+        o, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                o.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                o.append(syms[i])
+                i += 1
+        return tuple(o)
+
+    def ref_ntoks(word):
+        syms = tuple(word)
+        for pair in merges:
+            syms = ref_merge(syms, pair)
+        return len(syms)
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') "
+        f"FROM read_parquet('{sf}/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchall()
+    want = {
+        d: (len(ws), sum(ref_ntoks(w) for w in ws)) for d, ws in docs
+    }
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in rows}
+    assert got == want
