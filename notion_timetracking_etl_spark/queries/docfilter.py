@@ -117,9 +117,15 @@ _SIGNALS_SQL = f"""
 
 def _per_doc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per non-NULL doc with the six rule verdicts r0..r5."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    return rules_from_docs(
+        load_table(spark, sf_dir, "documents")
     )
+
+
+def rules_from_docs(docs: DataFrame) -> DataFrame:
+    """Rule verdicts for any (doc_id, text) DataFrame (the operator seam —
+    _per_doc_rules binds it to the sf_dir documents table)."""
+    docs = docs.filter(F.col("text").isNotNull())
     ws = docs.select("doc_id", words(F.col("text")).alias("ws"))
     tok = ws.select("doc_id", F.explode("ws").alias("word"))
     stats = tok.groupBy("doc_id").agg(

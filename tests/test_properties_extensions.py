@@ -457,3 +457,156 @@ def test_unigram_lm_scores_equal_python_model(spark, corpora):
         assert out[i]["n_tokens"] == len(words)
         assert out[i]["mean_inv_p"] == expect, i
         assert out[i]["mean_inv_p"] >= 0.999999
+
+
+# ---------------------------------------------------------------------------
+# selection family: BPE fit, Bloom membership, Gopher rules
+# ---------------------------------------------------------------------------
+
+_BPE_WORD = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+def _ref_pair_counts_bpe(vocab):
+    out = {}
+    for syms, cnt in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            out[(a, b)] = out.get((a, b), 0) + cnt
+    return out
+
+
+def _ref_merge_bpe(syms, pair):
+    o, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            o.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            o.append(syms[i])
+            i += 1
+    return tuple(o)
+
+
+def _ref_bpe_fit(freq, n_merges):
+    vocab = {tuple(w): c for w, c in freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = _ref_pair_counts_bpe(vocab)
+        if not counts:
+            break
+        pair, cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        if cnt < 2:
+            break
+        merges.append((f"{pair[0]} {pair[1]}", cnt))
+        vocab = {_ref_merge_bpe(s, pair): c for s, c in vocab.items()}
+    return merges
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_BPE_WORD, min_size=1, max_size=12))
+def test_bpe_fit_equals_reference_on_random_corpora(spark, word_list):
+    from notion_timetracking_etl_spark.operators.selection import (
+        bpe_fit,
+        word_frequency_table,
+    )
+
+    text = " ".join(word_list)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    freq_df = word_frequency_table(docs, "text")
+    freq = {}
+    for w in word_list:
+        freq[w] = freq.get(w, 0) + 1
+    assert bpe_fit(freq_df, n_merges=4) == _ref_bpe_fit(freq, 4)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sets(st.text(alphabet="xyz0", min_size=1, max_size=4), min_size=1,
+            max_size=20),
+    st.sets(st.text(alphabet="xyz0", min_size=1, max_size=4), min_size=1,
+            max_size=20),
+)
+def test_bloom_probe_equals_sha256_position_model(spark, corpus, batch):
+    import hashlib
+
+    from notion_timetracking_etl_spark.operators.selection import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits, k = 32, 3  # tiny filter: false positives likely, FN impossible
+
+    def positions(key):
+        return {
+            int(
+                hashlib.sha256(f"bloom{i}|{key}".encode()).hexdigest()[:8],
+                16,
+            )
+            % m_bits
+            for i in range(k)
+        }
+
+    lit = set().union(*(positions(c) for c in corpus))
+    want = {b: positions(b) <= lit for b in batch}
+
+    cdf = spark.createDataFrame([(c,) for c in corpus], "fp string")
+    bdf = spark.createDataFrame([(b,) for b in batch], "fp string")
+    bloom = bloom_build(cdf, "fp", m_bits=m_bits, k=k)
+    got = {
+        r["fp"]: r["bloom_pass"]
+        for r in bloom_probe(bdf, bloom, "fp", m_bits=m_bits, k=k).collect()
+    }
+    assert got == want
+    assert all(got[b] for b in batch & corpus)  # no false negatives, ever
+
+
+_GOPHER_TEXT = st.lists(
+    st.text(alphabet="abe135 ", min_size=1, max_size=8), min_size=1,
+    max_size=80,
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_GOPHER_TEXT, min_size=1, max_size=6))
+def test_gopher_rules_equal_integer_model(spark, texts):
+    import re
+
+    from notion_timetracking_etl_spark.queries.docfilter import (
+        STOP_WORDS,
+        rules_from_docs,
+    )
+
+    def model(text):
+        ws = re.split(r"\s+", text.strip().lower())
+        n = len(ws)
+        sum_len = sum(len(w) for w in ws)
+        n_alpha = sum(1 for w in ws if re.search(r"[a-z]", w))
+        n_stop = len({w for w in ws if w in STOP_WORDS})
+        g2 = (
+            [" ".join(ws[i : i + 2]) for i in range(n - 1)]
+            if n >= 2 else [" ".join(ws)]
+        )
+        g3 = (
+            [" ".join(ws[i : i + 3]) for i in range(n - 2)]
+            if n >= 3 else [" ".join(ws)]
+        )
+        max2 = max(g2.count(g) for g in set(g2))
+        nt, nd = len(g3), len(set(g3))
+        return (
+            50 <= n <= 100000,
+            3 * n <= sum_len <= 10 * n,
+            5 * n_alpha >= 4 * n,
+            n_stop >= 2,
+            10 * max2 <= n,
+            10 * (nt - nd) <= 3 * nt,
+        )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: tuple(r[f"r{i}"] for i in range(6))
+        for r in rules_from_docs(docs).collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(texts)}
