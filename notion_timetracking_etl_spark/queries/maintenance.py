@@ -285,3 +285,90 @@ def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return ordered_small(out, "tbl", "col")
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histograms (the CBO's selectivity model)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 8
+# (table, value column, unique tie-break key)
+_HIST_COLS = (
+    ("orders", "o_totalprice", "o_orderkey"),
+    ("events", "value", "event_id"),
+)
+
+
+@register(
+    "catalog_equidepth_histograms",
+    "ext:maintenance,A4-ext,O1-analog",
+    f"Equi-depth ({_HIST_BUCKETS}-bucket) histograms for the predicate-"
+    "bearing measure columns — the selectivity model a cost-based optimizer "
+    "uses for range predicates. Bucketing is the EXACT distributed rank "
+    "(range partition + per-partition row numbers + driver-side offsets, "
+    "operators/rank.py — never a single-partition window) with the "
+    "closed-form NTILE rule on a TIE-FREE (value, key) order, so bucket "
+    "assignment is deterministic and replays bit-identically in the "
+    "oracle's window NTILE. Bounds render as floor-micro integers.",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}.{c}' AS rel,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(floor(MIN({c}) * 1000000.0) AS BIGINT) AS lo_micros,
+               CAST(floor(MAX({c}) * 1000000.0) AS BIGINT) AS hi_micros
+        FROM (
+          SELECT {c}, NTILE({_HIST_BUCKETS})
+                 OVER (ORDER BY {c}, {k}) - 1 AS bucket
+          FROM {t}
+          WHERE {c} IS NOT NULL AND isfinite(CAST({c} AS DOUBLE))
+        )
+        GROUP BY bucket"""
+        for t, c, k in _HIST_COLS
+    )
+    + " ORDER BY rel, bucket",
+)
+def catalog_equidepth_histograms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.rank import ntile_from_rank, with_global_ranks
+
+    outs = []
+    for table, col, key in _HIST_COLS:
+        vals = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(col).alias("v"), F.col(key).alias("k"))
+            .filter(F.col("v").isNotNull() & _finite(F.col("v")).isNotNull())
+        )
+        ranked, total = with_global_ranks(
+            vals, [F.col("v").asc(), F.col("k").asc()]
+        )
+        outs.append(
+            ranked.select(
+                (ntile_from_rank(F.col("rn"), total, _HIST_BUCKETS) - 1)
+                .cast("bigint")
+                .alias("bucket"),
+                "v",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.floor(F.min("v") * 1000000.0).cast("bigint").alias(
+                    "lo_micros"
+                ),
+                F.floor(F.max("v") * 1000000.0).cast("bigint").alias(
+                    "hi_micros"
+                ),
+            )
+            .select(
+                F.lit(f"{table}.{col}").alias("rel"),
+                "bucket",
+                "n_rows",
+                "lo_micros",
+                "hi_micros",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return ordered_small(out, "rel", "bucket")
