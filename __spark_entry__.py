@@ -57,12 +57,20 @@ def _last_sampled_round() -> dict[str, int]:
 def _driver_order() -> list[str]:
     """Registry names, least-recently-verified first: the driver samples the
     first 50 entries each round, so rotating by last-sampled round drives the
-    cross-round union of correctness rows to cover the whole registry."""
+    cross-round union of correctness rows to cover the whole registry.
+
+    Ties (same last-sampled round — in particular the never-sampled set,
+    which can exceed the 50-row window in a round that registers many new
+    queries) break by REGISTRATION ORDER: the registry appends new families
+    at the end, so oldest-registered unverified queries claim the window
+    before this round's additions — a query never waits more than one extra
+    round behind newer arrivals."""
     last = _last_sampled_round()
     tail = set(_NO_ORACLE_TAIL)
+    reg_idx = {n: i for i, n in enumerate(REGISTRY)}
     body = sorted(
         (n for n in REGISTRY if n not in tail),
-        key=lambda n: (last.get(n, 0), n),
+        key=lambda n: (last.get(n, 0), reg_idx[n]),
     )
     return body + sorted(tail)
 

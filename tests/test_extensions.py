@@ -216,6 +216,9 @@ def test_driver_priority_window_rotates_least_recently_sampled_first():
     assert sorted(names) == sorted(REGISTRY)  # a permutation, nothing lost
     last = entry_mod._last_sampled_round()
     window = set(names[:50])
+    # registration order — the entry module's (last_round, registry index)
+    # sort puts never-sampled (last=0) queries oldest-registered first, so
+    # when more than 50 exist the window holds the first-registered 50
     never = [n for n in REGISTRY if n not in last and REGISTRY[n].oracle]
     # every never-sampled oracle-checked query fits in the window (if >50
     # exist the window takes the alphabetical first 50 of them)
