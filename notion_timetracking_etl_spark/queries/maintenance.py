@@ -73,8 +73,13 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    base = partials(ev.filter(F.col("day") < _CUTOVER))
-    delta = partials(ev.filter(F.col("day") >= _CUTOVER))
+    # NULL-safe split: a NULL day (corrupt/NULL ts) satisfies neither
+    # inequality, and a plain </>= pair would silently drop those rows from
+    # BOTH segments while the full-recompute oracle keeps their NULL-day
+    # group — a hash drift, not a crash. NULL days ride with the delta.
+    is_delta = F.col("day").isNull() | (F.col("day") >= _CUTOVER)
+    base = partials(ev.filter(~is_delta))
+    delta = partials(ev.filter(is_delta))
     return ordered_small(
         base.unionByName(delta)
         .groupBy("day", "event_type")

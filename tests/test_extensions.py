@@ -1018,3 +1018,98 @@ def test_versioning_and_overlap_parity_under_null_injection(spark, tmp_path):
     assert diff["crawlA"]["n_removed"] == 2          # docs 3 and 20 (% 17 == 3)
     # NULL-text docs fingerprint NULL on both sides -> unchanged
     assert diff["(unknown)"]["n_unchanged"] >= 1
+
+
+def test_selection_docfilter_maintenance_null_injection_parity(
+    spark, tmp_path
+):
+    """20%-style NULL poisoning (text/lang/source in documents; ts/user_id/
+    value/event_type in events; keys/measures/dates in orders+lineitem)
+    must not crash either engine or drift the hashes for the round-5
+    selection/docfilter/maintenance families. Found one real defect at
+    design time: rollup_incremental_refresh's base/delta split dropped
+    NULL-day rows from BOTH segments (NULL fails < and >=) while the
+    full-recompute oracle kept the NULL-day group — NULL days now ride
+    the delta explicitly."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+    from tests.parity import compare_query
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        load_table(spark, sf, "documents")
+        .withColumn("text", F.when(F.col("doc_id") % 53 != 7, F.col("text")))
+        .withColumn("lang", F.when(F.col("doc_id") % 31 != 3, F.col("lang")))
+        .withColumn(
+            "source", F.when(F.col("doc_id") % 29 != 5, F.col("source"))
+        )
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("ts", F.when(F.col("event_id") % 97 != 3, F.col("ts")))
+        .withColumn(
+            "user_id", F.when(F.col("event_id") % 89 != 5, F.col("user_id"))
+        )
+        .withColumn(
+            "value", F.when(F.col("event_id") % 83 != 7, F.col("value"))
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 79 != 9, F.col("event_type")),
+        )
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    orders = (
+        load_table(spark, sf, "orders")
+        .withColumn(
+            "o_custkey", F.when(F.col("o_orderkey") % 71 != 3, F.col("o_custkey"))
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 67 != 5, F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 61 != 7, F.col("o_orderdate")),
+        )
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li = (
+        load_table(spark, sf, "lineitem")
+        .withColumn(
+            "l_quantity",
+            F.when(F.col("l_orderkey") % 59 != 3, F.col("l_quantity")),
+        )
+        .withColumn(
+            "l_returnflag",
+            F.when(F.col("l_orderkey") % 57 != 5, F.col("l_returnflag")),
+        )
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("documents", "events", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    for name in (
+        "dsir_importance_scores",
+        "bm25_doc_ranking",
+        "dedup_bloom_prefilter",
+        "bpe_merge_candidates",
+        "bpe_encode_fertility",
+        "bpe_token_vocabulary",
+        "gopher_quality_rules",
+        "gopher_quality_verdicts",
+        "rollup_incremental_refresh",
+        "join_skew_report",
+        "catalog_column_stats",
+        "catalog_equidepth_histograms",
+    ):
+        res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
