@@ -147,8 +147,9 @@ _BM25_B_C = "0.25"  # 1 - b
     "idf (N-df+.5)/(df+.5) — the log-free monotone twin of Robertson idf — "
     "and k1=1.2, b=0.75 length normalization; per-term scores floor to micro "
     f"units and SUM exactly per doc; top {_BM25_TOP}. The postings build "
-    "filters to the query's terms AT THE SCAN, so the shuffled stream is "
-    "query-sized, never corpus-sized; N/avgdl ride one broadcast row.",
+    "filters to the query's terms map-side, immediately after tokenization "
+    "and BEFORE any shuffle, so the shuffled stream is query-sized, never "
+    "corpus-sized; N/avgdl ride one broadcast row.",
     oracle=f"""
         WITH corpus AS (
           SELECT doc_id, lang, source,
