@@ -298,3 +298,49 @@ def test_selection_family_broadcasts_bounded_sides(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_bloom_prefilter")
     assert re.search(r"BroadcastHashJoin \[pos", plan)
     assert not re.search(r"SortMergeJoin \[pos", plan)
+
+
+def test_maintenance_stats_scans_are_column_pruned(spark, sf_dir):
+    """The stats/maintenance queries read fixed column sets; at 100 TB an
+    unpruned documents scan (the ~50x-wider `text` column) would dominate
+    the whole job. Every parquet scan in their plans must carry only the
+    profiled columns."""
+    expected = {
+        "catalog_column_stats": {
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+            "l_quantity", "l_returnflag", "l_shipdate",
+            "user_id", "event_type", "value",
+            "lang", "n_chars",
+        },
+        "rollup_incremental_refresh": {"ts", "event_type", "value"},
+        "join_skew_report": {"l_orderkey", "o_custkey", "user_id"},
+        "catalog_equidepth_histograms": {
+            "o_totalprice", "o_orderkey", "value", "event_id",
+        },
+    }
+    for name, cols_allowed in expected.items():
+        plan = plan_of(spark, sf_dir, name)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, f"{name}: no parquet scan in plan"
+        for s in schemas:
+            cols = {c.split(":")[0] for c in s.split(",") if c}
+            assert cols <= cols_allowed, f"{name}: scan reads {cols - cols_allowed}"
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    release_scoped_caches()
+
+
+def test_equidepth_rank_has_no_single_partition_window(spark, sf_dir):
+    """Histogram bucketing ranks O(table) rows — it must ride the
+    distributed range-partitioned rank, never an empty-PARTITION-BY window."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    plan = plan_of(spark, sf_dir, "catalog_equidepth_histograms")
+    release_scoped_caches()
+    assert "rangepartitioning" in plan
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "windowed rank with empty PARTITION BY"
