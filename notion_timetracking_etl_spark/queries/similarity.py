@@ -295,3 +295,112 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "label",
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization audit (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_int8_quantization",
+    "ext:similarity,A3-ext",
+    "Symmetric int8 quantization audit — the 4x storage compression every "
+    "billion-vector index applies before PQ: per vector, scale = amax/127 "
+    "and code_i = floor(x_i/scale + 0.5); per label, the mean per-element "
+    "reconstruction error (exact BIGINT nano-unit sums — order-independent, "
+    "unlike a double sum over a nondeterministic partition order), the "
+    "worst per-element error, and the clipped-code count as a visible ZERO "
+    "invariant (|code| <= 127 holds by construction of the scale). amax is "
+    "an order-safe array max; only the bounded per-label report shuffles.",
+    oracle=f"""
+        WITH v AS (
+          SELECT vec_id, label,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                 embedding
+          FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        ),
+        el AS (
+          SELECT vec_id, label, scale,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM v
+        ),
+        q AS (
+          SELECT vec_id, label,
+                 CASE WHEN scale > 0
+                      THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+                      ELSE 0 END AS code,
+                 CASE WHEN scale > 0
+                      THEN CAST(floor(abs(x - CAST(floor(x / scale + 0.5)
+                           AS BIGINT) * scale) * 1000000000.0) AS BIGINT)
+                      ELSE 0 END AS err_nanos
+          FROM el
+        )
+        SELECT label,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+               CAST(CAST(SUM(err_nanos) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) / 1000000000.0 AS mean_abs_err,
+               CAST(MAX(err_nanos) AS DOUBLE) / 1000000000.0
+                 AS max_abs_err,
+               CAST(MAX(abs(code)) AS BIGINT) AS max_abs_code,
+               CAST(SUM(CASE WHEN abs(code) > 127 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped
+        FROM q
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_int8_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    v = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+            / F.lit(127.0)
+        ).alias("scale"),
+        "embedding",
+    )
+    el = v.select(
+        "vec_id", "label", "scale",
+        F.explode(F.col("embedding")).alias("xf"),
+    ).select("vec_id", "label", "scale", F.col("xf").cast("double").alias("x"))
+    code = F.floor(F.col("x") / F.col("scale") + F.lit(0.5)).cast("bigint")
+    q = el.select(
+        "vec_id",
+        "label",
+        F.when(F.col("scale") > 0, code).otherwise(F.lit(0)).alias("code"),
+        F.when(
+            F.col("scale") > 0,
+            F.floor(
+                F.abs(F.col("x") - code * F.col("scale"))
+                * F.lit(1000000000.0)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("err_nanos"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").cast("bigint").alias("n_vectors"),
+            (
+                F.sum("err_nanos").cast("bigint").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000000.0)
+            ).alias("mean_abs_err"),
+            (F.max("err_nanos").cast("double") / F.lit(1000000000.0)).alias(
+                "max_abs_err"
+            ),
+            F.max(F.abs(F.col("code"))).cast("bigint").alias("max_abs_code"),
+            F.sum(F.when(F.abs(F.col("code")) > 127, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("label")
+    )
