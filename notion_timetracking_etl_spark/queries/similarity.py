@@ -404,3 +404,167 @@ def embedding_int8_quantization(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_IN_DIMS = 64
+_JL_OUT_DIMS = 16
+
+
+def _jl_sign_sql() -> str:
+    """DuckDB twin of the deterministic ±1 sign matrix (sha256-derived,
+    the SRP-plane convention — cross-engine without shipping a 1024-value
+    literal table)."""
+    return f"""
+        SELECT t1.i AS i, t2.j AS j,
+               CASE WHEN CAST(concat('0x', substr(sha256(
+                    concat('jl|', t1.i, '|', t2.j)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM generate_series(0, {_JL_IN_DIMS - 1}) t1(i),
+             generate_series(0, {_JL_OUT_DIMS - 1}) t2(j)
+    """
+
+
+@register(
+    "similarity_jl_distortion",
+    "ext:similarity,A3-ext",
+    f"Johnson-Lindenstrauss random projection ({_JL_IN_DIMS}->"
+    f"{_JL_OUT_DIMS} dims, deterministic sha256-derived sign matrix — the "
+    "4x index-shrink step before ANN at billion scale) with the distortion "
+    "audit over the fixed query set's 45 pairs: squared distances in "
+    "original vs projected space and the 1/k-corrected ratio (JL: ~1 +- "
+    "O(1/sqrt(k)) — for unnormalized +-1 signs E[d2_proj] = k*d2_orig). "
+    "EXACT integer arithmetic end-to-end: elements quantize to micro-unit "
+    "BIGINTs BEFORE projecting and every sum/square stays in BIGINT "
+    "(order-independent, and int64->double is the same CPU conversion on "
+    "both engines — a DECIMAL->double cast here differed in the last ulp); "
+    "one double divide per pair at the end. The 1024-entry sign matrix "
+    "broadcasts; projection is one explode + keyed partial aggregation "
+    "per vector — map-side combinable, corpus-linear.",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL} AND vec_id < 10
+        ),
+        x AS (
+          SELECT vec_id, i - 1 AS i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS xq
+          FROM e, unnest(generate_series(1, {_JL_IN_DIMS})) AS t(i)
+        ),
+        s AS ({_jl_sign_sql()}),
+        y AS (
+          SELECT vec_id, j, CAST(SUM(sgn * xq) AS BIGINT) AS y
+          FROM x JOIN s USING (i) GROUP BY 1, 2
+        ),
+        dp AS (
+          SELECT ya.vec_id AS a, yb.vec_id AS b,
+                 CAST(SUM((ya.y - yb.y) * (ya.y - yb.y)) AS BIGINT) AS d2
+          FROM y ya JOIN y yb ON ya.j = yb.j AND ya.vec_id < yb.vec_id
+          GROUP BY 1, 2
+        ),
+        do_ AS (
+          SELECT xa.vec_id AS a, xb.vec_id AS b,
+                 CAST(SUM((xa.xq - xb.xq) * (xa.xq - xb.xq)) AS BIGINT) AS d2
+          FROM x xa JOIN x xb ON xa.i = xb.i AND xa.vec_id < xb.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT do_.a, do_.b,
+               do_.d2 AS d2_orig,
+               dp.d2 AS d2_proj,
+               CAST(dp.d2 AS DOUBLE)
+                 / ({_JL_OUT_DIMS}.0 * CAST(do_.d2 AS DOUBLE)) AS distortion
+        FROM do_ JOIN dp ON do_.a = dp.a AND do_.b = dp.b
+        ORDER BY do_.a, do_.b
+    """,
+)
+def similarity_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hash64
+
+    emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") < 10)
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "xf")
+    ).select(
+        "vec_id",
+        F.col("i").cast("int").alias("i"),
+        F.floor(F.col("xf").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    signs = (
+        spark.range(_JL_IN_DIMS)
+        .select(F.col("id").cast("int").alias("i"))
+        .select(
+            "i",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_JL_OUT_DIMS - 1))
+            ).alias("j"),
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                hash64(
+                    "jl|",
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("|"),
+                        F.col("j").cast("string"),
+                    ),
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    y = (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("xq")).cast("bigint").alias("y"))
+    )
+    ya, yb = y.alias("ya"), y.alias("yb")
+    dy = F.col("ya.y") - F.col("yb.y")
+    dp = (
+        ya.join(
+            yb,
+            (F.col("ya.j") == F.col("yb.j"))
+            & (F.col("ya.vec_id") < F.col("yb.vec_id")),
+        )
+        .groupBy(
+            F.col("ya.vec_id").alias("a"), F.col("yb.vec_id").alias("b")
+        )
+        .agg(F.sum(dy * dy).cast("bigint").alias("d2p"))
+    )
+    xa, xb = x.alias("xa"), x.alias("xb")
+    dx = F.col("xa.xq") - F.col("xb.xq")
+    do = (
+        xa.join(
+            xb,
+            (F.col("xa.i") == F.col("xb.i"))
+            & (F.col("xa.vec_id") < F.col("xb.vec_id")),
+        )
+        .groupBy(
+            F.col("xa.vec_id").alias("a"), F.col("xb.vec_id").alias("b")
+        )
+        .agg(F.sum(dx * dx).cast("bigint").alias("d2o"))
+    )
+    return ordered_small(
+        do.join(dp, ["a", "b"]).select(
+            "a",
+            "b",
+            F.col("d2o").alias("d2_orig"),
+            F.col("d2p").alias("d2_proj"),
+            (
+                F.col("d2p").cast("double")
+                / (F.lit(float(_JL_OUT_DIMS)) * F.col("d2o").cast("double"))
+            ).alias("distortion"),
+        ),
+        "a",
+        "b",
+    )
