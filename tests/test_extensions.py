@@ -358,6 +358,7 @@ def test_embedding_family_hostile_vectors(spark, tmp_path):
         "semdedup_embeddings",
         "semdedup_incremental",
         "embedding_int8_quantization",  # zero vector drives the scale=0 arm
+        "similarity_jl_distortion",
     ):
         res = compare_query(spark, con, REGISTRY[name], str(tmp_path))
         release_scoped_caches()
