@@ -38,6 +38,7 @@ from ..operators.dedup import shingles_from_words, words
 from ..sources.tpch import load_table
 from .dedup import _WORDS_SQL
 from .registry import register
+from .sampling import _mix_keep_sql
 
 # The Gopher eight plus "a" (a standard stop word — e.g. Lucene's English
 # list): the synthetic corpus carries only {the, a} of the English function
@@ -296,3 +297,88 @@ def gopher_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_failed.alias("n_failed"),
         fail_mask.alias("fail_mask"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# curation funnel (the whole selection pipeline in one plan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_funnel",
+    "ext:docfilter,A8-analog",
+    "The corpus-curation funnel end-to-end in ONE plan: raw documents -> "
+    "non-NULL text -> Gopher-rule keepers -> exact-dedup representatives "
+    "(min-doc_id per content fingerprint) -> weighted source-mix survivors "
+    "— one row of exact counts, the report every corpus build publishes. "
+    "Proves the independently-verified gate/dedup/mix stages COMPOSE "
+    "(dedup representatives carry their identity into the mix draw, so "
+    "stage order is semantically load-bearing and bit-replayed by the "
+    "oracle). Each stage is a filter/keyed-agg over the previous one; the "
+    "five scalar counts meet in broadcast-scalar joins.",
+    oracle=f"""
+        WITH {_SIGNALS_SQL},
+        quality AS (
+          SELECT doc_id FROM per
+          WHERE r0 AND r1 AND r2 AND r3 AND r4 AND r5
+        ),
+        q AS (
+          SELECT d.doc_id, d.source,
+                 sha256(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM documents d JOIN quality USING (doc_id)
+        ),
+        k AS (SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY 1),
+        k2 AS (SELECT k.doc_id, q.source FROM k JOIN q ON k.doc_id = q.doc_id),
+        m AS (SELECT * FROM k2 WHERE {_mix_keep_sql()})
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+           WHERE text IS NOT NULL) AS n_with_text,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_quality_keep,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_unique,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_mixed
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_mix
+    from ..operators.text import fingerprint
+    from .sampling import MIX_WEIGHTS
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.count("text").cast("bigint").alias("n_with_text"),
+    )
+    per = rules_from_docs(docs)
+    keep = per
+    for i in range(6):
+        keep = keep.filter(F.col(f"r{i}"))
+    quality = keep.select("doc_id").join(
+        docs.select("doc_id", "text", "source"), "doc_id"
+    )
+    n_quality = quality.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality_keep")
+    )
+    q = quality.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    keepers = (
+        q.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source")).alias("_k"))
+        .select(F.col("_k.doc_id").alias("doc_id"),
+                F.col("_k.source").alias("source"))
+    )
+    n_unique = keepers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique")
+    )
+    n_mixed = weighted_mix(keepers, "source", "doc_id", MIX_WEIGHTS).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mixed")
+    )
+    return (
+        raw.crossJoin(F.broadcast(n_quality))
+        .crossJoin(F.broadcast(n_unique))
+        .crossJoin(F.broadcast(n_mixed))
+        .select("n_raw", "n_with_text", "n_quality_keep", "n_unique",
+                "n_mixed")
+    )
