@@ -485,3 +485,100 @@ def text_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
         F.sha2(F.concat_ws(" ", F.col("kept")), 256).alias("scrubbed_sha"),
     ).orderBy("doc_id")
+
+
+_DECONTAM_THRESHOLD_PCT = 30  # drop train docs with >30% eval-gram overlap
+
+
+@register(
+    "contamination_scrub_apply",
+    "ext:decontam,U3-analog",
+    "The APPLY pass of benchmark decontamination: train docs whose eval-set "
+    f"5-gram overlap exceeds {_DECONTAM_THRESHOLD_PCT}% are dropped; one "
+    "row of exact counts plus doc_id/char checksums pinning the EXACT "
+    "surviving set (not just its size). The threshold compare is integer "
+    "(100*hits > pct*grams — no ratio float ever computed), and the drop "
+    "is an anti-join on the bounded contaminated-id set. Same "
+    "candidates-only join shape as the scan: never doc x doc.",
+    oracle=f"""
+        WITH {_shingles_cte(5)},
+        g2 AS (SELECT doc AS doc_id, sh FROM sh),
+        t AS (SELECT * FROM g2 WHERE doc_id % 20 <> 0),
+        e AS (SELECT DISTINCT sh FROM g2 WHERE doc_id % 20 = 0),
+        n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM t GROUP BY 1),
+        h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+              FROM t JOIN e USING (sh) GROUP BY 1),
+        bad AS (
+          SELECT n.doc_id FROM n JOIN h USING (doc_id)
+          WHERE 100 * h.hits > {_DECONTAM_THRESHOLD_PCT} * n.n_grams
+        ),
+        train_docs AS (
+          SELECT doc_id, n_chars FROM documents
+          WHERE text IS NOT NULL AND doc_id % 20 <> 0
+        ),
+        kept AS (
+          SELECT * FROM train_docs
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM train_docs) AS n_train,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bad) AS n_dropped,
+          CAST(COUNT(*) AS BIGINT) AS n_kept,
+          CAST(SUM(doc_id) AS BIGINT) AS kept_doc_id_checksum,
+          CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM kept
+    """,
+)
+def contamination_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_table(docs, "doc_id", "text", 5)
+        .withColumnRenamed("doc", "doc_id")
+        .persist()
+    )
+    _SCOPED_CACHES.append(grams)
+    train = grams.filter(F.col("doc_id") % 20 != 0)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    )
+    n = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(eval_grams, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    bad = (
+        n.join(hits, "doc_id")
+        .filter(
+            F.lit(100) * F.col("hits")
+            > F.lit(_DECONTAM_THRESHOLD_PCT) * F.col("n_grams")
+        )
+        .select("doc_id")
+    )
+    train_docs = docs.filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 20 != 0)
+    ).select("doc_id", "n_chars")
+    kept = train_docs.join(bad, "doc_id", "left_anti")
+    n_train = train_docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    n_dropped = bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    return (
+        n_train.crossJoin(F.broadcast(n_dropped))
+        .crossJoin(
+            F.broadcast(
+                kept.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                    F.sum("doc_id").cast("bigint").alias(
+                        "kept_doc_id_checksum"
+                    ),
+                    F.sum("n_chars").cast("bigint").alias("kept_chars"),
+                )
+            )
+        )
+        .select(
+            "n_train", "n_dropped", "n_kept", "kept_doc_id_checksum",
+            "kept_chars",
+        )
+    )
