@@ -111,3 +111,88 @@ def heavy_hitters(items: DataFrame, item_col: str, k: int) -> DataFrame:
         .filter(F.col("cnt") * F.lit(k) > F.col("n"))
         .select("item", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4  # hash rows
+CM_WIDTH = 1024  # buckets per row
+
+
+def _cm_bucket(item, row: int):
+    """Deterministic bucket for hash row ``row``: first 8 sha256 hex chars
+    of the salted item, mod CM_WIDTH — the dedup family's hash64 convention,
+    so the oracle replays it verbatim
+    (CAST(concat('0x', substr(sha256(...), 1, 8)) AS BIGINT) % width)."""
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"cm{row}:"), item), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % CM_WIDTH
+
+
+def countmin_counters(
+    items: DataFrame, item_col: str, depth: int = CM_DEPTH
+) -> DataFrame:
+    """The Count-Min counter table: (row, bucket, counter) — at most
+    depth × CM_WIDTH rows regardless of stream size.
+
+    One scan: each occurrence fans out to its ``depth`` (row, bucket) cells
+    map-side (explode of a depth-element struct array) and the counters fall
+    out of one partially-aggregated groupBy — the shuffle moves at most
+    depth × CM_WIDTH rows per map partition, never the stream. Counters are
+    MERGEABLE (cell-wise addition), the property that makes CMS the
+    standard distributed/streaming frequency sketch."""
+    item = F.col(item_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(item, r).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        items.filter(item.isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+    )
+
+
+def countmin_estimate(
+    tokens: DataFrame,
+    counters: DataFrame,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``tokens`` against a counter table:
+    est(t) = min over rows of counter[row][bucket_row(t)] — the classic CMS
+    read. Deterministic (hashes and counters are exact integers) and
+    structurally an OVERestimate: every cell holds the item's true count
+    plus non-negative collision mass. The counter table broadcasts
+    (≤ depth × CM_WIDTH rows); each probed token fans out to ``depth``
+    lookup rows map-side."""
+    item = F.col(item_col)
+    probes = tokens.select(
+        item.alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(item, r).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("item")
+        .agg(F.min("counter").cast("bigint").alias("cms_est"))
+    )

@@ -156,3 +156,91 @@ def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CM_TOPN = 20  # probe the top-N exact tokens against the sketch
+
+
+@register(
+    "countmin_token_frequency",
+    "A7-analog,F20-analog",
+    "Count-Min sketch audit over the document token stream: build the "
+    "mergeable depth=4 x width=1024 counter table in ONE scan (each "
+    "occurrence fans out to 4 cells map-side; the shuffle moves counter "
+    "cells, never the stream), then probe the top-20 exact tokens — "
+    "estimate = min over rows of the salted-sha256 bucket counters. "
+    "Deterministic end-to-end (integer counters, hash64 bucket convention) "
+    "and structurally an OVERestimate: overcount = est - exact >= 0 for "
+    "every probe, the CMS one-sided error invariant the oracle re-proves "
+    "cell by cell.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            AS item
+          FROM documents
+        ),
+        rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+        counters AS (
+          SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+          FROM (
+            SELECT r.row,
+                   CAST(concat('0x', substr(sha256(
+                        concat('cm', r.row, ':', item)), 1, 8)) AS BIGINT)
+                     % 1024 AS bucket
+            FROM toks, rows_ r
+          )
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY 1
+        ),
+        top_n AS (
+          SELECT item, exact_cnt
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, item)
+                  AS rn FROM exact)
+          WHERE rn <= {CM_TOPN}
+        ),
+        probes AS (
+          SELECT t.item, t.exact_cnt, r.row,
+                 CAST(concat('0x', substr(sha256(
+                      concat('cm', r.row, ':', t.item)), 1, 8)) AS BIGINT)
+                   % 1024 AS bucket
+          FROM top_n t, rows_ r
+        )
+        SELECT p.item,
+               CAST(MAX(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(c.counter) AS BIGINT) AS cms_est,
+               CAST(MIN(c.counter) - MAX(p.exact_cnt) AS BIGINT)
+                 AS overcount
+        FROM probes p JOIN counters c USING (row, bucket)
+        GROUP BY p.item
+        ORDER BY item
+    """,
+)
+def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import countmin_counters, countmin_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(words(F.col("text"))).alias("item"))
+    counters = countmin_counters(stream, "item")
+    exact = (
+        stream.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    top_n = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("item").asc()
+    ).limit(CM_TOPN)
+    est = countmin_estimate(top_n.select("item"), counters)
+    return ordered_small(
+        top_n.join(est, "item").select(
+            "item",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        ),
+        "item",
+    )
