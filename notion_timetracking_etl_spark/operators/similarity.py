@@ -374,3 +374,43 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# binary (1-bit) quantization + Hamming shortlist
+# ---------------------------------------------------------------------------
+
+def binary_signature_words(vec_col: str, dims: int) -> list:
+    """1-bit quantization of a ``dims``-wide vector column packed into
+    32-bit words stored as BIGINTs (32 bits per word keeps every value
+    positive — no sign-bit asymmetry to reconcile cross-engine). Bit ``i``
+    is set iff element ``i+1`` (1-based) is strictly positive — the
+    sign-bit code of Charikar-style binary embeddings, 64x smaller than the
+    float vector.
+
+    Returned as SQL-expression Columns (shiftleft by a lambda variable is
+    SQL-only); deterministic pure integer arithmetic on both engines."""
+    words = []
+    for w in range(0, dims, 32):
+        words.append(
+            F.expr(
+                f"aggregate(sequence({w}, {min(w + 31, dims - 1)}), "
+                "CAST(0 AS BIGINT), (acc, i) -> acc + "
+                f"IF(element_at({vec_col}, i + 1) > 0, "
+                f"shiftleft(CAST(1 AS BIGINT), i - {w}), "
+                "CAST(0 AS BIGINT)))"
+            ).alias(f"w{w // 32}")
+        )
+    return words
+
+
+def hamming_words(n_words: int, a_prefix: str, b_prefix: str) -> Column:
+    """Hamming distance between two packed signatures: sum of
+    bit_count(xor(word_i_a, word_i_b)) — pure JVM integer ops."""
+    total = None
+    for i in range(n_words):
+        d = F.bit_count(
+            F.col(f"{a_prefix}w{i}").bitwiseXOR(F.col(f"{b_prefix}w{i}"))
+        )
+        total = d if total is None else total + d
+    return total.cast("bigint")

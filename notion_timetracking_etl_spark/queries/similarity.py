@@ -568,3 +568,143 @@ def similarity_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         "b",
     )
+
+
+# ---------------------------------------------------------------------------
+# binary (1-bit) quantization ANN: Hamming shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+_BIN_SHORTLIST = 64  # Hamming candidates per query before exact re-rank
+_BIN_WORDS = EMB_DIMS // 32
+
+
+def _bin_sig_sql(col: str, w: int) -> str:
+    """DuckDB twin of operators.similarity.binary_signature_words word w:
+    bit i set iff element i+1 > 0, packed little-endian into a 32-bit word
+    held in a BIGINT."""
+    lo = w * 32
+    return (
+        "CAST(list_sum(list_transform("
+        f"generate_series({lo + 1}, {lo + 32}), "
+        f"i -> CASE WHEN {col}[i] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (i - 1 - {lo})) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+_BIN_HAM_SQL = " + ".join(
+    f"bit_count(xor(c.w{i}, q.w{i}))" for i in range(_BIN_WORDS)
+)
+
+
+@register(
+    "similarity_topk_binary",
+    "J4-analog,A1,O3",
+    "Binary-quantization ANN: corpus vectors collapse to 1 bit/dim (sign "
+    f"code, packed into {_BIN_WORDS} 32-bit words — 64x smaller than the "
+    "floats), queries shortlist the top-"
+    f"{_BIN_SHORTLIST} corpus rows by JVM-integer Hamming distance "
+    "(bit_count of XORed words), and only the shortlist joins back to the "
+    "float vectors for the exact cosine top-10. The third compression "
+    "rung after int8 and PQ: at 100 TB the Hamming scan reads 8 bytes/"
+    "vector instead of 256 and the float corpus moves only for "
+    "|Q| x shortlist rows. Deterministic end-to-end (integer signatures "
+    "and distances; ties break on vec_id).",
+    oracle=f"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 {", ".join(_bin_sig_sql("embedding", w) + f" AS w{w}"
+                            for w in range(_BIN_WORDS))}
+          FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS query_vec,
+                 {", ".join(f"w{w}" for w in range(_BIN_WORDS))}
+          FROM base WHERE {_QUERY_PRED}
+        ),
+        ham AS (
+          SELECT q.query_id, c.vec_id, c.embedding, q.query_vec,
+                 CAST({_BIN_HAM_SQL} AS BIGINT) AS hamming
+          FROM base c CROSS JOIN q
+        ),
+        shortlist AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY hamming, vec_id) AS hrn
+            FROM ham
+          ) WHERE hrn <= {_BIN_SHORTLIST}
+        ),
+        rescored AS (
+          SELECT query_id, vec_id, hamming,
+                 {_cosine_sql("query_vec", "embedding")} AS cos
+          FROM shortlist
+        )
+        SELECT query_id, rank, vec_id, cos, hamming
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM rescored
+        )
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        binary_signature_words,
+        cosine,
+        hamming_words,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        *binary_signature_words("embedding", EMB_DIMS),
+    )
+    q = base.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        *[F.col(f"w{i}").alias(f"qw{i}") for i in range(_BIN_WORDS)],
+    )
+    # signatures only in the scan: 2 BIGINTs/vector move, floats stay put
+    ham = base.select(
+        "vec_id", *[f"w{i}" for i in range(_BIN_WORDS)]
+    ).crossJoin(F.broadcast(q.drop("query_vec"))).select(
+        "query_id",
+        "vec_id",
+        hamming_words(_BIN_WORDS, "", "q").alias("hamming"),
+    )
+    hw = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        ham.withColumn("hrn", F.row_number().over(hw))
+        .filter(F.col("hrn") <= _BIN_SHORTLIST)
+        .drop("hrn")
+    )
+    rescored = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(q.select("query_id", "query_vec")), "query_id"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return ordered_small(
+        rescored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "cos", "hamming"),
+        "query_id",
+        "rank",
+    )
