@@ -244,3 +244,54 @@ def streaming_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_topk_trending",
+    "W2-stream-ext,O3-ext",
+    "Streaming trending report: tumbling 6-hour windows per event_type "
+    "drain as a pure windowed aggregation (one keyed shuffle, watermark-"
+    "bounded state), then the per-window top-3 cut ranks the SMALL counts "
+    "table (windows x types) batch-side — the stream/batch handoff point "
+    "for top-k, since ranking inside a streaming agg would need arbitrary "
+    "stateful processing. Oracle = the batch twin over the same 6h epoch "
+    "grid.",
+    oracle="""
+        WITH counts AS (
+          SELECT strftime(make_timestamp(
+                   CAST(floor(epoch(ts) / 21600) * 21600 * 1000000
+                        AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events
+          GROUP BY 1, 2
+        )
+        SELECT window_start, rank, event_type, n_events
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window_start
+            ORDER BY n_events DESC, event_type) AS rank
+          FROM counts
+        )
+        WHERE rank <= 3
+        ORDER BY window_start, rank
+    """,
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ..streaming import trending_rollup
+
+    counts = run_stream_to_table(
+        trending_rollup(read_events_stream(spark, sf_dir))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events")
+        .orderBy("window_start", "rank")
+    )

@@ -14,6 +14,7 @@ from .joins import view_purchase_interval_join
 from .rollup import (  # noqa: F401
     sliding_rollup,
     hourly_rollup,
+    trending_rollup,
     read_events_stream,
     run_stream_to_table,
     session_window_rollup,
@@ -26,6 +27,7 @@ __all__ = [
     "hourly_rollup",
     "session_window_rollup",
     "run_stream_to_table",
+    "trending_rollup",
     "user_stats_stateful",
     "view_purchase_interval_join",
 ]

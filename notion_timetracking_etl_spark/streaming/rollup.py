@@ -197,3 +197,29 @@ def run_stream_to_table(
             .drop("_rn")
         )
     return out
+
+
+def trending_rollup(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling windowed per-type counts sized for trending reports.
+
+    The stream side stays a pure windowed aggregation (one keyed shuffle,
+    watermark-bounded state); the top-k CUT is applied batch-side after the
+    drain — ranking inside a streaming aggregation would need arbitrary
+    stateful processing, and the counts table (windows x types) is exactly
+    the right small handoff surface between the two."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
