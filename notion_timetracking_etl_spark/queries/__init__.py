@@ -41,6 +41,9 @@ from . import versioning  # noqa: E402,F401
 from . import selection  # noqa: E402,F401
 from . import docfilter  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401
+from . import anomaly  # noqa: E402,F401
+from . import cdc  # noqa: E402,F401
+from . import linkage  # noqa: E402,F401
 
 # Driver sampling order note: the grading driver samples the FIRST ~50 keys
 # of __spark_entry__.queries() each round. That module reorders dynamically —

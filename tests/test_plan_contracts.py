@@ -344,3 +344,40 @@ def test_equidepth_rank_has_no_single_partition_window(spark, sf_dir):
     assert "rangepartitioning" in plan
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "windowed rank with empty PARTITION BY"
+
+
+def test_cdc_apply_is_struct_max_not_window(spark, sf_dir):
+    # the MERGE apply must be one keyed aggregation (map-side combinable),
+    # never a per-key ROW_NUMBER window over the changelog
+    plan = plan_of(spark, sf_dir, "cdc_apply_changelog")
+    assert "Window" not in plan
+    # struct max plans as SortAggregate with a partial_max below the
+    # exchange — the map-side combine that makes apply cost O(changelog)
+    assert "partial_max(struct(seq" in plan
+
+
+def test_mad_rank_has_no_single_partition_window(spark, sf_dir):
+    # both median passes rank O(events) rows — must be the distributed
+    # range-partitioned rank, never a no-partition Window funnel
+    plan = plan_of(spark, sf_dir, "robust_outliers_mad")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_binary_ann_broadcasts_queries_and_scans_signatures_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "similarity_topk_binary")
+    assert "BroadcastExchange" in plan
+    # the Hamming scan must NOT carry the float vectors: the embedding
+    # column may enter the plan only via the shortlist re-rank join and the
+    # signature computation, never through the shortlist shuffle. The
+    # shortlist window's exchange partitions on query_id and its input
+    # projection must be signature-sized (no embedding column).
+    m = re.search(r"Exchange hashpartitioning\(query_id[^\n]*\n[^\n]*", plan)
+    assert m and "embedding" not in m.group(0)
+
+
+def test_countmin_counters_broadcast_to_probes(spark, sf_dir):
+    # the counter table (<= depth x width rows) must broadcast; the token
+    # stream is never shuffled for the probe join
+    plan = plan_of(spark, sf_dir, "countmin_token_frequency")
+    assert "BroadcastHashJoin" in plan
