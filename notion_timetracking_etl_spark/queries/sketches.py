@@ -244,3 +244,274 @@ def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "item",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog, relationally — deterministic and fully oracle-replayable
+# ---------------------------------------------------------------------------
+
+# m = 32 registers (b = 5): raw-regime threshold 2.5m = 80 sits safely below
+# the smallest audited cardinality (~180 distinct user-days per type at
+# sf0.001), so the hash-checked path is the pure raw estimate. The
+# small-range linear-counting branch IS implemented on both engines but sits
+# outside the driver regime (natural log is the one op libm/JVM may round
+# differently in the last ulp; tests pin that the corpus never enters it).
+HLL_M = 32
+_HLL_IDX_SHIFT = 51  # 56-bit hash = 5 index bits + 51-bit rank field
+_HLL_W_MASK = (1 << _HLL_IDX_SHIFT) - 1
+_HLL_RANK_MAX = _HLL_IDX_SHIFT + 1  # rank of an all-zero w field
+# alpha_32 * m^2 * 2^RANK_MAX, folded to ONE double literal shared verbatim
+# by both engines (0.697 is the published alpha for m = 32)
+_HLL_NUM = repr(0.697 * HLL_M * HLL_M * float(1 << _HLL_RANK_MAX))
+
+
+def hll_user_day_key() -> F.Column:
+    """The audited key: 'user_id:yyyy-MM-dd' (shared by batch and stream)."""
+    return F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+    )
+
+
+def hll_rank_fields(keyed: DataFrame, *group_cols: str) -> DataFrame:
+    """(group..., idx, rank) per input key row — the pure map-side HLL
+    field derivation every register build (batch or streaming) shares."""
+    hashed = keyed.select(
+        *group_cols,
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("hll:"), F.col("key")), 256), 1, 14
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).select(
+        *group_cols,
+        F.shiftright("h", _HLL_IDX_SHIFT).alias("idx"),
+        F.col("h").bitwiseAND(F.lit(_HLL_W_MASK)).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(_HLL_RANK_MAX)).otherwise(
+        F.lit(_HLL_RANK_MAX) - F.length(F.expr("bin(w)"))
+    )
+    return hashed.select(*group_cols, "idx", rank.alias("rank"))
+
+
+def hll_stats_from_registers(regs: DataFrame, *group_cols: str) -> DataFrame:
+    """(group..., t, n_zero_registers) from a (group..., idx, rank) register
+    table — t is the exact-integer harmonic-mean denominator."""
+    return regs.groupBy(*group_cols).agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_HLL_RANK_MAX} - rank)"
+                )
+            ).cast("bigint")
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RANK_MAX)
+        ).alias("t"),
+        (F.lit(HLL_M) - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )
+
+
+def hll_estimate_col() -> F.Column:
+    """Estimate from (t, n_zero_registers): the raw harmonic-mean form, or
+    linear counting in the (driver-regime-unreachable) small range."""
+    raw = F.lit(float(_HLL_NUM)) / F.col("t").cast("double")
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
+        F.lit(float(HLL_M))
+        * F.log(
+            F.lit(float(HLL_M)) / F.col("n_zero_registers").cast("double")
+        ),
+    ).otherwise(raw)
+
+
+
+@register(
+    "hll_distinct_user_days",
+    "A1-analog,F20-analog",
+    "HyperLogLog cardinality audit, RELATIONALLY: distinct (user, day) "
+    f"pairs per event_type (and overall) estimated by an m={HLL_M} HLL "
+    "built from sha256-derived 56-bit hashes — register index = top 5 "
+    "bits, rank = leading zeros of the 51-bit remainder via exact integer "
+    "bin-length, registers = one groupBy MAX. The harmonic mean is EXACT "
+    "integer arithmetic (sum of 2^(rankmax-rank) in BIGINT); the estimate "
+    "is one shared-literal double divide — so unlike an opaque sketch "
+    "library, every register and the estimate replay bit-identically in "
+    "the oracle. Shuffle: distinct keys, then <= m rows per scope. "
+    "Registers are MERGEABLE (cell-wise MAX) — the distributed/streaming "
+    "count-distinct story.",
+    oracle=f"""
+        WITH scoped AS (
+          SELECT DISTINCT g, key FROM (
+            SELECT event_type AS g,
+                   concat(user_id, ':',
+                          strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+            FROM events
+            UNION ALL
+            SELECT 'all',
+                   concat(user_id, ':',
+                          strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+            FROM events
+          ) WHERE key IS NOT NULL
+        ),
+        hashed AS (
+          SELECT g,
+                 CAST(concat('0x', substr(sha256(concat('hll:', key)),
+                      1, 14)) AS BIGINT) AS h
+          FROM scoped
+        ),
+        fields AS (
+          SELECT g, h >> {_HLL_IDX_SHIFT} AS idx,
+                 h & {_HLL_W_MASK} AS w
+          FROM hashed
+        ),
+        regs AS (
+          SELECT g, idx,
+                 MAX(CASE WHEN w = 0 THEN {_HLL_RANK_MAX}
+                     ELSE {_HLL_RANK_MAX} - length(bin(w)) END) AS rank
+          FROM fields GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT g,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - rank))
+                      AS BIGINT)
+                 + ({HLL_M} - COUNT(*))
+                   * (CAST(1 AS BIGINT) << {_HLL_RANK_MAX}) AS t,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers
+          FROM regs GROUP BY 1
+        ),
+        exact AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM scoped GROUP BY 1
+        )
+        SELECT e.g AS scope, e.n_exact, s.n_zero_registers,
+               est.hll_est,
+               (est.hll_est - e.n_exact) / e.n_exact AS rel_err
+        FROM exact e
+        JOIN stats s USING (g),
+        LATERAL (SELECT CASE WHEN {_HLL_NUM} / s.t <= {2.5 * HLL_M}
+                              AND s.n_zero_registers > 0
+                         THEN {float(HLL_M)}
+                              * ln({float(HLL_M)} / s.n_zero_registers)
+                         ELSE {_HLL_NUM} / s.t END AS hll_est) est
+        ORDER BY scope
+    """,
+)
+def hll_distinct_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("g"), hll_user_day_key().alias("key")
+    )
+    scoped = (
+        base.unionByName(base.select(F.lit("all").alias("g"), "key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+    )
+    regs = (
+        hll_rank_fields(scoped, "g")
+        .groupBy("g", "idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+    stats = hll_stats_from_registers(regs, "g")
+    exact = scoped.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = hll_estimate_col()
+    return ordered_small(
+        exact.join(stats, "g").select(
+            F.col("g").alias("scope"),
+            "n_exact",
+            "n_zero_registers",
+            est.alias("hll_est"),
+            ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+        ),
+        "scope",
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitmap-index activity: set ops on packed day bitmaps
+# ---------------------------------------------------------------------------
+
+_BITMAP_MAX_DAYS = 63  # one BIGINT word; spans beyond it are out of contract
+
+
+@register(
+    "bitmap_user_activity",
+    "A1-analog,A7-analog",
+    "Bitmap-index activity audit: each user's active days pack into ONE "
+    "BIGINT (bit d = active on day min_day+d — the roaring-bitmap idea at "
+    "word granularity), then set operations become JVM integer ops: "
+    "active_days = bit_count(bitmap), consecutive-day pairs = "
+    "bit_count(bitmap AND bitmap>>1) — the intersect-with-shifted-self "
+    "trick, no self-join, no window over the event stream. Output is the "
+    "activity histogram: users and total consecutive pairs per active-day "
+    "count. Day offsets beyond 62 are filtered by documented contract "
+    "(multi-word bitmaps are the production extension).",
+    oracle=f"""
+        WITH span AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        ud AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', d0, CAST(ts AS DATE)) AS d
+          FROM events, span
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        bm AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(1 AS BIGINT) << d) AS BIGINT) AS bitmap
+          FROM ud
+          WHERE d BETWEEN 0 AND {_BITMAP_MAX_DAYS - 1}
+          GROUP BY 1
+        ),
+        per_user AS (
+          SELECT bit_count(bitmap) AS active_days,
+                 bit_count(bitmap & (bitmap >> 1)) AS consec_pairs
+          FROM bm
+        )
+        SELECT CAST(active_days AS BIGINT) AS active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(consec_pairs) AS BIGINT) AS total_consec_pairs
+        FROM per_user
+        GROUP BY 1
+        ORDER BY active_days
+    """,
+)
+def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    ud = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("d"),
+        )
+        .filter(F.col("d").between(0, _BITMAP_MAX_DAYS - 1))
+        .distinct()
+    )
+    bm = ud.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), d)"))
+        .cast("bigint")
+        .alias("bitmap")
+    )
+    per_user = bm.select(
+        F.bit_count("bitmap").alias("active_days"),
+        F.bit_count(
+            F.col("bitmap").bitwiseAND(F.shiftright("bitmap", 1))
+        ).alias("consec_pairs"),
+    )
+    return ordered_small(
+        per_user.groupBy(F.col("active_days").cast("bigint").alias("active_days"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("consec_pairs").cast("bigint").alias("total_consec_pairs"),
+        ),
+        "active_days",
+    )
