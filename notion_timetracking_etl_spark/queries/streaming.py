@@ -23,6 +23,7 @@ from ..streaming import (
 )
 from .helpers import dsum, dsum_sql
 from .registry import register
+from .sketches import _HLL_NUM as _HLL_NUM_SQL
 
 
 @register(
@@ -294,4 +295,168 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start", "rank", "event_type", "n_events")
         .orderBy("window_start", "rank")
+    )
+
+
+_CDC_STAGING: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "streaming_cdc_upsert",
+    "S8-analog-stream,A6-analog",
+    "Streaming CDC upsert via foreachBatch: the orders-derived I/U/D "
+    "changelog (queries/cdc.py derivation), staged one seq-wave per file, "
+    "drains as a file stream with maxFilesPerTrigger=1 — each micro-batch "
+    "MERGEs into the accumulated snapshot by the same comparison-struct "
+    "MAX as the batch apply, DELETEs riding as tombstones until the final "
+    "read. Winner-per-key is order-INDEPENDENT, so any batch split "
+    "converges to the identical snapshot — which the oracle proves by "
+    "replaying the whole changelog in one ROW_NUMBER pass. The production "
+    "shape: MERGE INTO per micro-batch against a lake table.",
+    oracle=f"""
+        WITH changelog AS (
+          SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+                 CAST(floor(o_totalprice * 1000000.0) AS BIGINT)
+                   AS price_micros,
+                 o_orderstatus AS status
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, 2, 'U',
+                 CAST(floor(o_totalprice * 1000000.0) AS BIGINT) + 1000000,
+                 'U'
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, 'D', NULL, NULL
+          FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        ranked AS (
+          SELECT k, seq, op, price_micros, status,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM changelog
+        )
+        SELECT k AS o_orderkey,
+               CAST(seq AS BIGINT) AS last_seq,
+               op AS last_op,
+               price_micros,
+               status
+        FROM ranked
+        WHERE rn = 1 AND op <> 'D'
+        ORDER BY o_orderkey
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..sources.tpch import load_table
+    from ..streaming import upsert_drain
+    from .cdc import changelog_from_orders
+
+    changelog_dir = _CDC_STAGING.get(sf_dir)
+    if changelog_dir is None:
+        changelog_dir = tempfile.mkdtemp(prefix="sg_cdc_upsert_") + "/changelog"
+        changelog = changelog_from_orders(load_table(spark, sf_dir, "orders"))
+        # one file per seq wave -> maxFilesPerTrigger=1 yields one
+        # micro-batch per wave (order irrelevant: the merge is commutative)
+        for seq in (1, 2, 3):
+            changelog.filter(F.col("seq") == seq).coalesce(1).write.mode(
+                "append"
+            ).parquet(changelog_dir)
+        _CDC_STAGING[sf_dir] = changelog_dir
+    # checkpoint is FRESH per drain: reusing one would mark the backlog
+    # consumed and turn a re-run into a zero-batch no-op (acc = None)
+    final, _ = upsert_drain(
+        spark, changelog_dir, tempfile.mkdtemp(prefix="sg_cdc_ckpt_")
+    )
+    return (
+        final.filter(F.col("op") != "D")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("seq").cast("bigint").alias("last_seq"),
+            F.col("op").alias("last_op"),
+            "price_micros",
+            "status",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "streaming_hll_distinct",
+    "A1-analog-stream,F20-analog",
+    "Streaming approximate count-distinct via MERGEABLE HyperLogLog "
+    "registers: the events stream derives (register, rank) fields map-side "
+    "and the streaming aggregation holds exactly m=32 state rows — "
+    "register MAX is batch-split-insensitive, so state is O(m) forever "
+    "while exact streaming distinct state would grow with the key space. "
+    "The drained registers feed the same exact-integer harmonic mean as "
+    "the batch twin (queries/sketches.py helpers), and the oracle replays "
+    "registers straight from the raw table — proving stream-merged "
+    "registers == batch registers.",
+    oracle=f"""
+        WITH keys AS (
+          SELECT DISTINCT concat(user_id, ':',
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        fields AS (
+          SELECT h >> 51 AS idx, h & 2251799813685247 AS w
+          FROM (SELECT CAST(concat('0x', substr(sha256(concat('hll:', key)),
+                       1, 14)) AS BIGINT) AS h FROM keys)
+        ),
+        regs AS (
+          SELECT idx, MAX(CASE WHEN w = 0 THEN 52
+                          ELSE 52 - length(bin(w)) END) AS rank
+          FROM fields GROUP BY 1
+        ),
+        stats AS (
+          SELECT CAST(SUM(CAST(1 AS BIGINT) << (52 - rank)) AS BIGINT)
+                 + (32 - COUNT(*)) * (CAST(1 AS BIGINT) << 52) AS t,
+                 CAST(32 - COUNT(*) AS BIGINT) AS n_zero_registers
+          FROM regs
+        ),
+        exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM keys)
+        SELECT e.n_exact, s.n_zero_registers, est.hll_est,
+               (est.hll_est - e.n_exact) / e.n_exact AS rel_err
+        FROM exact e, stats s,
+        LATERAL (SELECT CASE WHEN {_HLL_NUM_SQL} / s.t <= 80.0
+                              AND s.n_zero_registers > 0
+                         THEN 32.0 * ln(32.0 / s.n_zero_registers)
+                         ELSE {_HLL_NUM_SQL} / s.t END AS hll_est) est
+    """,
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..sources.tpch import load_table
+    from .sketches import (
+        hll_estimate_col,
+        hll_rank_fields,
+        hll_stats_from_registers,
+        hll_user_day_key,
+    )
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    keyed = stream.select(hll_user_day_key().alias("key"))
+    reg_stream = hll_rank_fields(keyed).groupBy("idx").agg(
+        F.max("rank").alias("rank")
+    )
+    regs = run_stream_to_table(reg_stream)  # complete mode: m rows
+    stats = hll_stats_from_registers(regs)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    exact = ev.select(hll_user_day_key().alias("key")).agg(
+        F.countDistinct("key").cast("bigint").alias("n_exact")
+    )
+    est = hll_estimate_col()
+    return exact.crossJoin(F.broadcast(stats)).select(
+        "n_exact",
+        "n_zero_registers",
+        est.alias("hll_est"),
+        ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
     )

@@ -9,6 +9,7 @@ verified by the oracle-checked registry queries and the pytest equivalence
 tests.
 """
 
+from .cdc import merge_upsert_batch, upsert_drain
 from .dedupe import dedup_keys_within_watermark
 from .joins import view_purchase_interval_join
 from .rollup import (  # noqa: F401
@@ -23,6 +24,8 @@ from .stateful import user_stats_stateful
 
 __all__ = [
     "dedup_keys_within_watermark",
+    "merge_upsert_batch",
+    "upsert_drain",
     "read_events_stream",
     "hourly_rollup",
     "session_window_rollup",
