@@ -444,3 +444,52 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(cands, sh, threshold)
+
+
+def containment_verify(
+    candidates: DataFrame, shingles: DataFrame, threshold_pct: int = 80
+) -> DataFrame:
+    """Exact shingle CONTAINMENT on candidate pairs: |A∩B| / |A| (and /|B|)
+    — the asymmetric near-dup measure Jaccard misses when a small document
+    sits inside a much larger one (quote, excerpt, boilerplate wrapper):
+    their union dwarfs the intersection, so Jaccard stays low while
+    containment of the smaller side is ~1. A pair qualifies when the
+    LARGER containment (= inter / min(|A|,|B|)) clears ``threshold_pct`` —
+    an exact integer cross-multiplication, no float threshold."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(
+            shingles.select(F.col("doc").alias("a"), F.col("sh").alias("sh")), "a"
+        )
+        .join(
+            shingles.select(F.col("doc").alias("b"), F.col("sh").alias("sh")),
+            ["b", "sh"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc").alias("a"), F.col("n_sh").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b"), F.col("n_sh").alias("nb")), "b"
+        )
+        .filter(
+            F.lit(100) * F.col("inter")
+            >= F.lit(threshold_pct) * F.least("na", "nb")
+        )
+        .select(
+            "a",
+            "b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("inter").cast("bigint").alias("n_common"),
+            (F.col("inter").cast("double") / F.col("na")).alias(
+                "containment_a"
+            ),
+            (F.col("inter").cast("double") / F.col("nb")).alias(
+                "containment_b"
+            ),
+        )
+    )

@@ -383,3 +383,43 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "minhash_containment_pairs",
+    "A6-analog,J8-analog",
+    "Asymmetric near-dup by shingle CONTAINMENT over the MinHash+LSH "
+    "candidate pairs: |A∩B|/min(|A|,|B|) >= 80% (exact integer "
+    "cross-multiplication) — catches excerpt/boilerplate-wrapper pairs "
+    "whose Jaccard stays low because the union is dominated by the larger "
+    "doc. Shares the shingle/signature/banding machinery (and its "
+    "candidates-only pair space) with the Jaccard family; only the "
+    "verification predicate differs.",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES}
+        SELECT inter.a, inter.b,
+               CAST(sa.n_sh AS BIGINT) AS n_a,
+               CAST(sb.n_sh AS BIGINT) AS n_b,
+               CAST(i AS BIGINT) AS n_common,
+               CAST(i AS DOUBLE) / sa.n_sh AS containment_a,
+               CAST(i AS DOUBLE) / sb.n_sh AS containment_b
+        FROM inter
+        JOIN sizes sa ON sa.doc = inter.a
+        JOIN sizes sb ON sb.doc = inter.b
+        WHERE 100 * i >= 80 * least(sa.n_sh, sb.n_sh)
+        ORDER BY a, b
+    """,
+)
+def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        _scoped_persist,
+        containment_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _scoped_persist(shingle_table(docs, "doc_id", "text"))
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    return ordered_small(containment_verify(cands, sh), "a", "b")
