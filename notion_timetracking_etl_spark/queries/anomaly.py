@@ -37,7 +37,13 @@ import pyspark.sql.functions as F
 
 from ..operators.rank import with_global_ranks
 from ..sources.tpch import load_table
-from .helpers import DATE_FMT_DUCK, DATE_FMT_SPARK, _finite, _finite_sql
+from .helpers import (
+    DATE_FMT_DUCK,
+    DATE_FMT_SPARK,
+    _finite,
+    _finite_sql,
+    ordered_small,
+)
 from .registry import register
 
 _MAD_K = 5  # outlier threshold: |v - median| > K * MAD
@@ -306,3 +312,143 @@ def events_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("fill_kind"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "changepoint_cusum_daily",
+    "ext:anomaly,A3-ext,W-ext",
+    "CUSUM change-point detection per event_type over the daily value "
+    "series: S_k = D·prefix_k - k·T (the cumulative deviation from the "
+    "series mean, scaled by the day count D so every term stays an exact "
+    "BIGINT — no float crosses the argmax), change point = the day "
+    "maximizing |S_k| (ties -> earliest), picked by ONE comparison-struct "
+    "MIN per type — never a global sort. Window frames run over the "
+    "O(days×types) grain; before/after means are exact integer sums with "
+    "one display divide each.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events
+          WHERE CASE WHEN isfinite(CAST(value AS DOUBLE))
+                THEN value END IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        seq AS (
+          SELECT g, day, v,
+                 ROW_NUMBER() OVER w AS k,
+                 SUM(v) OVER (PARTITION BY g ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS pref,
+                 COUNT(*) OVER (PARTITION BY g) AS d,
+                 SUM(v) OVER (PARTITION BY g) AS t
+          FROM daily
+          WINDOW w AS (PARTITION BY g ORDER BY day)
+        ),
+        scored AS (
+          SELECT g, day, k, d, t, pref,
+                 abs(d * pref - k * t) AS s_abs
+          FROM seq
+          WHERE k < d  -- S_D = 0 by construction; a cut needs both sides
+        ),
+        best AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY g ORDER BY s_abs DESC, day) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT g AS event_type,
+               CAST(d AS BIGINT) AS n_days,
+               strftime(day, '%Y-%m-%d') AS cp_day,
+               CAST(s_abs AS BIGINT) AS cusum_abs_max,
+               CAST(k AS BIGINT) AS n_before,
+               CAST(pref AS BIGINT) AS sum_before_micros,
+               CAST(t - pref AS BIGINT) AS sum_after_micros,
+               CAST(pref AS DOUBLE) / k AS mean_before_micros,
+               CAST(t - pref AS DOUBLE) / (d - k) AS mean_after_micros
+        FROM best
+        ORDER BY event_type
+    """,
+)
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.to_date("ts").alias("day"),
+            F.floor(_finite(F.col("value")) * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("vm"),
+        )
+        .filter(F.col("vm").isNotNull())
+        .groupBy("g", "day")
+        .agg(F.sum("vm").cast("bigint").alias("v"))
+    )
+    w_ord = Window.partitionBy("g").orderBy("day")
+    w_all = Window.partitionBy("g")
+    seq = daily.select(
+        "g",
+        "day",
+        F.row_number().over(w_ord).cast("bigint").alias("k"),
+        F.sum("v")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pref"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("d"),
+        F.sum("v").over(w_all).alias("t"),
+    )
+    scored = seq.filter(F.col("k") < F.col("d")).select(
+        "g",
+        "day",
+        "k",
+        "d",
+        "t",
+        "pref",
+        F.abs(F.col("d") * F.col("pref") - F.col("k") * F.col("t")).alias(
+            "s_abs"
+        ),
+    )
+    # min over (-s_abs, day, ...) == max s_abs with earliest-day tie-break
+    best = (
+        scored.groupBy("g")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("s_abs")).alias("_neg"),
+                    "day",
+                    "k",
+                    "d",
+                    "t",
+                    "pref",
+                )
+            ).alias("_b")
+        )
+        .select(
+            "g",
+            F.col("_b.day").alias("day"),
+            F.col("_b.k").alias("k"),
+            F.col("_b.d").alias("d"),
+            F.col("_b.t").alias("t"),
+            F.col("_b.pref").alias("pref"),
+            (-F.col("_b._neg")).alias("s_abs"),
+        )
+    )
+    after = F.col("t") - F.col("pref")
+    return ordered_small(
+        best.select(
+            F.col("g").alias("event_type"),
+            F.col("d").cast("bigint").alias("n_days"),
+            F.date_format("day", DATE_FMT_SPARK).alias("cp_day"),
+            F.col("s_abs").cast("bigint").alias("cusum_abs_max"),
+            F.col("k").cast("bigint").alias("n_before"),
+            F.col("pref").cast("bigint").alias("sum_before_micros"),
+            after.cast("bigint").alias("sum_after_micros"),
+            (F.col("pref").cast("double") / F.col("k")).alias(
+                "mean_before_micros"
+            ),
+            (after.cast("double") / (F.col("d") - F.col("k"))).alias(
+                "mean_after_micros"
+            ),
+        ),
+        "event_type",
+    )

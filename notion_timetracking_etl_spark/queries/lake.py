@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 
 from ..sinks.parquet import write_bucketed_table, write_partitioned_lake
 from ..sources.tpch import load_table
-from .helpers import DATE_FMT_SPARK, dsum, dsum_sql
+from .helpers import DATE_FMT_SPARK, dsum, dsum_sql, ordered_small
 from .registry import register
 
 # lake paths already written by this process (idempotent overwrite on first
@@ -196,4 +196,84 @@ def lake_bucketed_cohort_activity(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum(F.col("value")).alias("total_value"),
         )
         .orderBy("cohort_week", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: mergeSchema read over an evolving lake
+# ---------------------------------------------------------------------------
+
+_DRIFT_LAKES: set[str] = set()
+
+
+def _drift_lake_path(sf_dir: str) -> str:
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_lakes", tag, "orders_evolving"
+    )
+
+
+@register(
+    "lake_schema_drift_report",
+    "S5-analog-lake,V1-analog",
+    "Schema-evolution audit over an evolving lake: generation 1 files "
+    "(even order keys) carry the v1 schema, generation 2 (odd keys) adds a "
+    "derived discount_micros column; the reader merges the schemas "
+    "(mergeSchema=true — the footer-union read path) and the report "
+    "proves v1 rows surface the evolved column as NULL while v2 rows carry "
+    "exact values: per generation, row count, NULL count and exact sum of "
+    "the late column. The oracle derives both generations straight from "
+    "the orders table, so the hash match pins the merged-read semantics. "
+    "At 100 TB this is the audit run before promoting a schema change.",
+    oracle="""
+        SELECT gen,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(discount_micros) AS BIGINT)
+                 AS n_null_discount,
+               CAST(COALESCE(SUM(discount_micros), 0) AS BIGINT)
+                 AS sum_discount_micros
+        FROM (
+          SELECT 1 AS gen, o_orderkey,
+                 CAST(NULL AS BIGINT) AS discount_micros
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT 2, o_orderkey,
+                 CAST(floor(o_totalprice * 100000.0) AS BIGINT)
+          FROM orders WHERE o_orderkey % 2 = 1
+        )
+        GROUP BY gen
+        ORDER BY gen
+    """,
+)
+def lake_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _drift_lake_path(sf_dir)
+    if path not in _DRIFT_LAKES:
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.lit(1).alias("gen"), "o_orderkey"
+        )
+        # the evolved generation adds a column v1 files have never seen
+        v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.lit(2).alias("gen"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * F.lit(100000.0))
+            .cast("bigint")
+            .alias("discount_micros"),
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2.write.mode("append").parquet(path)
+        _DRIFT_LAKES.add(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return ordered_small(
+        merged.groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("discount_micros"))
+            .cast("bigint")
+            .alias("n_null_discount"),
+            F.coalesce(F.sum("discount_micros"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_discount_micros"),
+        ),
+        "gen",
     )

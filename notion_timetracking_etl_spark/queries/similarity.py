@@ -708,3 +708,116 @@ def similarity_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction + degree/reciprocity audit
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+@register(
+    "knn_graph_stats",
+    "J4-analog,A10-ext",
+    f"k-NN graph (k={_KNN_K}) over the embedding corpus, blocked by label "
+    "(the quantizer-cell contract of the semdedup family: pair space is "
+    "(n/cells)^2 per cell, never corpus-wide): per vector, the top-k "
+    "same-cell neighbors by the deterministic cosine fold, then the "
+    "graph-quality report per cell — nodes, directed edges, RECIPROCAL "
+    "edge count (a->b with b->a, the symmetry signal ANN-graph builders "
+    "like HNSW monitor), and the floor-micro mean edge cosine. Neighbor "
+    "windows are per-vector (bounded by cell size); reciprocity is one "
+    "self-join of the edge list on the reversed key.",
+    oracle=f"""
+        WITH base AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        ),
+        edges AS (
+          SELECT * FROM (
+            SELECT a.label,
+                   a.vec_id AS src, b.vec_id AS dst,
+                   {_cosine_sql("a.embedding", "b.embedding")} AS cos,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {_cosine_sql("a.embedding", "b.embedding")}
+                       DESC, b.vec_id) AS rn
+            FROM base a JOIN base b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+          ) WHERE rn <= {_KNN_K}
+        )
+        SELECT e.label,
+               CAST((SELECT COUNT(*) FROM base WHERE base.label = e.label)
+                    AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN EXISTS (
+                      SELECT 1 FROM edges r
+                      WHERE r.src = e.dst AND r.dst = e.src)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+               CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS mean_edge_cos
+        FROM edges e
+        GROUP BY e.label
+        ORDER BY label
+    """,
+)
+def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine_prenormed, norm_sq
+
+    base = load_embeddings(spark, sf_dir).select(
+        "vec_id", "label", "embedding"
+    )
+    base = base.withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cosine_prenormed(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a.nrm"),
+            F.col("b.nrm"),
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc()
+    )
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .drop("rn")
+    )
+    nodes = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    rev = edges.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    ).withColumn("_rec", F.lit(1))
+    marked = edges.join(rev, ["src", "dst"], "left")
+    stats = marked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.coalesce(F.col("_rec"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_reciprocal"),
+        (
+            F.sum(F.floor(F.col("cos") * F.lit(1000000.0)).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("mean_edge_cos"),
+    )
+    return ordered_small(
+        nodes.join(stats, "label").select(
+            "label", "n_nodes", "n_edges", "n_reciprocal", "mean_edge_cos"
+        ),
+        "label",
+    )

@@ -706,3 +706,66 @@ def tpch_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
     )
     return ordered_small(top, "p_partkey")
+
+
+@register(
+    "tpch_small_quantity_revenue",
+    "J1-ext,A3-ext",
+    "TPC-H Q17 shape (small-quantity-order revenue): average yearly revenue "
+    "lost if orders below 20% of a part's average quantity moved to bulk. "
+    "The correlated scalar subquery (per-part AVG) decorrelates into one "
+    "grouped aggregate joined back to the fact; the selective part filter "
+    "(one brand + small sizes) broadcasts so the lineitem scan never "
+    "shuffles. The 0.2x threshold compares the shared decimal-exact "
+    "average — bit-identical on both engines. Completes the TPC-H canon "
+    "to every shape the testdata's schema can express (Q11/Q20 need the "
+    "absent partsupp table).",
+    oracle=f"""
+        WITH sel AS (
+          SELECT p_partkey FROM part
+          WHERE p_brand = 'Brand#4' AND p_size < 15
+        ),
+        avgs AS (
+          SELECT l_partkey,
+                 {
+                     "CAST(SUM(CAST((CASE WHEN isfinite(CAST(l_quantity AS DOUBLE))"
+                     " THEN l_quantity END) AS DECIMAL(38,6))) AS DOUBLE)"
+                     " / COUNT(CASE WHEN isfinite(CAST(l_quantity AS DOUBLE))"
+                     " THEN l_quantity END)"
+                 } AS avg_qty
+          FROM lineitem JOIN sel ON p_partkey = l_partkey
+          GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               CAST(CAST(SUM(CAST((CASE WHEN isfinite(CAST(l_extendedprice
+                    AS DOUBLE)) THEN l_extendedprice END) AS DECIMAL(38,6)))
+                    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN avgs ON avgs.l_partkey = lineitem.l_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import davg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    scoped = li.join(
+        F.broadcast(sel), li.l_partkey == sel.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avgs = scoped.groupBy("l_partkey").agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    small = scoped.join(F.broadcast(avgs), "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        (dsum(F.col("l_extendedprice")) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+    )
