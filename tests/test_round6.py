@@ -281,3 +281,212 @@ def test_round6_hostile_inputs(spark, tmp_path):
         str(tmp_path / "documents.parquet")
     )
     assert REGISTRY["countmin_token_frequency"].spark(spark, sf).count() == 0
+
+
+def test_hll_stays_in_raw_regime_and_within_error_bounds(spark, sf_dir):
+    rows = REGISTRY["hll_distinct_user_days"].spark(spark, sf_dir).collect()
+    assert {r["scope"] for r in rows} >= {"all"}
+    for r in rows:
+        # raw-regime contract: the linear-counting branch (the one op pair —
+        # ln — that may differ cross-engine in the last ulp) never triggers
+        # on the driver corpus
+        assert r["hll_est"] > 2.5 * 32, r
+        # m=32 standard error is ~18%; 3 sigma plus slack
+        assert abs(r["rel_err"]) < 0.6, r
+
+
+def test_bitmap_activity_ground_truth(spark, tmp_path):
+    t = dt.datetime
+    rows = [
+        # user 1 active days 0,1,2 (two events day 0): 3 active, 2 consec
+        (t(2024, 1, 1, 1), 1, "a", 1.0),
+        (t(2024, 1, 1, 2), 1, "a", 1.0),
+        (t(2024, 1, 2, 1), 1, "a", 1.0),
+        (t(2024, 1, 3, 1), 1, "a", 1.0),
+        # user 2 active days 0,2: 2 active, 0 consec
+        (t(2024, 1, 1, 5), 2, "b", 1.0),
+        (t(2024, 1, 3, 5), 2, "b", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["active_days"]: (r["n_users"], r["total_consec_pairs"])
+        for r in REGISTRY["bitmap_user_activity"].spark(spark, sf).collect()
+    }
+    assert got == {3: (1, 2), 2: (1, 0)}
+
+
+def test_streaming_cdc_upsert_merges_per_batch_with_tombstones(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.queries.cdc import (
+        apply_changelog,
+        changelog_from_orders,
+    )
+    from notion_timetracking_etl_spark.streaming import upsert_drain
+
+    d = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, k, "O", 100.0, d, "1-URGENT") for k in (1, 3, 7, 21)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    changelog = changelog_from_orders(orders)
+    clog_dir = str(tmp_path / "changelog")
+    for seq in (1, 2, 3):
+        changelog.filter(F.col("seq") == seq).coalesce(1).write.mode(
+            "append"
+        ).parquet(clog_dir)
+    final, batches = upsert_drain(spark, clog_dir, str(tmp_path / "ckpt"))
+    assert batches == 3  # one micro-batch per seq wave
+    state = {r["k"]: (r["seq"], r["op"]) for r in final.collect()}
+    # tombstones persist in state (so late batches cannot resurrect keys)
+    assert state[7] == (3, "D") and state[21] == (3, "D")
+    assert state[1] == (1, "I") and state[3] == (2, "U")
+    # the drained snapshot == the batch apply of the same changelog
+    snap = {
+        r["o_orderkey"]
+        for r in final.filter(F.col("op") != "D")
+        .select(F.col("k").alias("o_orderkey"))
+        .collect()
+    }
+    batch_snap = {
+        r["o_orderkey"] for r in apply_changelog(changelog).collect()
+    }
+    assert snap == batch_snap == {1, 3}
+
+
+def test_changepoint_cusum_ground_truth(spark, tmp_path):
+    t = dt.datetime
+    # mean shift after day 3: [10,10,10] -> [50,50,50]
+    rows = [
+        (t(2024, 1, d, 1), d, "a", 10.0 if d <= 3 else 50.0)
+        for d in range(1, 7)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["changepoint_cusum_daily"].spark(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cp_day"] == "2024-01-03"
+    assert r["n_days"] == 6 and r["n_before"] == 3
+    assert r["cusum_abs_max"] == 360_000_000  # |6*3e7 - 3*1.8e8|
+    assert r["sum_before_micros"] == 30_000_000
+    assert r["sum_after_micros"] == 150_000_000
+    assert r["mean_before_micros"] == 10_000_000.0
+    assert r["mean_after_micros"] == 50_000_000.0
+
+
+def test_containment_verify_operator_and_registered_pairs(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        containment_verify,
+    )
+
+    # operator math on an explicit candidate: A's shingles {x,y}, B's
+    # {x,y,z,w} -> containment_a = 1.0, containment_b = 0.5
+    sh = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z"), (2, "w")],
+        "doc long, sh string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = containment_verify(cands, sh, threshold_pct=80).collect()
+    assert len(got) == 1 and got[0]["containment_a"] == 1.0
+    assert got[0]["containment_b"] == 0.5 and got[0]["n_common"] == 2
+
+    # registered query: every emitted pair's counts match a pure-Python
+    # shingle model and clear the 80%-of-smaller-side threshold
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if r["text"] is not None
+    }
+
+    def shingles(text):
+        ws = text.strip().lower().split()
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    rows = REGISTRY["minhash_containment_pairs"].spark(spark, sf_dir).collect()
+    assert rows, "expected containment pairs in the synthetic corpus"
+    for r in rows:
+        sa, sb = shingles(docs[r["a"]]), shingles(docs[r["b"]])
+        inter = len(sa & sb)
+        assert (r["n_a"], r["n_b"], r["n_common"]) == (
+            len(sa), len(sb), inter,
+        ), r
+        assert 100 * inter >= 80 * min(len(sa), len(sb))
+
+
+def test_schema_drift_report_ground_truth(spark, tmp_path):
+    import notion_timetracking_etl_spark.queries.lake as lake_mod
+
+    d = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, k, "O", 10.0 * k, d, "1-URGENT") for k in (1, 2, 3, 4)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    orders.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r["gen"]: (r["n_rows"], r["n_null_discount"], r["sum_discount_micros"])
+        for r in REGISTRY["lake_schema_drift_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # gen1 = even keys (v1 schema, NULL discounts); gen2 = odd keys with
+    # discount = floor(price * 0.1 * 1e6): 10.0 -> 1_000_000, 30.0 -> 3_000_000
+    assert got == {1: (2, 2, 0), 2: (2, 0, 4_000_000)}
+    # staged lakes are keyed by sf_dir: drop this tmp one for other tests
+    lake_mod._DRIFT_LAKES.clear()
+
+
+def test_knn_graph_invariants(spark, sf_dir):
+    rows = REGISTRY["knn_graph_stats"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k_eff = min(3, r["n_nodes"] - 1)
+        assert r["n_edges"] == k_eff * r["n_nodes"], r
+        assert 0 <= r["n_reciprocal"] <= r["n_edges"]
+        assert -1.0 <= r["mean_edge_cos"] <= 1.0
+
+
+def test_streaming_hll_equals_batch_registers(spark, sf_dir):
+    stream_row = REGISTRY["streaming_hll_distinct"].spark(spark, sf_dir).collect()[0]
+    batch_all = {
+        r["scope"]: r
+        for r in REGISTRY["hll_distinct_user_days"].spark(spark, sf_dir).collect()
+    }["all"]
+    # stream-merged registers must yield the IDENTICAL estimate to the
+    # batch build over the same key set — register MAX is split-insensitive
+    assert stream_row["hll_est"] == batch_all["hll_est"]
+    assert stream_row["n_exact"] == batch_all["n_exact"]
+    assert stream_row["n_zero_registers"] == batch_all["n_zero_registers"]
+
+
+def test_tpch_q17_shape_matches_python_model(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    ).collect()
+    sel = {r["p_partkey"] for r in part if r["p_brand"] == "Brand#4" and r["p_size"] < 15}
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in li:
+        if r["l_partkey"] in sel:
+            per[r["l_partkey"]].append((r["l_quantity"], r["l_extendedprice"]))
+    n, total = 0, 0.0
+    for rows in per.values():
+        avg = sum(q for q, _ in rows) / len(rows)
+        for q, p in rows:
+            if q < 0.2 * avg:
+                n += 1
+                total += p
+    got = REGISTRY["tpch_small_quantity_revenue"].spark(spark, sf_dir).collect()[0]
+    assert got["n_small_lines"] == n
+    if n:
+        assert abs(got["avg_yearly"] - total / 7.0) < 1e-6 * max(1.0, abs(total))
