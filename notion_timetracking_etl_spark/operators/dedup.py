@@ -457,12 +457,25 @@ def containment_verify(
     LARGER containment (= inter / min(|A|,|B|)) clears ``threshold_pct`` —
     an exact integer cross-multiplication, no float threshold."""
     sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # The shingle sides must NEVER be broadcast-built: the planner's
+    # estimate for the projected (doc, sh) relation undershoots wildly once
+    # the corpus grows (measured: a 2.6M-row shingle broadcast at the 10x
+    # replica — minutes of build, then driver OOM). The candidate list is
+    # O(near-dups) — linear in the corpus, so broadcasting IT is equally
+    # wrong at scale; shuffle_hash pins both joins to keyed shuffles, which
+    # is the correct 100 TB plan (co-partition on doc, then on (doc, sh)).
+    # "merge" (sort-merge), not "shuffle_hash": SHJ builds a per-partition
+    # hash map of the build side, which under memory pressure dies exactly
+    # where SMJ spills gracefully.
     inter = (
         candidates.join(
-            shingles.select(F.col("doc").alias("a"), F.col("sh").alias("sh")), "a"
+            shingles.select(F.col("doc").alias("a"), F.col("sh").alias("sh"))
+            .hint("merge"),
+            "a",
         )
         .join(
-            shingles.select(F.col("doc").alias("b"), F.col("sh").alias("sh")),
+            shingles.select(F.col("doc").alias("b"), F.col("sh").alias("sh"))
+            .hint("merge"),
             ["b", "sh"],
         )
         .groupBy("a", "b")

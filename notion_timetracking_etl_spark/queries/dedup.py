@@ -421,5 +421,5 @@ def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _scoped_persist(shingle_table(docs, "doc_id", "text"))
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    cands = _scoped_persist(lsh_candidate_pairs(minhash_signatures(sh)))
     return ordered_small(containment_verify(cands, sh), "a", "b")
