@@ -932,3 +932,69 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "rolling_distinct_users",
+    "A1-ext,W-ext",
+    "EXACT trailing-7-day distinct users per day — the windowed "
+    "COUNT(DISTINCT) a running window cannot express (distinct does not "
+    "decompose over sliding frames): each distinct (user, day) observation "
+    "fans out map-side to the <= 7 report days it contributes to "
+    "(sequence + explode, the contribution-expansion trick), then one "
+    "exact count-distinct per report day. Cost is 7x the distinct "
+    "user-day table — linear, partial-aggregated, no per-day re-scan of "
+    "history and no quadratic day x history join. Report days clip to the "
+    "observed span so no phantom leading days appear.",
+    oracle="""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+        contrib AS (
+          SELECT user_id,
+                 unnest(generate_series(day, least(day + INTERVAL 6 DAY,
+                        (SELECT hi FROM span)), INTERVAL 1 DAY))::DATE
+                   AS report_day
+          FROM ud
+        )
+        SELECT strftime(report_day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS distinct_users_7d
+        FROM contrib
+        GROUP BY report_day
+        ORDER BY day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    hi = ud.agg(F.max("day").alias("hi"))
+    contrib = ud.crossJoin(F.broadcast(hi)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.date_add(F.col("day"), 6), F.col("hi")),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.groupBy("report_day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias(
+                "distinct_users_7d"
+            )
+        )
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("day"),
+            "distinct_users_7d",
+        )
+        .orderBy("day")
+    )

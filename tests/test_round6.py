@@ -490,3 +490,29 @@ def test_tpch_q17_shape_matches_python_model(spark, sf_dir):
     assert got["n_small_lines"] == n
     if n:
         assert abs(got["avg_yearly"] - total / 7.0) < 1e-6 * max(1.0, abs(total))
+
+
+def test_rolling_distinct_users_ground_truth(spark, tmp_path):
+    t = dt.datetime
+    # user 1 on days 1 and 9 (outside any shared 7-day window);
+    # user 2 on day 3 only; day-9 window [3..9] sees users {1, 2}
+    rows = [
+        (t(2024, 1, 1, 1), 1, "a", 1.0),
+        (t(2024, 1, 9, 1), 1, "a", 1.0),
+        (t(2024, 1, 3, 1), 2, "a", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"]: r["distinct_users_7d"]
+        for r in REGISTRY["rolling_distinct_users"].spark(spark, sf).collect()
+    }
+    # day 1..7 windows include user1(day1); day 3..9 include user2(day3);
+    # day 9 window [3..9] = {user1(day9), user2}
+    assert got["2024-01-01"] == 1
+    assert got["2024-01-02"] == 1
+    assert got["2024-01-03"] == 2
+    assert got["2024-01-07"] == 2
+    assert got["2024-01-08"] == 1  # window [2..8]: only user2(day3)
+    assert got["2024-01-09"] == 2  # user1 returns + user2 still in window
+    # clipped to the observed span: no report days beyond day 9
+    assert max(got) == "2024-01-09" and min(got) == "2024-01-01"
