@@ -998,3 +998,104 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_FP_MIN_SUPPORT = 3  # a part must appear in >= this many orders to pair
+
+
+@register(
+    "frequent_part_pairs",
+    "J8-analog,A7-ext",
+    "Market-basket co-occurrence mining over order baskets: top-20 part "
+    "pairs by basket co-count, with support and LIFT (observed/expected "
+    "co-rate). The a-priori property prunes the pair space BEFORE the "
+    f"self-join — only parts in >= {_FP_MIN_SUPPORT} baskets can form a "
+    "frequent pair, so the per-basket pair fan-out runs over the pruned "
+    "item set and the shuffle carries (pair, 1) partial counts, never "
+    "baskets x baskets. Lift = co_count·n_baskets / (cnt_a·cnt_b) — one "
+    "IEEE divide of exact integers; ordering ties break on the part ids.",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          FROM lineitem
+        ),
+        freq AS (
+          SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM items GROUP BY 1
+          HAVING COUNT(*) >= {_FP_MIN_SUPPORT}
+        ),
+        fitems AS (
+          SELECT basket, item, cnt FROM items JOIN freq USING (item)
+        ),
+        pairs AS (
+          SELECT a.item AS pa, b.item AS pb,
+                 CAST(COUNT(*) AS BIGINT) AS co_count,
+                 MAX(a.cnt) AS cnt_a, MAX(b.cnt) AS cnt_b
+          FROM fitems a JOIN fitems b
+            ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items)
+        SELECT pa, pb, co_count,
+               CAST(cnt_a AS BIGINT) AS cnt_a,
+               CAST(cnt_b AS BIGINT) AS cnt_b,
+               CAST(co_count * n AS DOUBLE) / (cnt_a * cnt_b) AS lift
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY co_count DESC, pa, pb) AS rn
+          FROM pairs
+        ), tot
+        WHERE rn <= 20
+        ORDER BY co_count DESC, pa, pb
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    items = _scoped_persist(items)
+    freq = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= _FP_MIN_SUPPORT)
+    )
+    fitems = items.join(freq, "item")
+    a = fitems.select(
+        "basket", F.col("item").alias("pa"), F.col("cnt").alias("cnt_a")
+    )
+    b = fitems.select(
+        "basket", F.col("item").alias("pb"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("co_count"),
+            F.max("cnt_a").cast("bigint").alias("cnt_a"),
+            F.max("cnt_b").cast("bigint").alias("cnt_b"),
+        )
+    )
+    top = pairs.orderBy(
+        F.col("co_count").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(20)
+    tot = items.agg(
+        F.countDistinct("basket").cast("bigint").alias("n")
+    )
+    return ordered_small(
+        top.crossJoin(F.broadcast(tot)).select(
+            "pa",
+            "pb",
+            "co_count",
+            "cnt_a",
+            "cnt_b",
+            (
+                (F.col("co_count") * F.col("n")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        ),
+        F.col("co_count").desc(),
+        "pa",
+        "pb",
+    )

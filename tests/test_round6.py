@@ -516,3 +516,29 @@ def test_rolling_distinct_users_ground_truth(spark, tmp_path):
     assert got["2024-01-09"] == 2  # user1 returns + user2 still in window
     # clipped to the observed span: no report days beyond day 9
     assert max(got) == "2024-01-09" and min(got) == "2024-01-01"
+
+
+def test_frequent_part_pairs_matches_python_model(spark, sf_dir):
+    from collections import Counter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    item_cnt = Counter(i for items in baskets.values() for i in items)
+    freq = {i for i, c in item_cnt.items() if c >= 3}
+    co = Counter()
+    for items in baskets.values():
+        fs = sorted(i for i in items if i in freq)
+        for x in range(len(fs)):
+            for y in range(x + 1, len(fs)):
+                co[(fs[x], fs[y])] += 1
+    top = sorted(co.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    n = len(baskets)
+    got = REGISTRY["frequent_part_pairs"].spark(spark, sf_dir).collect()
+    assert [( (r["pa"], r["pb"]), r["co_count"]) for r in got] == top
+    for r in got:
+        assert r["cnt_a"] == item_cnt[r["pa"]] and r["cnt_b"] == item_cnt[r["pb"]]
+        assert r["lift"] == (r["co_count"] * n) / (r["cnt_a"] * r["cnt_b"])
