@@ -1099,3 +1099,66 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pa",
         "pb",
     )
+
+
+@register(
+    "timezone_day_boundary_audit",
+    "F29-analog,A2-ext",
+    "Timezone day-boundary audit: per calendar day, the event count under "
+    "UTC day bucketing vs America/Los_Angeles wall-clock bucketing (the "
+    "reference's reporting timezone, F29/F33 semantics) and how many "
+    "events SHIFT days between the two — the discrepancy report that "
+    "explains why a UTC-grouped metric and a local-day dashboard disagree. "
+    "Two map-side day derivations off one scan, one full-outer join on "
+    "the day grain (O(days) rows).",
+    oracle="""
+        WITH e AS (
+          SELECT ts,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS utc_day,
+                 strftime(CAST(timezone('America/Los_Angeles',
+                          timezone('UTC', ts)) AS DATE), '%Y-%m-%d')
+                   AS la_day
+          FROM events WHERE ts IS NOT NULL
+        ),
+        u AS (SELECT utc_day AS day, CAST(COUNT(*) AS BIGINT) AS n_utc
+              FROM e GROUP BY 1),
+        l AS (SELECT la_day AS day, CAST(COUNT(*) AS BIGINT) AS n_la,
+                     CAST(SUM(CASE WHEN la_day <> utc_day THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_shifted_in
+              FROM e GROUP BY 1)
+        SELECT COALESCE(u.day, l.day) AS day,
+               COALESCE(n_utc, 0) AS n_utc,
+               COALESCE(n_la, 0) AS n_la,
+               COALESCE(n_shifted_in, 0) AS n_shifted_in
+        FROM u FULL OUTER JOIN l ON u.day = l.day
+        ORDER BY day
+    """,
+)
+def timezone_day_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import DATE_FMT_SPARK, la_local
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = ev.select(
+        F.date_format(F.to_date("ts"), DATE_FMT_SPARK).alias("utc_day"),
+        F.date_format(F.to_date(la_local(F.col("ts"))), DATE_FMT_SPARK).alias(
+            "la_day"
+        ),
+    )
+    u = e.groupBy(F.col("utc_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_utc")
+    )
+    l_ = e.groupBy(F.col("la_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_la"),
+        F.sum(F.when(F.col("la_day") != F.col("utc_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shifted_in"),
+    )
+    return ordered_small(
+        u.join(l_, "day", "full_outer").select(
+            "day",
+            F.coalesce("n_utc", F.lit(0)).alias("n_utc"),
+            F.coalesce("n_la", F.lit(0)).alias("n_la"),
+            F.coalesce("n_shifted_in", F.lit(0)).alias("n_shifted_in"),
+        ),
+        "day",
+    )

@@ -460,3 +460,120 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("hll_est"),
         ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
     )
+
+
+@register(
+    "streaming_countmin_tokens",
+    "A7-analog-stream,F20-analog",
+    "Streaming Count-Min maintenance: the document token stream (streamed "
+    "from the documents parquet) folds into the depth-4 x width-1024 "
+    "counter table as a streaming aggregation — counters are MERGEABLE "
+    "sums, so state is bounded at depth x width rows regardless of stream "
+    "length, and any micro-batch split converges to the batch counters. "
+    "The drained counters answer the same top-20 exact-token probe as the "
+    "batch twin; the oracle replays counters from the raw table, proving "
+    "stream-merged == batch-built. Completes the mergeable-sketch "
+    "trilogy's streaming story (HLL registers, CMS counters).",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            AS item
+          FROM documents
+        ),
+        rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+        counters AS (
+          SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+          FROM (
+            SELECT r.row,
+                   CAST(concat('0x', substr(sha256(
+                        concat('cm', r.row, ':', item)), 1, 8)) AS BIGINT)
+                     % 1024 AS bucket
+            FROM toks, rows_ r
+          )
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY 1
+        ),
+        top_n AS (
+          SELECT item, exact_cnt
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, item)
+                  AS rn FROM exact)
+          WHERE rn <= 20
+        ),
+        probes AS (
+          SELECT t.item, t.exact_cnt, r.row,
+                 CAST(concat('0x', substr(sha256(
+                      concat('cm', r.row, ':', t.item)), 1, 8)) AS BIGINT)
+                   % 1024 AS bucket
+          FROM top_n t, rows_ r
+        )
+        SELECT p.item,
+               CAST(MAX(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(c.counter) AS BIGINT) AS cms_est,
+               CAST(MIN(c.counter) - MAX(p.exact_cnt) AS BIGINT)
+                 AS overcount
+        FROM probes p JOIN counters c USING (row, bucket)
+        GROUP BY p.item
+        ORDER BY item
+    """,
+)
+def streaming_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import words
+    from ..operators.sketch import CM_DEPTH, _cm_bucket, countmin_estimate
+    from ..sources.tpch import load_table
+
+    # stream the documents table (single-file layout like the events reader)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok_stream = stream.select(
+        F.explode(words(F.col("text"))).alias("item")
+    ).filter(F.col("item").isNotNull())
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_bucket(F.col("item"), r).alias("bucket"),
+            )
+            for r in range(CM_DEPTH)
+        ]
+    )
+    counter_stream = (
+        tok_stream.select(F.explode(cells).alias("c"))
+        .groupBy(
+            F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+    )
+    counters = run_stream_to_table(counter_stream)
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(words(F.col("text"))).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    top_n = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("item").asc()
+    ).limit(20)
+    est = countmin_estimate(top_n.select("item"), counters)
+    from .helpers import ordered_small
+
+    return ordered_small(
+        top_n.join(est, "item").select(
+            "item",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        ),
+        "item",
+    )

@@ -542,3 +542,35 @@ def test_frequent_part_pairs_matches_python_model(spark, sf_dir):
     for r in got:
         assert r["cnt_a"] == item_cnt[r["pa"]] and r["cnt_b"] == item_cnt[r["pb"]]
         assert r["lift"] == (r["co_count"] * n) / (r["cnt_a"] * r["cnt_b"])
+
+
+def test_timezone_boundary_audit_ground_truth(spark, tmp_path):
+    t = dt.datetime
+    rows = [
+        # 03:00 UTC = 19:00 previous day in LA (UTC-8 in January): shifts
+        (t(2024, 1, 2, 3), 1, "a", 1.0),
+        # 12:00 UTC = 04:00 LA same day: no shift
+        (t(2024, 1, 2, 12), 2, "a", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"]: (r["n_utc"], r["n_la"], r["n_shifted_in"])
+        for r in REGISTRY["timezone_day_boundary_audit"].spark(spark, sf).collect()
+    }
+    assert got == {
+        "2024-01-01": (0, 1, 1),  # the 03:00 UTC event lands here in LA
+        "2024-01-02": (2, 1, 0),
+    }
+
+
+def test_streaming_countmin_equals_batch_counters(spark, sf_dir):
+    stream_rows = {
+        r["item"]: (r["exact_cnt"], r["cms_est"])
+        for r in REGISTRY["streaming_countmin_tokens"].spark(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        r["item"]: (r["exact_cnt"], r["cms_est"])
+        for r in REGISTRY["countmin_token_frequency"].spark(spark, sf_dir).collect()
+    }
+    # stream-merged counters must equal the batch-built counters exactly
+    assert stream_rows == batch_rows
