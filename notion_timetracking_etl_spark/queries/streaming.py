@@ -577,3 +577,73 @@ def streaming_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "item",
     )
+
+
+@register(
+    "streaming_heavy_hitters",
+    "A7-analog-stream,UDF-stream",
+    "Misra-Gries heavy hitters as CUSTOM streaming state "
+    "(applyInPandasWithState): tokens shard BY ITEM, each shard folds a "
+    "k-counter MG summary across micro-batches — kilobytes of state per "
+    "shard regardless of stream length. A globally-heavy token is local "
+    "to exactly one shard, so the drained union of summary emissions is a "
+    "SUPERSET of the true heavy hitters; exact batch-side verification "
+    "(count·k > n, integer compare) then yields output identical to the "
+    "batch operator — which is why the plain heavy-hitter SQL is the "
+    "oracle. Third member of the streaming-sketch story (HLL registers, "
+    "CMS counters, MG summaries).",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            AS item
+          FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, tot
+        GROUP BY item, n
+        HAVING count(*) * 100 > n
+        ORDER BY item
+    """,
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import words
+    from ..sources.tpch import load_table
+    from ..streaming import heavy_hitter_candidates_stream
+    from .helpers import ordered_small
+    from .sketches import HH_K
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok_stream = stream.select(
+        F.explode(words(F.col("text"))).alias("item")
+    ).filter(F.col("item").isNotNull())
+    emissions = run_stream_to_table(
+        heavy_hitter_candidates_stream(tok_stream, HH_K),
+        output_mode="update",
+    )
+    candidates = emissions.select("item").distinct()
+    # exact verification, batch-side (same phase 2 as operators/sketch.py)
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = (
+        toks.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return ordered_small(
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(HH_K) > F.col("n"))
+        .select("item", "cnt"),
+        "item",
+    )

@@ -1,0 +1,102 @@
+"""Streaming Misra-Gries heavy hitters via ``applyInPandasWithState``
+(engine extension): the frequency sketch maintained as CUSTOM streaming
+state — per item-shard, a k-counter MG summary folded across micro-batches
+(Arrow-vectorized per batch), kilobytes of state per shard regardless of
+stream length.
+
+Soundness under any batch split: tokens shard BY ITEM, so a globally-heavy
+token's occurrences all land in one shard, where count > n/k >= n_shard/k
+keeps it in that shard's summary (the mergeable-MG guarantee,
+operators/sketch.py). Every batch EMITS its current summary, and the
+drained union across batches/shards is therefore a superset of the true
+heavy hitters — exact batch-side verification (count·k > n, an integer
+comparison) then makes the final output deterministic and IDENTICAL to the
+batch operator, which is what lets the oracle be the plain heavy-hitter
+SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MG_SHARDS = 8
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), True),
+        StructField("item", StringType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def _mg_update_fn(k: int):
+    def update(
+        key: tuple, pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            items, counts, n = state.get
+            summary = dict(zip(items, counts))
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            vc = pdf["item"].dropna().value_counts()
+            n += int(vc.sum())
+            for it, c in vc.items():
+                summary[it] = summary.get(it, 0) + int(c)
+            if len(summary) > k:
+                # mergeable-MG prune: subtract the (k+1)-th largest counter
+                kth = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    i: c - kth for i, c in summary.items() if c - kth > 0
+                }
+        state.update(
+            (list(summary), [int(c) for c in summary.values()], int(n))
+        )
+        yield pd.DataFrame(
+            {"shard": [key[0]] * len(summary), "item": list(summary)}
+        )
+
+    return update
+
+
+def heavy_hitter_candidates_stream(
+    items: DataFrame, k: int, shards: int = MG_SHARDS
+) -> DataFrame:
+    """Streaming candidate generation: (shard, item) summary emissions.
+
+    Sharding is BY ITEM (sha256-derived), so per-shard MG state is
+    self-contained and a global heavy hitter is local to exactly one
+    shard's summary."""
+    from ..operators.dedup import hash64
+
+    sharded = items.select(
+        (hash64("mgshard:", F.col("item")) % shards).alias("shard"), "item"
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _mg_update_fn(k),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -574,3 +574,47 @@ def test_streaming_countmin_equals_batch_counters(spark, sf_dir):
     }
     # stream-merged counters must equal the batch-built counters exactly
     assert stream_rows == batch_rows
+
+
+def test_streaming_heavy_hitters_equals_batch_and_survives_batch_splits(
+    spark, sf_dir, tmp_path
+):
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.dedup import words
+    from notion_timetracking_etl_spark.queries.sketches import HH_K
+    from notion_timetracking_etl_spark.streaming import (
+        heavy_hitter_candidates_stream,
+        run_stream_to_table,
+    )
+
+    # the registered single-batch drain equals the batch operator
+    stream_out = {
+        (r["item"], r["cnt"])
+        for r in REGISTRY["streaming_heavy_hitters"].spark(spark, sf_dir).collect()
+    }
+    batch_out = {
+        (r["item"], r["cnt"])
+        for r in REGISTRY["heavy_hitter_tokens"].spark(spark, sf_dir).collect()
+    }
+    assert stream_out == batch_out
+
+    # MULTI-batch: split the corpus into 3 files -> 3 micro-batches; the
+    # cross-batch MG state fold must still yield a candidate superset
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = str(tmp_path / "docs_split")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(split_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    toks = stream.select(F.explode(words(F.col("text"))).alias("item"))
+    emissions = run_stream_to_table(
+        heavy_hitter_candidates_stream(toks, HH_K), output_mode="update"
+    )
+    cands = {r["item"] for r in emissions.select("item").distinct().collect()}
+    assert {i for i, _ in batch_out} <= cands
