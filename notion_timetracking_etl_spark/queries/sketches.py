@@ -515,3 +515,134 @@ def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "active_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch + set-union estimation
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = float(1 << 56)  # hash domain: 14 sha256 hex chars
+
+
+@register(
+    "kmv_distinct_union",
+    "A1-analog,U2-analog,F20-analog",
+    f"KMV (bottom-{KMV_K}) distinct sketch per event_type over user-day "
+    "keys, PLUS the cross-type set-UNION estimate — the operation HLL "
+    "registers need special handling for but bottom-k gets free: the union "
+    "sketch is the k smallest of the combined hash sets, so merged "
+    f"estimate = (k-1)·space/kth_min — deterministic (sha256 hashes, exact "
+    "integer kth-minimum via one grouped bottom-k, single shared-form "
+    "double divide), every sketch value hash-checked by the oracle. The "
+    "third count-distinct rung: exact (groupBy), HLL (fixed registers), "
+    "KMV (mergeable bottom-k with native set algebra).",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT DISTINCT event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        hashed AS (
+          SELECT g, key,
+                 CAST(concat('0x', substr(sha256(concat('kmv:', key)),
+                      1, 14)) AS BIGINT) AS h
+          FROM keyed
+        ),
+        scoped AS (
+          SELECT g, h FROM hashed
+          UNION ALL
+          SELECT 'all', MIN(h) FROM hashed GROUP BY key
+        ),
+        kth AS (
+          SELECT g, CAST(MAX(h) AS BIGINT) AS kth_min,
+                 CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+          FROM (SELECT g, h,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM scoped)
+          WHERE rn <= {KMV_K}
+          GROUP BY g
+        ),
+        exact AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM scoped GROUP BY g
+        )
+        SELECT e.g AS scope, e.n_exact, k.n_in_sketch,
+               CASE WHEN k.n_in_sketch < {KMV_K}
+                    THEN CAST(e.n_exact AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} * {_KMV_SPACE} / k.kth_min
+               END AS kmv_est,
+               (CASE WHEN k.n_in_sketch < {KMV_K}
+                     THEN CAST(e.n_exact AS DOUBLE)
+                     ELSE {float(KMV_K - 1)} * {_KMV_SPACE} / k.kth_min
+                END - e.n_exact) / e.n_exact AS rel_err
+        FROM exact e JOIN kth k USING (g)
+        ORDER BY scope
+    """,
+)
+def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    keyed = ev.select(
+        F.col("event_type").alias("g"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+        ).alias("key"),
+    ).distinct()
+    hashed = keyed.select(
+        "g",
+        "key",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("kmv:"), F.col("key")), 256), 1, 14
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    # the 'all' scope dedups BY KEY first (same key hashes identically in
+    # every type, so MIN(h) per key == the key's hash — one row per key)
+    scoped = hashed.select("g", "h").unionByName(
+        hashed.groupBy("key")
+        .agg(F.min("h").alias("h"))
+        .select(F.lit("all").alias("g"), "h")
+    )
+    # bottom-k per scope: WindowGroupLimit prunes per-partition before the
+    # rank filter — scopes are few, rows per scope bounded by distinct keys
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    kth = (
+        scoped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("g")
+        .agg(
+            F.max("h").cast("bigint").alias("kth_min"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        )
+    )
+    exact = scoped.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE)
+        / F.col("kth_min").cast("double")
+    )
+    return ordered_small(
+        exact.join(kth, "g").select(
+            F.col("g").alias("scope"),
+            "n_exact",
+            "n_in_sketch",
+            est.alias("kmv_est"),
+            ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+        ),
+        "scope",
+    )

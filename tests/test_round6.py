@@ -618,3 +618,24 @@ def test_streaming_heavy_hitters_equals_batch_and_survives_batch_splits(
     )
     cands = {r["item"] for r in emissions.select("item").distinct().collect()}
     assert {i for i, _ in batch_out} <= cands
+
+
+def test_kmv_union_bounds_and_exact_small_scopes(spark, sf_dir):
+    rows = {
+        r["scope"]: r
+        for r in REGISTRY["kmv_distinct_union"].spark(spark, sf_dir).collect()
+    }
+    assert "all" in rows
+    for scope, r in rows.items():
+        if r["n_in_sketch"] < 64:
+            # under-filled sketch IS the exact set: estimate must be exact
+            assert r["kmv_est"] == float(r["n_exact"]), r
+            assert r["rel_err"] == 0.0
+        else:
+            # k=64 standard error ~ 1/sqrt(k-2) ~ 12.7%; 4 sigma + slack
+            assert abs(r["rel_err"]) < 0.55, r
+    # the union scope can never be smaller than any single scope (exact)
+    n_all = rows["all"]["n_exact"]
+    assert all(
+        r["n_exact"] <= n_all for s, r in rows.items() if s != "all"
+    )
