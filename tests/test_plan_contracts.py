@@ -381,3 +381,17 @@ def test_countmin_counters_broadcast_to_probes(spark, sf_dir):
     # stream is never shuffled for the probe join
     plan = plan_of(spark, sf_dir, "countmin_token_frequency")
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_graph_blocks_on_adaptive_cell_not_label(spark, sf_dir):
+    # r6 verdict fix: the kNN pair space must be keyed by the ADAPTIVE SRP
+    # quantizer cell (cardinality ~ n / KNN_TARGET_CELL), never the raw
+    # bounded-cardinality label column (10 distinct at every sf — quadratic
+    # pair space at scale). The self-join's shuffle key is the cell id and
+    # the label column never enters the plan.
+    plan = plan_of(spark, sf_dir, "knn_graph_stats")
+    assert "label" not in plan
+    assert re.search(r"Exchange hashpartitioning\(cell", plan)
+    # the bits scalar rides a broadcast (one-row aggregate), so the cell
+    # derivation never shuffles the corpus by itself
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

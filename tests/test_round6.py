@@ -446,6 +446,10 @@ def test_schema_drift_report_ground_truth(spark, tmp_path):
 def test_knn_graph_invariants(spark, sf_dir):
     rows = REGISTRY["knn_graph_stats"].spark(spark, sf_dir).collect()
     assert rows
+    # adaptive SRP cells: n=500 valid vectors at this sf -> 2 sign bits ->
+    # every cell id is a 2-char bitstring and total membership is the corpus
+    assert all(len(r["cell"]) == 2 for r in rows), rows
+    assert sum(r["n_nodes"] for r in rows) == 500
     for r in rows:
         k_eff = min(3, r["n_nodes"] - 1)
         assert r["n_edges"] == k_eff * r["n_nodes"], r
