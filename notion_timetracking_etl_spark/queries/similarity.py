@@ -84,14 +84,18 @@ def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast the query set, score every corpus vector, window top-k with "
     "vec_id tie-break. The exactness baseline for ANN.",
     oracle=f"""
-        WITH q AS (
+        WITH e AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        ),
+        q AS (
           SELECT vec_id AS query_id, embedding AS query_vec
-          FROM embeddings WHERE {_QUERY_PRED}
+          FROM e WHERE {_QUERY_PRED}
         ),
         scored AS (
           SELECT q.query_id, c.vec_id,
                  {_cosine_sql("q.query_vec", "c.embedding")} AS cos
-          FROM q CROSS JOIN embeddings c
+          FROM q CROSS JOIN e c
         ),
         ranked AS (
           SELECT query_id, vec_id, cos,
@@ -121,16 +125,20 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nearest bucket. The broadcast routing table prunes the corpus scan — "
     "the 100 TB scale path for ANN.",
     oracle=f"""
-        WITH q AS (
+        WITH e AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        ),
+        q AS (
           SELECT vec_id AS query_id, embedding AS query_vec
-          FROM embeddings WHERE {_QUERY_PRED}
+          FROM e WHERE {_QUERY_PRED}
         ),
         reps AS (
           SELECT label, embedding AS rep_vec
           FROM (
             SELECT label, embedding,
                    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-            FROM embeddings
+            FROM e
           ) WHERE rn = 1
         ),
         routed AS (
@@ -148,7 +156,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
           SELECT r.query_id, r.label, c.vec_id,
                  {_cosine_sql("r.query_vec", "c.embedding")} AS cos
-          FROM routed r JOIN embeddings c ON c.label = r.label
+          FROM routed r JOIN e c ON c.label = r.label
         ),
         ranked AS (
           SELECT query_id, label, vec_id, cos,
@@ -177,10 +185,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join shuffles on the bucket key only, so the pair space is "
     "per-bucket, never corpus-wide O(n²).",
     oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        )
         SELECT l.label, l.vec_id AS a, r.vec_id AS b,
                {_cosine_sql("l.embedding", "r.embedding")} AS cos
-        FROM embeddings l
-        JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+        FROM e l
+        JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
         WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.3
         ORDER BY a, b
     """,
@@ -222,6 +234,7 @@ def _srp_oracle(bits: int, bands: int, threshold: float) -> str:
     return f"""
         WITH sig AS (
           SELECT vec_id, embedding, {", ".join(buckets)} FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
         )
         SELECT l.vec_id AS a, r.vec_id AS b,
                {_cosine_sql("l.embedding", "r.embedding")} AS cos
@@ -270,6 +283,7 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})) AS min_norm,
                MAX(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})) AS max_norm
         FROM embeddings
+        WHERE {VALID_EMB_PRED_SQL}
         GROUP BY label
         ORDER BY label
     """,

@@ -66,5 +66,15 @@ def upsert_drain(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # ADVICE r7: a timed-out drain must FAIL, not hand back whatever
+        # subset of batches happened to merge — a partial accumulator is a
+        # plausible-but-wrong table, strictly worse than an error.
+        q.stop()
+        raise TimeoutError(
+            f"CDC drain did not finish within {timeout_s}s "
+            f"({state['batches']} micro-batches applied); partial state "
+            "discarded"
+        )
     return state["acc"], state["batches"]

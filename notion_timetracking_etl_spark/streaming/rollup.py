@@ -179,10 +179,19 @@ def run_stream_to_table(
             .start()
         )
         try:
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
+        if not finished:
+            # ADVICE r7: an availableNow drain that outlives its timeout has
+            # NOT committed every pending micro-batch — the memory sink would
+            # hold a plausible-but-wrong snapshot. Raise instead of returning
+            # partial state; the caller sizes timeout_s to the workload.
+            raise TimeoutError(
+                f"stream drain '{name}' did not finish within {timeout_s}s; "
+                "partial sink contents discarded"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
