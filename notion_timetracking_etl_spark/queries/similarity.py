@@ -740,7 +740,11 @@ _KNN_K = 3
 # risk, and SRP cells are locality-sensitive: same-cell neighbors are the
 # angularly-close ones, the right candidate set for an ANN graph.
 KNN_TARGET_CELL = 128
-KNN_MAX_BITS = 16  # caps cells at 65536; lift alongside TARGET for >8M rows
+# r7 verdict: 16 bits saturated at ~8.4M valid vectors, after which cell
+# size grew linearly again. 32 bits caps cells at ~4.3e9 — adaptive up to
+# ~550G vectors — and the bits aggregate now RAISES at saturation instead
+# of silently re-entering linear cell growth (ADVICE r7).
+KNN_MAX_BITS = 32
 KNN_MAX_CELL = 1024  # participation valve for pathologically skewed cells
 
 
@@ -773,7 +777,10 @@ def _knn_sig_sql(col: str) -> str:
     f"size stays ~{KNN_TARGET_CELL} — the pair space is O(n * cell), "
     "never O(n^2) (the r6 verdict's label-blocking fix). Cells above "
     f"{KNN_MAX_CELL} members are truncated to the lowest vec_ids "
-    "(MAX_BLOCK-style valve, dormant at tested scales). Per participant, "
+    "(MAX_BLOCK-style valve, dormant at tested scales) and the per-cell "
+    "n_truncated column exposes exactly how many vectors the valve "
+    "dropped, so skew-driven coverage loss is observable in the result "
+    "itself rather than silent. Per participant, "
     "the top-k same-cell neighbors by the deterministic cosine fold; per "
     "cell, the graph-quality report — nodes, directed edges, RECIPROCAL "
     "edge count (a->b with b->a, the symmetry signal HNSW-style builders "
@@ -795,6 +802,11 @@ def _knn_sig_sql(col: str) -> str:
             FROM base
           ) WHERE crn <= {KNN_MAX_CELL}
         ),
+        pop AS (
+          SELECT substr(sig, 1, (SELECT bits FROM bv)) AS cell,
+                 CAST(COUNT(*) AS BIGINT) AS n_total
+          FROM base GROUP BY 1
+        ),
         edges AS (
           SELECT * FROM (
             SELECT a.cell,
@@ -811,6 +823,9 @@ def _knn_sig_sql(col: str) -> str:
         SELECT e.cell,
                CAST((SELECT COUNT(*) FROM members m WHERE m.cell = e.cell)
                     AS BIGINT) AS n_nodes,
+               CAST((SELECT p.n_total FROM pop p WHERE p.cell = e.cell)
+                    - (SELECT COUNT(*) FROM members m WHERE m.cell = e.cell)
+                    AS BIGINT) AS n_truncated,
                CAST(COUNT(*) AS BIGINT) AS n_edges,
                CAST(SUM(CASE WHEN EXISTS (
                       SELECT 1 FROM edges r
@@ -843,11 +858,18 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # the bits scalar: ONE tiny aggregate broadcast into the scan — the
-    # plan stays fully declarative (no driver-side count round-trip)
+    # plan stays fully declarative (no driver-side count round-trip). The
+    # saturation guard fails loudly the day the corpus outgrows the cap
+    # (n > TARGET_CELL * 2^(MAX_BITS-1)): past that point cells would grow
+    # linearly with n again and the valve would silently truncate coverage.
+    _bits_sum = _knn_bits_terms("count(1)")
     bits = base.agg(
-        F.expr("CAST(" + _knn_bits_terms("count(1)") + " AS INT)").alias(
-            "bits"
-        )
+        F.expr(
+            f"CASE WHEN ({_bits_sum}) >= {KNN_MAX_BITS} THEN "
+            f"CAST(raise_error('knn_graph_stats: SRP bits saturated at "
+            f"KNN_MAX_BITS={KNN_MAX_BITS}; lift the cap') AS INT) "
+            f"ELSE CAST(({_bits_sum}) AS INT) END"
+        ).alias("bits")
     )
     members = (
         base.crossJoin(F.broadcast(bits))
@@ -855,11 +877,16 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sig", "bits")
     )
     cw = Window.partitionBy("cell").orderBy("vec_id")
-    members = (
-        members.withColumn("crn", F.row_number().over(cw))
-        .filter(F.col("crn") <= KNN_MAX_CELL)
-        .drop("crn")
+    counted = members.withColumn("crn", F.row_number().over(cw))
+    # valve observability (ADVICE r7): per-cell pre-valve population, so
+    # the output exposes exactly how many vectors the KNN_MAX_CELL valve
+    # dropped from the graph (n_truncated = 0 everywhere until a skewed
+    # cell actually triggers it). max(crn) == count over the already
+    # cell-partitioned frame — no extra corpus shuffle.
+    pop = counted.groupBy("cell").agg(
+        F.max("crn").cast("bigint").alias("n_total")
     )
+    members = counted.filter(F.col("crn") <= KNN_MAX_CELL).drop("crn")
     a = members.alias("a")
     b = members.alias("b")
     pairs = a.join(
@@ -905,8 +932,17 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_edge_cos"),
     )
     return ordered_small(
-        nodes.join(stats, "cell").select(
-            "cell", "n_nodes", "n_edges", "n_reciprocal", "mean_edge_cos"
+        nodes.join(stats, "cell")
+        .join(pop, "cell")
+        .select(
+            "cell",
+            "n_nodes",
+            (F.col("n_total") - F.col("n_nodes"))
+            .cast("bigint")
+            .alias("n_truncated"),
+            "n_edges",
+            "n_reciprocal",
+            "mean_edge_cos",
         ),
         "cell",
     )

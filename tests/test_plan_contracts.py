@@ -390,7 +390,13 @@ def test_knn_graph_blocks_on_adaptive_cell_not_label(spark, sf_dir):
     # pair space at scale). The self-join's shuffle key is the cell id and
     # the label column never enters the plan.
     plan = plan_of(spark, sf_dir, "knn_graph_stats")
-    assert "label" not in plan
+    # ADVICE r7: anchored to the structural carriers instead of one raw
+    # substring over the whole plan text (which any file path or future
+    # plan-format change could trip): no exchange may partition by label,
+    # and no scan may read the label column.
+    assert not re.search(r"hashpartitioning\(label", plan)
+    for read_schema in re.findall(r"ReadSchema: \S+", plan):
+        assert "label" not in read_schema, read_schema
     assert re.search(r"Exchange hashpartitioning\(cell", plan)
     # the bits scalar rides a broadcast (one-row aggregate), so the cell
     # derivation never shuffles the corpus by itself

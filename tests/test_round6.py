@@ -444,17 +444,64 @@ def test_schema_drift_report_ground_truth(spark, tmp_path):
 
 
 def test_knn_graph_invariants(spark, sf_dir):
+    # ADVICE r7: expectations derive from the FIXTURE, not hardcoded —
+    # the cell partition is recomputed independently (pyarrow + plain
+    # Python left-to-right dot folds, the same IEEE sequence as the Spark
+    # expression), so the test survives fixture changes and pins the
+    # singleton-drop and valve semantics exactly.
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from notion_timetracking_etl_spark.operators.similarity import srp_planes
+    from notion_timetracking_etl_spark.queries.similarity import (
+        _KNN_K,
+        EMB_DIMS,
+        KNN_MAX_BITS,
+        KNN_MAX_CELL,
+        KNN_TARGET_CELL,
+    )
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pylist()
+    valid = [
+        r["embedding"]
+        for r in emb
+        if r["embedding"] is not None and len(r["embedding"]) == EMB_DIMS
+    ]
+    n_valid = len(valid)
+    bits = sum(
+        n_valid > KNN_TARGET_CELL * (1 << b) for b in range(KNN_MAX_BITS)
+    )
+    planes = srp_planes(bits, dims=EMB_DIMS)
+    cells: Counter = Counter()
+    for vec in valid:
+        sig = "".join(
+            "1"
+            if sum(float(x) * p for x, p in zip(vec, plane)) >= 0.0
+            else "0"
+            for plane in planes
+        )
+        cells[sig] += 1
+    # singleton cells (n_nodes == 1) produce no edges and drop from the
+    # report via the inner join on edge stats
+    expected = {
+        c: min(n, KNN_MAX_CELL) for c, n in cells.items() if n >= 2
+    }
     rows = REGISTRY["knn_graph_stats"].spark(spark, sf_dir).collect()
     assert rows
-    # adaptive SRP cells: n=500 valid vectors at this sf -> 2 sign bits ->
-    # every cell id is a 2-char bitstring and total membership is the corpus
-    assert all(len(r["cell"]) == 2 for r in rows), rows
-    assert sum(r["n_nodes"] for r in rows) == 500
-    for r in rows:
-        k_eff = min(3, r["n_nodes"] - 1)
+    got = {r["cell"]: r for r in rows}
+    assert set(got) == set(expected)
+    assert all(len(c) == bits for c in got)
+    for c, r in got.items():
+        assert r["n_nodes"] == expected[c], r
+        assert r["n_truncated"] == cells[c] - expected[c], r
+        k_eff = min(_KNN_K, r["n_nodes"] - 1)
         assert r["n_edges"] == k_eff * r["n_nodes"], r
         assert 0 <= r["n_reciprocal"] <= r["n_edges"]
         assert -1.0 <= r["mean_edge_cos"] <= 1.0
+    assert sum(r["n_nodes"] for r in rows) == sum(expected.values())
 
 
 def test_streaming_hll_equals_batch_registers(spark, sf_dir):
