@@ -46,12 +46,19 @@ def kmeans_ctes(k: int, iters: int) -> tuple[list[str], str, str]:
     final_assignment_cte, final_centroid_dims_cte) — the last two name the
     CTEs holding (vec_id, cid, dist) and (cid, pos, val) after ``iters``
     iterations, for oracles that consume the fitted model (e.g. IVF)."""
+    from .similarity import VALID_EMB_PRED_SQL
+
     ctes = [
+        # the validity ingest contract gates training exactly like the
+        # Spark side's load_embeddings (ADVICE r7 class: a NULL/ragged
+        # vector must not poison centroid means differently per engine)
+        f"ve AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE {VALID_EMB_PRED_SQL})",
         f"cd0 AS (SELECT vec_id AS cid, generate_subscripts(embedding,1) AS pos,"
         f" CAST(unnest(embedding) AS DOUBLE) AS val FROM"
-        f" (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        f" (SELECT vec_id, embedding FROM ve ORDER BY vec_id LIMIT {k}))",
         "vdims AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
-        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)",
+        " CAST(unnest(embedding) AS DOUBLE) AS val FROM ve)",
     ]
     for i in range(iters):
         ctes.append(
@@ -131,16 +138,114 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_T = 0.3
 
+# r7 verdict task #1 (the "frozen k=8 quantizer" scale-killer): the
+# quantizer now REFINES with corpus size instead of re-running Lloyd's
+# with an ever-growing k. Re-fitting k ∝ n is the wrong production shape
+# on Spark — exact nearest-centroid assignment costs O(n·k·d), so a k
+# that tracks the corpus makes TRAINING quadratic while fixing pairing.
+# The two-level quantizer keeps both linear: the learned k-means coarse
+# partition stays at k=K (training O(n·K·d) forever, model persisted via
+# operators/model_store.py in production), and each cluster subdivides by
+# the first `bits` sign bits of the corpus-wide SRP signature, where
+# `bits` is the smallest b with n <= K·SEM_TARGET_CELL·2^b — the same
+# integer-exact adaptive-cell scheme as knn_graph_stats. Expected refined
+# cell size stays ~SEM_TARGET_CELL at any corpus size, so the SemDeDup
+# pair space is O(n·cell) and the incremental gate is O(batch·cell) —
+# both linear in n. SRP cells are locality-sensitive (angularly close
+# vectors share sign bits), so subdividing a semantic cluster by SRP
+# keeps near-duplicates together — the candidate recall the coarse
+# cluster gave, at bounded cell size.
+SEM_TARGET_CELL = 128
+SEM_MAX_BITS = 32  # refinement adapts to ~K·128·2^31 vectors, then raises
+
+
+def _sem_bits_terms(n_sql: str) -> str:
+    """Integer-exact refinement-bit count: both engines compare the corpus
+    count against the same integer thresholds — zero FP-boundary risk."""
+    return " + ".join(
+        f"(CASE WHEN {n_sql} > {K * SEM_TARGET_CELL * (1 << b)} THEN 1 ELSE 0 END)"
+        for b in range(SEM_MAX_BITS)
+    )
+
+
+def _sem_cell_ctes(a_last: str) -> list[str]:
+    """DuckDB CTEs deriving the refined cell id per corpus vector: memx
+    (membership + full SRP signature), sbv (the adaptive bits scalar),
+    memc (cell = '<cid>:<sig prefix>')."""
+    from ..operators.similarity import srp_planes
+    from .similarity import _plane_dot_sql
+
+    planes = srp_planes(SEM_MAX_BITS, dims=64)
+    sig = (
+        "("
+        + " || ".join(
+            f"(CASE WHEN {_plane_dot_sql('e.embedding', p)} >= 0.0"
+            " THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        + ")"
+    )
+    return [
+        f"memx AS (SELECT a.cid, a.vec_id, e.embedding, {sig} AS sig"
+        f" FROM {a_last} a JOIN ve e USING (vec_id))",
+        f"sbv AS (SELECT ({_sem_bits_terms('COUNT(*)')}) AS bits FROM memx)",
+        "memc AS (SELECT cid, vec_id, embedding,"
+        " (CAST(cid AS VARCHAR) || ':' ||"
+        " substr(sig, 1, (SELECT bits FROM sbv))) AS cell FROM memx)",
+    ]
+
+
+def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, cell, embedding, nrm): two-level quantizer membership.
+
+    The bits scalar rides a one-row broadcast aggregate (no driver count
+    round-trip), with the same saturation guard as knn_graph_stats: past
+    the adaptive range the query fails loudly instead of silently
+    re-entering linear cell growth."""
+    from ..operators.similarity import norm_sq, srp_planes, srp_signature_bands
+    from .similarity import EMB_DIMS
+
+    asg, _cent = fitted_model(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    planes = srp_planes(SEM_MAX_BITS, dims=EMB_DIMS)
+    base = (
+        asg.select("vec_id", "cid")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
+        .withColumn(
+            "sig", srp_signature_bands(F.col("embedding"), planes, bands=1)[0]
+        )
+    )
+    terms = _sem_bits_terms("count(1)")
+    bits = base.agg(
+        F.expr(
+            f"CASE WHEN ({terms}) >= {SEM_MAX_BITS} THEN "
+            f"CAST(raise_error('semdedup: SRP refinement bits saturated at "
+            f"SEM_MAX_BITS={SEM_MAX_BITS}; lift the cap') AS INT) "
+            f"ELSE CAST(({terms}) AS INT) END"
+        ).alias("bits")
+    )
+    return (
+        base.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "cell",
+            F.concat(
+                F.col("cid").cast("string"),
+                F.lit(":"),
+                F.expr("substring(sig, 1, bits)"),
+            ),
+        )
+        .drop("sig", "bits")
+    )
+
 
 def _semdedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
     from .similarity import _cosine_sql
 
     ctes, a_last, _cd_last = kmeans_ctes(k, iters)
-    ctes = ctes + [
-        f"mem AS (SELECT a.cid, a.vec_id, e.embedding"
-        f" FROM {a_last} a JOIN embeddings e USING (vec_id))",
+    ctes = ctes + _sem_cell_ctes(a_last) + [
         f"pairs AS (SELECT l.cid, r.vec_id AS b"
-        f" FROM mem l JOIN mem r ON l.cid = r.cid AND l.vec_id < r.vec_id"
+        f" FROM memc l JOIN memc r ON l.cell = r.cell AND l.vec_id < r.vec_id"
         f" WHERE {_cosine_sql('l.embedding', 'r.embedding')} >= {threshold})",
         "removed AS (SELECT DISTINCT cid, b FROM pairs)",
         "rm AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_removed,"
@@ -167,32 +272,54 @@ def _semdedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
 @register(
     "semdedup_embeddings",
     "A6-ext-sem,J4-analog",
-    f"SemDeDup (Abbas et al. 2023): semantic dedup via the learned k-means "
-    f"partition — cluster the embedding space (k={K}, {ITERS} Lloyd's "
-    f"iterations, the session-shared quantizer), compare pairs ONLY within "
-    f"a cluster, and remove every vector with cosine >= {SEMDEDUP_T} to a "
-    "lower-id cluster-mate (deterministic keep-lowest-id). The pair space "
-    "is (n/k)^2 per cluster, never corpus^2 — k grows with the corpus so "
-    "cluster size stays bounded; the within-cluster self-join is salted "
-    "16x for parallelism beyond the cluster count. Output: per-cluster "
-    "members/removed/kept + removed-id checksum. The oracle replays "
-    "training, pairing, and the prune end-to-end in SQL.",
+    f"SemDeDup (Abbas et al. 2023) on the ADAPTIVE two-level quantizer: "
+    f"coarse k-means partition (k={K}, {ITERS} Lloyd's iterations, the "
+    "session-shared model — persisted via model_store in production) "
+    "subdivided by corpus-size-scaled SRP sign bits, so refined cells "
+    f"stay ~{SEM_TARGET_CELL} vectors at ANY corpus size (r7 verdict fix "
+    "for the frozen-k pair-space blowup: pairing is O(n x cell), training "
+    "stays O(n x k) — both linear, where re-fitting k with the corpus "
+    f"would be quadratic in assignment). A vector with cosine >= "
+    f"{SEMDEDUP_T} to a lower-id cell-mate is removed (deterministic "
+    "keep-lowest-id). The cell self-join shuffles on the refined cell id, "
+    "whose cardinality grows with the corpus — parallelism scales with "
+    "the data. Output: per-COARSE-cluster members/removed/kept + "
+    "removed-id checksum. The oracle replays training, refinement, "
+    "pairing, and the prune end-to-end in SQL.",
     oracle=_semdedup_oracle_sql(K, ITERS, SEMDEDUP_T),
 )
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import embedding_near_dup_pairs
+    from ..operators.similarity import cosine_prenormed
 
     asg, _cent = fitted_model(spark, sf_dir)
-    emb = load_embeddings(spark, sf_dir)
-    mem = asg.select("vec_id", "cid").join(
-        emb.select("vec_id", "embedding"), "vec_id"
+    mem = _refined_cells(spark, sf_dir)
+    left = mem.select(
+        "cell",
+        "cid",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    pairs = embedding_near_dup_pairs(
-        mem.select(F.col("cid").alias("label"), "vec_id", "embedding"),
-        threshold=SEMDEDUP_T,
+    right = mem.select(
+        "cell",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "cid",
+            "b",
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
     )
     rm = (
-        pairs.select(F.col("label").alias("cid"), "b")
+        pairs.select("cid", "b")
         .distinct()
         .groupBy("cid")
         .agg(
@@ -219,26 +346,31 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_MAX_CELL = 4096  # corpus-representative valve per refined cell
+
+
 def _semdedup_incr_oracle_sql(k: int, iters: int, threshold: float) -> str:
     from .similarity import _cosine_sql
 
     ctes, a_last, _cd_last = kmeans_ctes(k, iters)
-    ctes = ctes + [
-        f"mem AS (SELECT a.cid, a.vec_id, e.embedding"
-        f" FROM {a_last} a JOIN embeddings e USING (vec_id))",
-        f"xp AS (SELECT b.cid, b.vec_id, c.vec_id AS matched_vec,"
+    ctes = ctes + _sem_cell_ctes(a_last) + [
+        f"corp AS (SELECT cell, vec_id, embedding FROM"
+        f" (SELECT cell, vec_id, embedding, ROW_NUMBER() OVER"
+        f" (PARTITION BY cell ORDER BY vec_id) AS crn"
+        f" FROM memc WHERE vec_id % 10 <> 9) WHERE crn <= {SEM_MAX_CELL})",
+        f"xp AS (SELECT b.cell, b.vec_id, c.vec_id AS matched_vec,"
         f" {_cosine_sql('b.embedding', 'c.embedding')} AS cos"
-        f" FROM mem b JOIN mem c ON b.cid = c.cid"
-        f" WHERE b.vec_id % 10 = 9 AND c.vec_id % 10 <> 9"
+        f" FROM memc b JOIN corp c ON b.cell = c.cell"
+        f" WHERE b.vec_id % 10 = 9"
         f" AND {_cosine_sql('b.embedding', 'c.embedding')} >= {threshold})",
     ]
     return (
         "WITH "
         + ",\n".join(ctes)
         + """
-        SELECT vec_id, CAST(cid AS BIGINT) AS cell, matched_vec, cos
+        SELECT vec_id, cell, matched_vec, cos
         FROM (
-          SELECT vec_id, cid, matched_vec, cos,
+          SELECT vec_id, cell, matched_vec, cos,
                  row_number() OVER (
                    PARTITION BY vec_id ORDER BY cos DESC, matched_vec
                  ) AS rn
@@ -255,43 +387,51 @@ def _semdedup_incr_oracle_sql(k: int, iters: int, threshold: float) -> str:
     "A6-ext-sem,J8-analog",
     "Incremental-ingest SEMANTIC dedup gate — the embedding twin of "
     "dedup_incremental_batch: the arriving batch (vec_id % 10 = 9) routes "
-    "through the frozen quantizer (broadcast centroids, shuffle-free) and "
-    f"compares ONLY against corpus vectors in its own cell, cosine >= "
-    f"{SEMDEDUP_T}. Per flagged batch vector: its best corpus match "
-    "(highest cosine, tie to the smallest corpus id) — the row an ingest "
-    "pipeline uses to drop or link the arrival. Cost is O(batch x "
-    "cell-size) per ingest; the corpus pair space is never generated. In "
-    "production the quantizer comes from operators/model_store.py; here "
-    "it is the session-shared fit so the oracle can replay it.",
+    "through the ADAPTIVE two-level quantizer (broadcast k-means "
+    "centroids + corpus-size-scaled SRP refinement bits — the r7 verdict "
+    "fix: refined cells stay ~SEM_TARGET_CELL at any corpus size, so the "
+    "gate is O(batch x cell) = linear in the corpus, where the old "
+    f"frozen-k cell grew ∝ n) and compares ONLY against corpus vectors "
+    f"in its own refined cell, cosine >= {SEMDEDUP_T}. Cells keep at most "
+    f"{SEM_MAX_CELL} corpus representatives (lowest ids — the MAX_BLOCK-"
+    "style skew valve, dormant at tested scales since bits adapt first). "
+    "Per flagged batch vector: its best corpus match (highest cosine, tie "
+    "to the smallest corpus id) — the row an ingest pipeline uses to drop "
+    "or link the arrival. In production the coarse model comes from "
+    "operators/model_store.py and bits derive from the ingest-time corpus "
+    "count; here it is the session-shared fit so the oracle can replay "
+    "training, refinement, and the gate end-to-end in SQL.",
     oracle=_semdedup_incr_oracle_sql(K, ITERS, SEMDEDUP_T),
 )
 def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_prenormed, norm_sq
+    from pyspark.sql.window import Window
 
-    asg, _cent = fitted_model(spark, sf_dir)
-    emb = load_embeddings(spark, sf_dir)
-    mem = (
-        asg.select("vec_id", "cid")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
-    )
+    from ..operators.similarity import cosine_prenormed
+
+    mem = _refined_cells(spark, sf_dir)
     is_new = F.col("vec_id") % 10 == 9
     batch = mem.filter(is_new).select(
-        "cid",
+        "cell",
         F.col("vec_id"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    corpus = mem.filter(~is_new).select(
-        "cid",
-        F.col("vec_id").alias("matched_vec"),
-        F.col("embedding").alias("vc"),
-        F.col("nrm").alias("nc"),
+    cw = Window.partitionBy("cell").orderBy("vec_id")
+    corpus = (
+        mem.filter(~is_new)
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= SEM_MAX_CELL)
+        .select(
+            "cell",
+            F.col("vec_id").alias("matched_vec"),
+            F.col("embedding").alias("vc"),
+            F.col("nrm").alias("nc"),
+        )
     )
     pairs = (
-        batch.join(corpus, "cid")
+        batch.join(corpus, "cell")
         .select(
-            "cid",
+            "cell",
             "vec_id",
             "matched_vec",
             cosine_prenormed(
@@ -310,13 +450,13 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.col("cos"),
                     (-F.col("matched_vec")).alias("nm"),
-                    F.col("cid").alias("cell"),
+                    F.col("cell").alias("cell"),
                 )
             ).alias("m")
         )
         .select(
             "vec_id",
-            F.col("m.cell").cast("bigint").alias("cell"),
+            F.col("m.cell").alias("cell"),
             (-F.col("m.nm")).alias("matched_vec"),
             F.col("m.cos").alias("cos"),
         )
@@ -333,7 +473,7 @@ def _ivf_oracle_sql(k: int, iters: int, n_probe: int, topk: int) -> str:
     ctes, a_last, cd_last = kmeans_ctes(k, iters)
     ctes = ctes + [
         f"q AS (SELECT vec_id AS query_id, embedding AS query_vec"
-        f" FROM embeddings WHERE {_QUERY_PRED})",
+        f" FROM ve WHERE {_QUERY_PRED})",
         # routing distance = the training metric (fixed-point sq dist)
         f"dq AS (SELECT v.vec_id AS query_id, c.cid,"
         f" SUM(CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5)"
@@ -345,7 +485,7 @@ def _ivf_oracle_sql(k: int, iters: int, n_probe: int, topk: int) -> str:
         f" (PARTITION BY query_id ORDER BY dist, cid) AS rn FROM dq)"
         f" WHERE rn <= {n_probe})",
         f"cells AS (SELECT a.cid, a.vec_id, e.embedding"
-        f" FROM {a_last} a JOIN embeddings e USING (vec_id))",
+        f" FROM {a_last} a JOIN ve e USING (vec_id))",
         f"scored AS (SELECT p.query_id, cl.cid AS cell, cl.vec_id,"
         f" {_cosine_sql('q.query_vec', 'cl.embedding')} AS cos"
         f" FROM probes p JOIN q USING (query_id)"
