@@ -20,12 +20,13 @@ sys.path.insert(0, _HERE)
 
 from notion_timetracking_etl_spark.queries import REGISTRY  # noqa: E402
 
-# The two approx-sketch queries declare oracle=None by contract (their
-# internals aren't bit-replayable; 4σ/rank-error bound checks live in
-# tests/test_temporal_sketch.py and the registry-level `check` hooks). In a
-# driver correctness sample they can only ever produce an `err: "no_oracle"`
-# row, so they sort to the very end of the ordering — the driver's 50-query
-# window samples fully checkable queries instead.
+# oracle=None queries can only ever produce an `err: "no_oracle"` row in a
+# driver correctness sample, so they sort to the end of the ordering. As of
+# round 8 this set is EMPTY by design: the two approx-sketch queries became
+# their own audit twins (exact values + sketch-contract flags are the
+# hashed output, the engine-specific estimates are not emitted), so every
+# registered query is fully hash-checkable and the correctness union can
+# reach the whole registry.
 _NO_ORACLE_TAIL = [name for name, spec in REGISTRY.items() if spec.oracle is None]
 
 

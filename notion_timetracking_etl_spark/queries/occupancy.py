@@ -20,7 +20,7 @@ construction (≤245 min) so the cap is provably inert to the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..operators.intervals import explode_to_hour_frames
@@ -106,64 +106,57 @@ def occupancy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
 
 
-def _occupancy_hll_bound_check(s_rows, s_cols, con):
-    """HLL++ estimates vs the exact per-(frame, type) distinct counts.
-
-    rsd is a standard deviation, not a hard bound, so allow 4 sigma plus an
-    absolute floor of 2 for the sparse-register regime (where HLL++ is
-    near-exact). A broken sketch (wrong key, garbage merge, dropped rows)
-    lands far outside; the exact query is the same SQL the exact twin's
-    oracle uses."""
-    exact = {
-        (r[0], r[1]): r[2]
-        for r in con.execute(
-            f"""
-            SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS frame_ts, event_type,
-                   COUNT(DISTINCT user_id) AS item_count
-            FROM ({_FRAMES_SQL}) fr GROUP BY h, event_type
-            """
-        ).fetchall()
-    }
-    idx = {c: i for i, c in enumerate(s_cols)}
-    if len(s_rows) != len(exact):
-        return f"group count {len(s_rows)} != exact {len(exact)}"
-    errs = []
-    for row in s_rows:
-        key = (row[idx["frame_ts"]], row[idx["event_type"]])
-        est, ex = row[idx["item_count_approx"]], exact.get(key)
-        if ex is None:
-            errs.append(f"unexpected group {key}")
-        elif abs(est - ex) > max(2.0, 4 * _HLL_RSD * ex):
-            errs.append(f"{key}: approx {est} vs exact {ex}")
-    return "; ".join(errs[:5]) or None
+def hll_within_bound(est: Column, exact: Column) -> Column:
+    """4-sigma HLL++ acceptance predicate: rsd is a standard deviation, not
+    a hard bound, so allow 4 sigma plus an absolute floor of 2 for the
+    sparse-register regime (where HLL++ is near-exact). Deterministic GIVEN
+    the estimate — which is why the flag, not the engine-specific estimate,
+    is the hashed output of the approx query below."""
+    ex = exact.cast("double")
+    return F.abs(est.cast("double") - ex) <= F.greatest(
+        F.lit(2.0), F.lit(4.0 * _HLL_RSD) * ex
+    )
 
 
 @register(
     "occupancy_hourly_approx",
     "A1-approx",
-    "The 100 TB variant of occupancy_hourly: approx_count_distinct (HLL++, "
-    f"rsd {_HLL_RSD}) replaces the exact distinct — the aggregation buffer "
-    "becomes a fixed-size mergeable sketch, so the count partial-aggregates "
-    "map-side and the shuffle carries one sketch per (hour, type) instead "
-    "of the distinct-user row stream. Sketch estimates are engine-specific "
-    "(rows-only for the driver); the parity harness bounds every estimate "
-    "within 4 sigma of the exact count.",
-    oracle=None,
-    check=_occupancy_hll_bound_check,
+    "The 100 TB variant of occupancy_hourly, as its own AUDIT TWIN: "
+    f"approx_count_distinct (HLL++, rsd {_HLL_RSD}) replaces the exact "
+    "distinct at scale — the aggregation buffer becomes a fixed-size "
+    "mergeable sketch, so the count partial-aggregates map-side and the "
+    "shuffle carries one sketch per (hour, type) instead of the "
+    "distinct-user row stream. Sketch estimates are engine-specific, so "
+    "the registered query computes sketch AND exact in one aggregation "
+    "pass and hashes the exact count plus the 4-sigma bound flag (r7 "
+    "verdict task #3: the sketch CONTRACT is driver-hash-checked — a "
+    "broken sketch flips within_4sigma and the row goes red — instead of "
+    "the query being structurally invisible to the correctness gate). A "
+    "production deployment emits the estimate alone.",
+    oracle=f"""
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS frame_ts, event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS item_count,
+               TRUE AS within_4sigma
+        FROM ({_FRAMES_SQL}) fr
+        GROUP BY h, event_type
+        ORDER BY frame_ts, event_type
+    """,
 )
 def occupancy_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = _hourly_frames(_intervals(spark, sf_dir))
     return (
         frames.groupBy("h", "event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias(
-                "item_count_approx"
-            )
+            F.countDistinct("user_id").cast("bigint").alias("item_count"),
+            F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("est"),
         )
         .select(
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("frame_ts"),
             "event_type",
-            "item_count_approx",
+            "item_count",
+            hll_within_bound(F.col("est"), F.col("item_count")).alias(
+                "within_4sigma"
+            ),
         )
         .orderBy("frame_ts", "event_type")
     )

@@ -13,7 +13,7 @@ both sides, plus the decimal-exact mean from queries/helpers.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..operators.dedup import words
@@ -95,67 +95,93 @@ APPROX_PCT_ACCURACY = 10000
 _PCTS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
 
 
-def _quantile_rank_bound_check(s_rows, s_cols, con):
-    """GK rank-error bound vs the exact distribution (ADVICE/verdict r3:
-    give the approx sketch a failure mode).
+def quantile_rank_flags(ev: DataFrame, summ: DataFrame) -> DataFrame:
+    """GK rank-error audit as a DataFrame transform, deterministic GIVEN
+    the estimates in ``summ`` (event_type, n_events, n_vals, p50, p90,
+    p99): approx_percentile(…, accuracy) guarantees the returned value's
+    RANK is within n/accuracy of the target rank ceil(p*n). Broadcasting
+    the k-row summary back over the events scan, the rank interval the
+    estimate occupies — [count(value < est) + 1, count(value <= est)] —
+    must intersect the guaranteed window (widened by 2 absolute rank slots
+    for boundary-convention differences). A broken sketch (shifted value,
+    swapped groups, garbage merge) flips the flag; the flags — not the
+    engine-specific estimates — are the hashed output."""
+    joined = ev.select("event_type", "value").join(
+        F.broadcast(summ), "event_type"
+    )
+    rank_aggs = []
+    for p_name in _PCTS:
+        rank_aggs.append(
+            F.sum(
+                F.when(F.col("value") < F.col(p_name), 1).otherwise(0)
+            ).alias(f"{p_name}_lt")
+        )
+        rank_aggs.append(
+            F.sum(
+                F.when(F.col("value") <= F.col(p_name), 1).otherwise(0)
+            ).alias(f"{p_name}_le")
+        )
+    checks = joined.groupBy("event_type").agg(*rank_aggs)
 
-    approx_percentile(…, accuracy) guarantees the returned value's RANK is
-    within n/accuracy of the target rank. We widen by two rank slots
-    (2/n per group) for quantile_disc's own rank rounding, so the window
-    never collapses to zero width at small n: every reported pX must lie
-    within [quantile_disc(p-eps), quantile_disc(p+eps)] of that group's
-    exact value distribution. A broken sketch (shifted, swapped groups,
-    garbage merge) lands outside and fails the parity harness."""
-    idx = {c: i for i, c in enumerate(s_cols)}
-    errs = []
-    for row in s_rows:
-        etype = row[idx["event_type"]]
-        n = max(int(row[idx["n_events"]]), 1)
-        eps = 2.0 / APPROX_PCT_ACCURACY + 2.0 / n
-        for col, p in _PCTS.items():
-            lo, hi = con.execute(
-                f"""
-                SELECT quantile_disc(value, {max(p - eps, 0.0)}),
-                       quantile_disc(value, {min(p + eps, 1.0)})
-                FROM events WHERE event_type = ?
-                """,
-                [etype],
-            ).fetchone()
-            v = row[idx[col]]
-            if v is None or not (lo <= v <= hi):
-                errs.append(f"{etype}.{col}={v} outside [{lo}, {hi}]")
-    return "; ".join(errs) or None
+    def in_bound(p_name: str, p: float) -> Column:
+        n = F.col("n_vals").cast("double")
+        target = F.ceil(F.lit(p) * n).cast("double")
+        eps = n / F.lit(float(APPROX_PCT_ACCURACY)) + F.lit(2.0)
+        lo_rank = F.col(f"{p_name}_lt").cast("double") + F.lit(1.0)
+        hi_rank = F.col(f"{p_name}_le").cast("double")
+        ok = (lo_rank <= target + eps) & (hi_rank >= target - eps)
+        # all-null group: no estimate to audit — vacuously true
+        return F.when(F.col("n_vals") == 0, F.lit(True)).otherwise(ok)
+
+    return (
+        summ.join(checks, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            *[
+                in_bound(p_name, p).alias(f"{p_name}_in_bound")
+                for p_name, p in _PCTS.items()
+            ],
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
     "quantile_summary_approx",
     "A3-analog",
-    "The 100 TB path for quantile_summary: approx_percentile's mergeable "
-    "sketch (Greenwald-Khanna) keeps the aggregation buffer bounded "
-    "(~1/accuracy), so partial aggregation works map-side and no reducer "
-    "ever holds a group's full value set. Sketch internals are engine-"
-    "specific, so the driver records rows-only; the parity harness "
-    "additionally asserts every estimate sits within the documented "
-    "rank-error bound of the exact distribution (see "
-    "_quantile_rank_bound_check).",
-    oracle=None,
-    check=_quantile_rank_bound_check,
+    "The 100 TB path for quantile_summary, as its own AUDIT TWIN: "
+    "approx_percentile's mergeable sketch (Greenwald-Khanna) keeps the "
+    "aggregation buffer bounded (~1/accuracy), so partial aggregation "
+    "works map-side and no reducer ever holds a group's full value set. "
+    "Sketch internals are engine-specific, so the registered query also "
+    "audits each estimate's RANK against the documented n/accuracy "
+    "guarantee (one broadcast of the k-row summary over the events scan) "
+    "and hashes the per-group counts plus the three in-bound flags (r7 "
+    "verdict task #3: the GK contract is driver-hash-checked — a broken "
+    "sketch flips a flag and the row goes red — instead of the query "
+    "being structurally invisible to the correctness gate). A production "
+    "deployment emits the estimates alone.",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS p50_in_bound, TRUE AS p90_in_bound,
+               TRUE AS p99_in_bound
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 )
 def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pct = F.expr(
         f"approx_percentile(value, array(0.5, 0.9, 0.99), {APPROX_PCT_ACCURACY})"
     )
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            pct.getItem(0).alias("p50"),
-            pct.getItem(1).alias("p90"),
-            pct.getItem(2).alias("p99"),
-        )
-        .orderBy("event_type")
+    summ = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("value").cast("bigint").alias("n_vals"),
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p90"),
+        pct.getItem(2).alias("p99"),
     )
+    return quantile_rank_flags(ev, summ)
 
 
 CM_TOPN = 20  # probe the top-N exact tokens against the sketch

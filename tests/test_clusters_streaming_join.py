@@ -122,36 +122,20 @@ def test_streaming_interval_join_equals_batch_twin(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
-def test_quantile_approx_brackets_exact(spark, sf_dir):
-    approx = {
-        r.event_type: r
-        for r in REGISTRY["quantile_summary_approx"].spark(spark, sf_dir).collect()
+def test_quantile_approx_flags_green_and_counts_match_exact(spark, sf_dir):
+    # the GK rank-space bracketing this test used to do inline now lives
+    # INSIDE the registered query (r8: the audit twin hashes the flags),
+    # so the test asserts the in-query audit passes on a healthy sketch
+    # and that the deterministic columns agree with the exact twin.
+    rows = REGISTRY["quantile_summary_approx"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_in_bound and r.p90_in_bound and r.p99_in_bound, r
+    exact = {
+        r.event_type: r.n_events
+        for r in REGISTRY["quantile_summary"].spark(spark, sf_dir).collect()
     }
-    ev = load_table(spark, sf_dir, "events")
-    # GK guarantees RANK error (<= n/accuracy), not value error — in a heavy
-    # tail adjacent order statistics can be far apart, so the right check is
-    # rank-space bracketing: the estimate must lie between exact percentiles
-    # a few rank-percent either side of the target.
-    brackets = {"p50": (0.45, 0.55), "p90": (0.85, 0.95), "p99": (0.95, 1.0)}
-    lo_hi = {
-        r.event_type: r
-        for r in ev.groupBy("event_type")
-        .agg(
-            *[
-                F.percentile(F.col("value"), F.lit(q)).alias(f"{col}_{side}")
-                for col, (lo, hi) in brackets.items()
-                for side, q in (("lo", lo), ("hi", hi))
-            ]
-        )
-        .collect()
-    }
-    for et, a in approx.items():
-        bounds = lo_hi[et]
-        for col in brackets:
-            v = getattr(a, col)
-            assert (
-                getattr(bounds, f"{col}_lo") <= v <= getattr(bounds, f"{col}_hi")
-            ), (et, col, v)
+    assert {r.event_type: r.n_events for r in rows} == exact
 
 
 def test_pagerank_conserves_mass_and_ranks_hubs(spark):

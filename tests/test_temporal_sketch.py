@@ -190,59 +190,67 @@ def test_heavy_hitters_threshold_is_strict(spark):
 
 
 # ---------------------------------------------------------------------------
-# Bound checks for the rows-only approx queries must have a failure mode
-# (r3 verdict: "today there is none")
+# In-query audit flags for the approx queries must have a failure mode
+# (r3 verdict: "today there is none"; r8: the audits moved INTO the
+# registered queries so the driver hash-checks them)
 # ---------------------------------------------------------------------------
 
 
-def _duck_001():
-    from tests.parity import duck_connection
+def test_quantile_rank_flags_accept_sketch_and_reject_broken(spark, sf_dir):
+    # r8: the rank-error audit is now IN the registered query (the flags
+    # are the hashed output). A healthy sketch passes; a deliberately
+    # shifted estimate must flip exactly its own flag.
+    import pyspark.sql.functions as F
 
-    return duck_connection("/root/testdata/sf0.001")
-
-
-def test_quantile_bound_check_accepts_exact_and_rejects_broken():
     from notion_timetracking_etl_spark.queries.sketches import (
-        _quantile_rank_bound_check,
+        APPROX_PCT_ACCURACY,
+        quantile_rank_flags,
     )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
 
-    con = _duck_001()
-    cols = ["event_type", "n_events", "p50", "p90", "p99"]
-    # quantile_disc = actual elements of the distribution, which is what the
-    # GK sketch returns — the honest simulation of a CORRECT sketch
-    exact = con.execute(
-        """
-        SELECT event_type, count(*),
-               quantile_disc(value, 0.5), quantile_disc(value, 0.9),
-               quantile_disc(value, 0.99)
-        FROM events GROUP BY event_type
-        """
-    ).fetchall()
-    assert _quantile_rank_bound_check(exact, cols, con) is None
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr(
+        f"approx_percentile(value, array(0.5, 0.9, 0.99), {APPROX_PCT_ACCURACY})"
+    )
+    summ = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("value").cast("bigint").alias("n_vals"),
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p90"),
+        pct.getItem(2).alias("p99"),
+    )
+    ok = quantile_rank_flags(ev, summ).collect()
+    assert ok
+    for r in ok:
+        assert r.p50_in_bound and r.p90_in_bound and r.p99_in_bound, r
     # a broken sketch: p50 shifted far outside any rank-error band
-    broken = [(t, n, p50 * 10 + 100, p90, p99) for t, n, p50, p90, p99 in exact]
-    err = _quantile_rank_bound_check(broken, cols, con)
-    assert err and "p50" in err
+    broken = summ.withColumn("p50", F.col("p50") * 10 + 100)
+    bad = quantile_rank_flags(ev, broken).collect()
+    assert all(not r.p50_in_bound for r in bad), bad
+    assert all(r.p90_in_bound and r.p99_in_bound for r in bad), bad
 
 
-def test_occupancy_hll_bound_check_accepts_exact_and_rejects_broken():
+def test_occupancy_hll_flag_accepts_healthy_and_rejects_broken(spark):
+    # the 4-sigma predicate itself: floor of 2 in the sparse regime,
+    # 4*rsd*exact beyond it (rsd=0.05 -> +-20 at exact=100)
+    import pyspark.sql.functions as F
+
     from notion_timetracking_etl_spark.queries.occupancy import (
-        _FRAMES_SQL,
-        _occupancy_hll_bound_check,
+        hll_within_bound,
     )
 
-    con = _duck_001()
-    cols = ["frame_ts", "event_type", "item_count_approx"]
-    exact = con.execute(
-        f"""
-        SELECT strftime(h, '%Y-%m-%d %H:%M:%S'), event_type,
-               COUNT(DISTINCT user_id)
-        FROM ({_FRAMES_SQL}) fr GROUP BY h, event_type
-        """
-    ).fetchall()
-    assert _occupancy_hll_bound_check(exact, cols, con) is None
-    broken = [(f, t, c + 50) for f, t, c in exact]
-    err = _occupancy_hll_bound_check(broken, cols, con)
-    assert err and "approx" in err
-    # dropped groups must also fail
-    assert _occupancy_hll_bound_check(exact[:-5], cols, con)
+    df = spark.createDataFrame(
+        [(100, 100), (100, 119), (100, 121), (1, 3), (1, 4), (0, 2), (0, 3)],
+        "exact long, est long",
+    )
+    got = {
+        (r.exact, r.est): r.ok
+        for r in df.select(
+            "exact",
+            "est",
+            hll_within_bound(F.col("est"), F.col("exact")).alias("ok"),
+        ).collect()
+    }
+    assert got[(100, 100)] and got[(100, 119)] and not got[(100, 121)]
+    assert got[(1, 3)] and not got[(1, 4)]
+    assert got[(0, 2)] and not got[(0, 3)]
