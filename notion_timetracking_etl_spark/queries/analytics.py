@@ -1001,6 +1001,16 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FP_MIN_SUPPORT = 3  # a part must appear in >= this many orders to pair
+# Basket-width valve (r6 verdict task, the linkage MAX_BLOCK pattern): the
+# per-basket pair fan-out is quadratic in basket WIDTH, so one pathological
+# basket (a crawler cart, a catalog-dump order) with 10^5 frequent items
+# would emit 10^10 pairs no matter how well the a-priori prune bounds the
+# item side. Baskets wider than this (counted on the PRUNED item set) are
+# excluded from pairing — their items still count toward supports and the
+# basket still counts in the lift denominator. Documented contract:
+# degenerate carts carry no co-purchase signal worth a quadratic blowup;
+# TPC-H baskets are <= 7 items, so the valve is dormant at tested scales.
+_FP_MAX_BASKET = 64
 
 
 @register(
@@ -1012,7 +1022,12 @@ _FP_MIN_SUPPORT = 3  # a part must appear in >= this many orders to pair
     f"self-join — only parts in >= {_FP_MIN_SUPPORT} baskets can form a "
     "frequent pair, so the per-basket pair fan-out runs over the pruned "
     "item set and the shuffle carries (pair, 1) partial counts, never "
-    "baskets x baskets. Lift = co_count·n_baskets / (cnt_a·cnt_b) — one "
+    f"baskets x baskets — and baskets wider than {_FP_MAX_BASKET} pruned "
+    "items are excluded from pairing entirely (the MAX_BLOCK-style width "
+    "valve: per-basket pair cost is quadratic in width, and a degenerate "
+    "cart would otherwise dominate the shuffle; supports and the lift "
+    "denominator still count every basket; dormant on TPC-H's <= 7-item "
+    "baskets). Lift = co_count·n_baskets / (cnt_a·cnt_b) — one "
     "IEEE divide of exact integers; ordering ties break on the part ids.",
     oracle=f"""
         WITH items AS (
@@ -1027,11 +1042,18 @@ _FP_MIN_SUPPORT = 3  # a part must appear in >= this many orders to pair
         fitems AS (
           SELECT basket, item, cnt FROM items JOIN freq USING (item)
         ),
+        narrow AS (
+          SELECT basket FROM fitems GROUP BY 1
+          HAVING COUNT(*) <= {_FP_MAX_BASKET}
+        ),
+        bitems AS (
+          SELECT f.basket, f.item, f.cnt FROM fitems f JOIN narrow USING (basket)
+        ),
         pairs AS (
           SELECT a.item AS pa, b.item AS pb,
                  CAST(COUNT(*) AS BIGINT) AS co_count,
                  MAX(a.cnt) AS cnt_a, MAX(b.cnt) AS cnt_b
-          FROM fitems a JOIN fitems b
+          FROM bitems a JOIN bitems b
             ON a.basket = b.basket AND a.item < b.item
           GROUP BY 1, 2
         ),
@@ -1061,10 +1083,19 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= _FP_MIN_SUPPORT)
     )
     fitems = items.join(freq, "item")
-    a = fitems.select(
+    # width valve: one keyed aggregate on the same shuffle key as the pair
+    # join below, so the narrow-basket semi-join co-partitions for free
+    narrow = (
+        fitems.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") <= _FP_MAX_BASKET)
+        .select("basket")
+    )
+    bitems = fitems.join(narrow, "basket")
+    a = bitems.select(
         "basket", F.col("item").alias("pa"), F.col("cnt").alias("cnt_a")
     )
-    b = fitems.select(
+    b = bitems.select(
         "basket", F.col("item").alias("pb"), F.col("cnt").alias("cnt_b")
     )
     pairs = (

@@ -595,6 +595,33 @@ def test_frequent_part_pairs_matches_python_model(spark, sf_dir):
         assert r["lift"] == (r["co_count"] * n) / (r["cnt_a"] * r["cnt_b"])
 
 
+def test_frequent_part_pairs_width_valve(spark, tmp_path):
+    # r8 contract: a basket wider than _FP_MAX_BASKET PRUNED items is
+    # excluded from pairing (quadratic-width valve) but its items still
+    # count toward supports and it still counts in the lift denominator.
+    rows = []
+    WIDE = 100  # 70 frequent items > _FP_MAX_BASKET=64 -> excluded
+    for item in range(1, 71):
+        rows.append((WIDE, item))
+        for j in range(3):  # three singleton baskets make every item frequent
+            rows.append((1000 + item * 10 + j, item))
+    for b in (101, 102, 103):  # the only pairing signal left
+        rows += [(b, 1), (b, 2)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = REGISTRY["frequent_part_pairs"].spark(spark, str(tmp_path)).collect()
+    # without the valve the wide basket would contribute 70*69/2 pairs and
+    # lift co(1,2) to 4; with it, only the three narrow baskets pair
+    assert len(got) == 1
+    r = got[0]
+    n_baskets = 1 + 3 + 70 * 3
+    assert (r["pa"], r["pb"], r["co_count"]) == (1, 2, 3)
+    assert r["cnt_a"] == 7 and r["cnt_b"] == 7  # wide basket still supports
+    assert r["lift"] == (3 * n_baskets) / 49
+
+
 def test_timezone_boundary_audit_ground_truth(spark, tmp_path):
     t = dt.datetime
     rows = [
