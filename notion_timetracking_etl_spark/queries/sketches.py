@@ -465,21 +465,42 @@ def hll_distinct_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bitmap-index activity: set ops on packed day bitmaps
 # ---------------------------------------------------------------------------
 
-_BITMAP_MAX_DAYS = 63  # one BIGINT word; spans beyond it are out of contract
+# 63 used bits per BIGINT word (bits 0..62): the sign bit stays clear, so
+# every shift/AND/popcount is portable non-negative integer arithmetic on
+# both engines and SUM-of-distinct-powers never overflows into the sign.
+_BITMAP_WORD_BITS = 63
+
+
+# Spark/DuckDB twin expressions for the per-user multi-word fold: total
+# popcount, within-word consecutive pairs (bits & bits>>1), and the
+# cross-word-boundary pairs (bit 62 of word w set AND bit 0 of word w+1
+# set, for ADJACENT word indices — absent words break the run).
+_BM_ACTIVE_SPARK = "aggregate(arr, 0, (a, x) -> a + bit_count(x.bits))"
+_BM_CONSEC_SPARK = (
+    "aggregate(arr, 0, (a, x) -> a + bit_count(x.bits & shiftright(x.bits, 1)))"
+    " + IF(size(arr) < 2, 0, aggregate(transform(sequence(1, size(arr) - 1),"
+    " i -> IF(arr[i].word = arr[i-1].word + 1"
+    " AND (shiftright(arr[i-1].bits, 62) & 1) = 1"
+    " AND (arr[i].bits & 1) = 1, 1, 0)), 0, (a, x) -> a + x))"
+)
 
 
 @register(
     "bitmap_user_activity",
     "A1-analog,A7-analog",
-    "Bitmap-index activity audit: each user's active days pack into ONE "
-    "BIGINT (bit d = active on day min_day+d — the roaring-bitmap idea at "
-    "word granularity), then set operations become JVM integer ops: "
-    "active_days = bit_count(bitmap), consecutive-day pairs = "
-    "bit_count(bitmap AND bitmap>>1) — the intersect-with-shifted-self "
-    "trick, no self-join, no window over the event stream. Output is the "
-    "activity histogram: users and total consecutive pairs per active-day "
-    "count. Day offsets beyond 62 are filtered by documented contract "
-    "(multi-word bitmaps are the production extension).",
+    "Bitmap-index activity audit: each user's active days pack into an "
+    f"ARRAY of {_BITMAP_WORD_BITS}-bit BIGINT words (word = day offset div "
+    f"{_BITMAP_WORD_BITS}, bit = offset mod {_BITMAP_WORD_BITS} — the "
+    "roaring-bitmap container idea; the sign bit stays unused so every "
+    "word op is portable integer arithmetic), then set operations are "
+    "per-word JVM integer ops: active_days = sum of bit_count(word), "
+    "consecutive-day pairs = bit_count(word AND word>>1) within words "
+    "plus the boundary check (top bit of word w AND bottom bit of word "
+    "w+1) across ADJACENT stored words — no self-join, no window over "
+    "the event stream; absent (all-zero) words are simply not stored. "
+    "r6 task: the old single-word form had a documented 63-day contract "
+    "cap; the span is now unbounded. Output is the activity histogram: "
+    "users and total consecutive pairs per active-day count.",
     oracle=f"""
         WITH span AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
         ud AS (
@@ -488,17 +509,30 @@ _BITMAP_MAX_DAYS = 63  # one BIGINT word; spans beyond it are out of contract
           FROM events, span
           WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ),
-        bm AS (
+        wb AS (
+          SELECT user_id, d // {_BITMAP_WORD_BITS} AS word,
+                 CAST(SUM(CAST(1 AS BIGINT) << (d % {_BITMAP_WORD_BITS}))
+                      AS BIGINT) AS bits
+          FROM ud GROUP BY 1, 2
+        ),
+        pu AS (
           SELECT user_id,
-                 CAST(SUM(CAST(1 AS BIGINT) << d) AS BIGINT) AS bitmap
-          FROM ud
-          WHERE d BETWEEN 0 AND {_BITMAP_MAX_DAYS - 1}
-          GROUP BY 1
+                 list({{'word': word, 'bits': bits}} ORDER BY word) AS arr
+          FROM wb GROUP BY 1
         ),
         per_user AS (
-          SELECT bit_count(bitmap) AS active_days,
-                 bit_count(bitmap & (bitmap >> 1)) AS consec_pairs
-          FROM bm
+          SELECT
+            CAST(list_sum(list_transform(arr, x -> bit_count(x.bits)))
+                 AS BIGINT) AS active_days,
+            CAST(list_sum(list_transform(arr,
+                 x -> bit_count(x.bits & (x.bits >> 1)))) AS BIGINT)
+            + CAST(COALESCE(list_sum(list_transform(
+                generate_series(2, len(arr)),
+                i -> CASE WHEN arr[i].word = arr[i-1].word + 1
+                           AND ((arr[i-1].bits >> {_BITMAP_WORD_BITS - 1}) & 1) = 1
+                           AND (arr[i].bits & 1) = 1
+                      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS consec_pairs
+          FROM pu
         )
         SELECT CAST(active_days AS BIGINT) AS active_days,
                CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -519,19 +553,22 @@ def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.datediff(F.to_date("ts"), F.col("d0")).alias("d"),
         )
-        .filter(F.col("d").between(0, _BITMAP_MAX_DAYS - 1))
         .distinct()
     )
-    bm = ud.groupBy("user_id").agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), d)"))
+    wb = ud.groupBy(
+        "user_id", F.expr(f"d div {_BITMAP_WORD_BITS}").alias("word")
+    ).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), d % {_BITMAP_WORD_BITS})")
+        )
         .cast("bigint")
-        .alias("bitmap")
+        .alias("bits")
     )
-    per_user = bm.select(
-        F.bit_count("bitmap").alias("active_days"),
-        F.bit_count(
-            F.col("bitmap").bitwiseAND(F.shiftright("bitmap", 1))
-        ).alias("consec_pairs"),
+    per_user = wb.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(struct(word, bits)))").alias("arr")
+    ).select(
+        F.expr(_BM_ACTIVE_SPARK).alias("active_days"),
+        F.expr(_BM_CONSEC_SPARK).alias("consec_pairs"),
     )
     return ordered_small(
         per_user.groupBy(F.col("active_days").cast("bigint").alias("active_days"))

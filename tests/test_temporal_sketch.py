@@ -196,6 +196,63 @@ def test_heavy_hitters_threshold_is_strict(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_bitmap_user_activity_multiword_parity(spark, tmp_path):
+    # r6 task #7: spans far beyond the old 63-day single-word contract
+    # must stay hash-identical across engines AND match hand-computed
+    # ground truth, including consecutive pairs that cross word boundaries.
+    import datetime as dt
+
+    import duckdb
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from tests.parity import _canonical
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = []
+
+    def ev(u, day):
+        rows.append(
+            (len(rows) + 1, base + dt.timedelta(days=day), u, "a", 1.0, "{}")
+        )
+
+    for d in (0, 1, 62, 63):  # user 1: within pair (0,1) + boundary (62,63)
+        ev(1, d)
+    for d in (125, 126):  # user 2: boundary pair across words 1 -> 2
+        ev(2, d)
+    for d in (62, 188):  # user 3: same bit positions, NON-adjacent words
+        ev(3, d)
+    for d in range(60, 130):  # user 4: a 70-day run crossing two boundaries
+        ev(4, d)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    spec = REGISTRY["bitmap_user_activity"]
+    sdf = spec.spark(spark, str(tmp_path))
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s = _canonical(s_rows, [c.lower() for c in sdf.columns])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT *"
+        f" FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    res = con.execute(spec.oracle)
+    d_cols = [c[0].lower() for c in res.description]
+    assert s == _canonical(res.fetchall(), d_cols)
+    got = {
+        r.active_days: (r.n_users, r.total_consec_pairs)
+        for r in sdf.collect()
+    }
+    assert got[4] == (1, 2)  # user 1
+    assert got[2] == (2, 1)  # user 2 (one boundary pair) + user 3 (none)
+    assert got[70] == (1, 69)  # user 4's unbroken run
+
+
 def test_quantile_rank_flags_accept_sketch_and_reject_broken(spark, sf_dir):
     # r8: the rank-error audit is now IN the registered query (the flags
     # are the hashed output). A healthy sketch passes; a deliberately
