@@ -195,6 +195,13 @@ def _sem_cell_ctes(a_last: str) -> list[str]:
     ]
 
 
+# Refined-cell membership cached per (session, sf_dir) like _MODEL_CACHE:
+# semdedup_embeddings and semdedup_incremental consume the same partition,
+# and a production pipeline materializes cell assignments once per corpus
+# snapshot anyway (they are the routing table every ingest batch joins).
+_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, cell, embedding, nrm): two-level quantizer membership.
 
@@ -202,6 +209,10 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip), with the same saturation guard as knn_graph_stats: past
     the adaptive range the query fails loudly instead of silently
     re-entering linear cell growth."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CELLS_CACHE.get(key)
+    if cached is not None:
+        return cached
     from ..operators.similarity import norm_sq, srp_planes, srp_signature_bands
     from .similarity import EMB_DIMS
 
@@ -225,7 +236,7 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE CAST(({terms}) AS INT) END"
         ).alias("bits")
     )
-    return (
+    mem = (
         base.crossJoin(F.broadcast(bits))
         .withColumn(
             "cell",
@@ -236,7 +247,15 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .drop("sig", "bits")
+        # materialize once per (session, corpus): the membership is the
+        # routing table both semdedup queries (and every ingest batch in
+        # production) join against — recomputing the signature + assignment
+        # per consumer is pure waste. NOT scope-released (session model
+        # cache, same lifetime policy as the fitted quantizer).
+        .localCheckpoint(eager=True)
     )
+    _CELLS_CACHE[key] = mem
+    return mem
 
 
 def _semdedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
