@@ -319,3 +319,105 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+SOURCE_CAP = 15  # max documents retained per source (domain capping)
+
+
+@register(
+    "corpus_source_cap",
+    "A3-analog,O3-analog,F-ext",
+    f"Per-source frequency capping (domain capping): each source keeps at "
+    f"most {SOURCE_CAP} documents, retained by quality (integer-micro "
+    "quality desc, doc_id tiebreak), and the audit reports what the cap "
+    "removes per source — the standard guard against a single crawl domain "
+    "dominating a training mix. The top-k per source is ONE window "
+    "row_number whose `rn <= cap` filter Spark rewrites into a map-side "
+    "WindowGroupLimit (each task pre-prunes to k rows per source before "
+    "the exchange), so the shuffle carries O(sources x cap) rows, not the "
+    "corpus — no salting needed even for a skewed mega-domain. Output is "
+    "one row per source (bounded).",
+    oracle=f"""
+        WITH q AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(COALESCE(floor(({_QUALITY_SCORE_SQL}) * 1000000.0), 0)
+                      AS BIGINT) AS q_micro
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY q_micro DESC, doc_id) AS rn
+          FROM q
+        ),
+        kept AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(n_chars) AS BIGINT) AS kept_bytes,
+                 CAST(MIN(q_micro) AS BIGINT) AS threshold_q_micro
+          FROM ranked WHERE rn <= {SOURCE_CAP} GROUP BY source
+        ),
+        tot AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+          FROM q GROUP BY source
+        )
+        SELECT t.source, t.n_docs, k.n_kept,
+               CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+               k.kept_bytes,
+               CAST(t.total_bytes - k.kept_bytes AS BIGINT) AS dropped_bytes,
+               k.threshold_q_micro
+        FROM tot t JOIN kept k USING (source)
+        ORDER BY source
+    """,
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # NULL text scores 0 (worst) on BOTH engines — clusters.py convention
+        F.coalesce(
+            F.floor(quality_score(F.col("text")) * 1000000.0), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("q_micro").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_bytes"),
+            # the cap threshold: quality of the worst retained document —
+            # everything below it was dropped
+            F.min("q_micro").cast("bigint").alias("threshold_q_micro"),
+        )
+    )
+    tot = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+    )
+    return ordered_small(
+        tot.join(kept, "source").select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint")
+            .alias("n_dropped"),
+            "kept_bytes",
+            (F.col("total_bytes") - F.col("kept_bytes")).cast("bigint")
+            .alias("dropped_bytes"),
+            "threshold_q_micro",
+        ),
+        "source",
+    )

@@ -709,3 +709,214 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "scope",
     )
+
+
+@register(
+    "kmv_set_intersection",
+    "A1-analog,U3-analog,F20-analog",
+    f"KMV (bottom-{KMV_K}) set-INTERSECTION estimate for every pair of "
+    "event types over user-day keys — the theta-sketch operation that "
+    "completes the KMV set algebra (union shipped in kmv_distinct_union). "
+    "Per pair: theta = kth minimum of the pair's union sketch (theta <= "
+    "each side's own kth min, so sketch membership is complete below it), "
+    "estimate = |{h < theta : h in BOTH sketches}| x space / theta, exact "
+    "mode when the union sketch is not full. Deterministic (sha256 hashes, "
+    "integer thresholds, one shared-form double multiply-divide) — every "
+    "value hash-checked by the oracle, with the exact intersection riding "
+    "along for rel_err. Sketch sizes bound every pair-level operator to "
+    f"O(pairs x {KMV_K}) rows; only the per-type bottom-k (map-side "
+    "WindowGroupLimit prune) and the exact-audit key join touch the corpus.",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT DISTINCT event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        hashed AS (
+          SELECT g, key,
+                 CAST(concat('0x', substr(sha256(concat('kmv:', key)),
+                      1, 14)) AS BIGINT) AS h
+          FROM keyed
+        ),
+        sk AS (
+          SELECT g, h FROM (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashed
+          ) WHERE rn <= {KMV_K}
+        ),
+        types AS (SELECT DISTINCT g FROM hashed),
+        pairs AS (
+          SELECT a.g AS ga, b.g AS gb FROM types a JOIN types b ON a.g < b.g
+        ),
+        upool AS (
+          SELECT DISTINCT ga, gb, h FROM (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+          )
+        ),
+        theta AS (
+          SELECT ga, gb, CAST(MAX(h) AS BIGINT) AS theta,
+                 CAST(COUNT(*) AS BIGINT) AS n_union_sketch
+          FROM (
+            SELECT ga, gb, h,
+                   ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM upool
+          ) WHERE rn <= {KMV_K}
+          GROUP BY ga, gb
+        ),
+        both_sk AS (
+          SELECT a.g AS ga, b.g AS gb, a.h
+          FROM sk a JOIN sk b ON a.g < b.g AND a.h = b.h
+        ),
+        isk AS (
+          SELECT t.ga, t.gb, t.theta, t.n_union_sketch,
+                 CAST(COUNT(CASE WHEN bo.h < t.theta THEN 1 END) AS BIGINT)
+                   AS n_below,
+                 CAST(COUNT(bo.h) AS BIGINT) AS n_all
+          FROM theta t LEFT JOIN both_sk bo
+            ON bo.ga = t.ga AND bo.gb = t.gb
+          GROUP BY t.ga, t.gb, t.theta, t.n_union_sketch
+        ),
+        exact AS (
+          SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM hashed a JOIN hashed b ON a.g < b.g AND a.key = b.key
+          GROUP BY a.g, b.g
+        )
+        SELECT i.ga AS type_a, i.gb AS type_b,
+               CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+               i.n_union_sketch,
+               CASE WHEN i.n_union_sketch < {KMV_K} THEN i.n_all
+                    ELSE i.n_below END AS n_inter_sketch,
+               CASE WHEN i.n_union_sketch < {KMV_K}
+                    THEN CAST(i.n_all AS DOUBLE)
+                    ELSE CAST(i.n_below AS DOUBLE) * {_KMV_SPACE}
+                         / CAST(i.theta AS DOUBLE)
+               END AS kmv_inter_est,
+               CASE WHEN COALESCE(e.n_exact, 0) = 0 THEN NULL
+                    ELSE ((CASE WHEN i.n_union_sketch < {KMV_K}
+                                THEN CAST(i.n_all AS DOUBLE)
+                                ELSE CAST(i.n_below AS DOUBLE) * {_KMV_SPACE}
+                                     / CAST(i.theta AS DOUBLE)
+                           END) - e.n_exact) / e.n_exact
+               END AS rel_err
+        FROM isk i LEFT JOIN exact e ON e.ga = i.ga AND e.gb = i.gb
+        ORDER BY type_a, type_b
+    """,
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    keyed = ev.select(
+        F.col("event_type").alias("g"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+        ).alias("key"),
+    ).distinct()
+    hashed = keyed.select(
+        "g",
+        "key",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("kmv:"), F.col("key")), 256), 1, 14
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wg = Window.partitionBy("g").orderBy(F.col("h").asc())
+    sk = (
+        hashed.select("g", "h")
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+    types = sk.select("g").distinct()
+    pairs = (
+        types.alias("ta")
+        .join(types.alias("tb"), F.col("ta.g") < F.col("tb.g"))
+        .select(F.col("ta.g").alias("ga"), F.col("tb.g").alias("gb"))
+    )
+    # union pool per pair: a hash in both sides' sketches must appear once
+    upool = (
+        pairs.join(sk.withColumnRenamed("g", "ga"), "ga")
+        .select("ga", "gb", "h")
+        .unionByName(
+            pairs.join(sk.withColumnRenamed("g", "gb"), "gb")
+            .select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    theta = (
+        upool.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ga", "gb")
+        .agg(
+            F.max("h").cast("bigint").alias("theta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_union_sketch"),
+        )
+    )
+    both_sk = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("a.g") < F.col("b.g")) & (F.col("a.h") == F.col("b.h")),
+        )
+        .select(
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            F.col("a.h").alias("h"),
+        )
+    )
+    isk = theta.join(both_sk, ["ga", "gb"], "left").groupBy(
+        "ga", "gb", "theta", "n_union_sketch"
+    ).agg(
+        F.count(F.when(F.col("h") < F.col("theta"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_below"),
+        F.count("h").cast("bigint").alias("n_all"),
+    )
+    exact = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.g") < F.col("b.g")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    exact_mode = F.col("n_union_sketch") < KMV_K
+    est = F.when(exact_mode, F.col("n_all").cast("double")).otherwise(
+        F.col("n_below").cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("theta").cast("double")
+    )
+    n_exact = F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
+    return ordered_small(
+        isk.join(exact, ["ga", "gb"], "left").select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            n_exact.alias("n_exact"),
+            "n_union_sketch",
+            F.when(exact_mode, F.col("n_all"))
+            .otherwise(F.col("n_below"))
+            .cast("bigint")
+            .alias("n_inter_sketch"),
+            est.alias("kmv_inter_est"),
+            F.when(n_exact == 0, F.lit(None).cast("double"))
+            .otherwise((est - n_exact) / n_exact)
+            .alias("rel_err"),
+        ),
+        "type_a",
+        "type_b",
+    )

@@ -415,3 +415,30 @@ def test_knn_graph_blocks_on_adaptive_cell_not_label(spark, sf_dir):
     # the bits scalar rides a broadcast (one-row aggregate), so the cell
     # derivation never shuffles the corpus by itself
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_source_cap_topk_prunes_map_side(spark, sf_dir):
+    # Domain capping's per-source top-k must ride Spark's WindowGroupLimit
+    # rewrite: a PARTIAL group-limit runs map-side BEFORE the exchange, so
+    # the shuffle carries O(sources x cap) rows instead of the corpus —
+    # that is the whole scale argument for not salting a skewed mega-domain.
+    plan = plan_of(spark, sf_dir, "corpus_source_cap")
+    limits = re.findall(r"WindowGroupLimit \[source[^\n]*", plan)
+    assert len(limits) == 2, limits  # partial (map-side) + final
+    # the partial limit must sit BELOW the exchange in the plan tree (it
+    # appears after the exchange line in top-down toString order)
+    exch = plan.index("Exchange hashpartitioning(source")
+    assert plan.rindex("WindowGroupLimit") > exch
+    # and no per-row Python anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_intersection_sketch_bounds_pair_space(spark, sf_dir):
+    # The per-type bottom-k must pre-prune map-side (WindowGroupLimit), and
+    # every pair-level operator must run over sketch-sized inputs: the only
+    # corpus-sized shuffles are the distinct keying, the per-type bottom-k,
+    # and the exact-audit key join. Sketch-side joins broadcast.
+    plan = plan_of(spark, sf_dir, "kmv_set_intersection")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,120 @@
+"""Round-8 additions: domain capping (corpus_source_cap) and the KMV
+set-intersection estimate (kmv_set_intersection).
+
+Exactness vs DuckDB is pinned registry-wide by tests/test_query_parity.py;
+these tests pin the SEMANTICS on controlled fixtures — the cap's ordering
+and threshold contract, and the sketch's exact-mode guarantee — so a future
+edit that stays hash-consistent with its own oracle but changes the
+documented behavior still fails.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+import pyspark.sql.functions as F
+
+from notion_timetracking_etl_spark.queries import REGISTRY
+from notion_timetracking_etl_spark.queries.corpus import SOURCE_CAP
+from notion_timetracking_etl_spark.queries.sketches import KMV_K
+
+
+def test_source_cap_audit_invariants(spark, sf_dir):
+    # structural contract against the fixture, derived from the parquet
+    # itself (survives testdata regen): per-source totals match, the cap
+    # binds exactly at min(cap, n_docs), and byte accounting balances.
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pylist()
+    totals: dict[str, tuple[int, int]] = {}
+    for r in tbl:
+        n, b = totals.get(r["source"], (0, 0))
+        totals[r["source"]] = (n + 1, b + r["n_chars"])
+    rows = REGISTRY["corpus_source_cap"].spark(spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(totals)
+    for r in rows:
+        n_docs, total_bytes = totals[r["source"]]
+        assert r["n_docs"] == n_docs
+        assert r["n_kept"] == min(SOURCE_CAP, n_docs)
+        assert r["n_dropped"] == n_docs - r["n_kept"]
+        assert r["kept_bytes"] + r["dropped_bytes"] == total_bytes
+
+
+def test_source_cap_keeps_highest_quality_docs(spark, tmp_path):
+    # controlled lake: quality_score is monotonic in length below 200 chars
+    # for all-lowercase no-punct text, so doc quality order == length order.
+    # One skewed source (cap binds), one small source (cap dormant).
+    rows = []
+    for i in range(SOURCE_CAP + 10):
+        # lengths 20, 24, 28, ... — strictly increasing quality
+        rows.append((i, "word " * (5 + i), "en", "big", 4 * (5 + i)))
+    for i in range(3):
+        rows.append((100 + i, "word " * 10, "en", "small", 40))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: r
+        for r in REGISTRY["corpus_source_cap"].spark(spark, str(tmp_path)).collect()
+    }
+    big, small = got["big"], got["small"]
+    assert big["n_kept"] == SOURCE_CAP
+    assert big["n_dropped"] == 10
+    # the 10 SHORTEST (lowest-quality) docs are the dropped ones: kept bytes
+    # are the top SOURCE_CAP lengths 4*(15..29)
+    assert big["kept_bytes"] == sum(4 * (5 + i) for i in range(10, SOURCE_CAP + 10))
+    # the threshold is the worst RETAINED doc's quality — strictly above the
+    # best dropped doc's quality on this strictly-ordered fixture
+    assert small["n_kept"] == 3 and small["n_dropped"] == 0
+    # equal-quality tie in 'small': all three identical docs kept, threshold
+    # equals their shared quality
+    assert small["kept_bytes"] == 120
+
+
+def test_kmv_intersection_invariants(spark, sf_dir):
+    rows = REGISTRY["kmv_set_intersection"].spark(spark, sf_dir).collect()
+    types = {r["type_a"] for r in rows} | {r["type_b"] for r in rows}
+    # all unordered pairs present exactly once
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 <= r["n_inter_sketch"] <= min(KMV_K, r["n_union_sketch"])
+        assert r["kmv_inter_est"] >= 0.0
+        if r["n_union_sketch"] < KMV_K:
+            # exact mode: both sketches complete -> estimate IS the truth
+            assert r["kmv_inter_est"] == float(r["n_exact"])
+            assert r["n_inter_sketch"] == r["n_exact"]
+
+
+def test_kmv_intersection_exact_mode_synthetic(spark, tmp_path):
+    # < KMV_K distinct user-days per type -> every pair's union sketch is
+    # unsaturated and the estimator must return exact intersections.
+    # users 0..19 do 'a'; 10..29 do 'b'; 20..39 do 'c' — all on one day.
+    import datetime
+
+    rows = []
+    eid = 0
+    for t, lo in (("a", 0), ("b", 10), ("c", 20)):
+        for u in range(lo, lo + 20):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 12, 0, 0), u, t, 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["kmv_set_intersection"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got[("a", "b")]["n_exact"] == 10
+    assert got[("b", "c")]["n_exact"] == 10
+    assert got[("a", "c")]["n_exact"] == 0
+    for r in got.values():
+        assert r["n_union_sketch"] < KMV_K
+        assert r["kmv_inter_est"] == float(r["n_exact"])
+        assert r["rel_err"] == (0.0 if r["n_exact"] else None)
