@@ -302,6 +302,9 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "corpus_prep_pipeline",
         "streaming_lake_ingest",
         "text_boilerplate_passages",
+        # round-8 additions: empty corpus -> empty audit / empty pair list
+        "corpus_source_cap",
+        "kmv_set_intersection",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
