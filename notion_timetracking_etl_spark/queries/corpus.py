@@ -407,8 +407,12 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_bytes"),
     )
-    return ordered_small(
-        tot.join(kept, "source").select(
+    # one row per SOURCE — a cardinality that grows with the corpus (real
+    # crawls have millions of domains), so the deterministic ordering is a
+    # distributed range sort, never the repartition(1) funnel
+    return (
+        tot.join(kept, "source")
+        .select(
             "source",
             "n_docs",
             "n_kept",
@@ -418,6 +422,6 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_bytes") - F.col("kept_bytes")).cast("bigint")
             .alias("dropped_bytes"),
             "threshold_q_micro",
-        ),
-        "source",
+        )
+        .orderBy("source")
     )
