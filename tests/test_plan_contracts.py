@@ -444,3 +444,27 @@ def test_kmv_intersection_sketch_bounds_pair_space(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_single_partition_funnel_on_growing_outputs(spark, sf_dir):
+    # Registry-wide, self-enforcing version of the manual never-funnel list
+    # above: any query whose oracle yields an O(corpus)-sized result at the
+    # fixture sf (>500 rows at sf0.001 — every bounded output in the
+    # registry is far below this: dims, top-k lists, sketch tables, pair
+    # audits) must order via a distributed range sort, never ordered_small's
+    # repartition(1). A new query with a growing output and a funnel fails
+    # here the day it lands, without anyone updating a list.
+    from tests.parity import duck_connection
+
+    con = duck_connection(sf_dir)
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name.startswith("streaming_"):
+            continue
+        n = con.execute(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()[0]
+        if n <= 500:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if "SinglePartition, REPARTITION_BY_NUM" in plan:
+            offenders.append((name, n))
+    assert offenders == []
