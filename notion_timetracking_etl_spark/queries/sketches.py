@@ -920,3 +920,127 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
     )
+
+
+QS_K = 256  # bottom-k hash sample size per group
+
+
+@register(
+    "quantile_hash_sample",
+    "A3-analog,F20-analog",
+    f"Mergeable quantile sketch per event type: a bottom-{QS_K} hash sample "
+    "(the k rows with the smallest sha256(event_id) — a uniform sample "
+    "without replacement that merges by union + re-bottom-k, the same "
+    "algebra as the KMV distinct sketch) with exact interpolated p50/p90/"
+    "p99 computed over the sample, next to the full-data truth for the "
+    "audit. Completes the mergeable-sketch ladder: distinct (HLL/KMV), "
+    "frequency (CMS), heavy hitters (MG), membership (Bloom), activity "
+    "(bitmap), quantiles (hash sample). Deterministic on both engines "
+    "(hash-ranked sample membership, shared percentile convention), so "
+    "every sketch value is oracle-hashed. The bottom-k rides the map-side "
+    "WindowGroupLimit prune; only the exact-audit percentile is holistic "
+    "(same caveat as quantile_summary — at 100 TB the sample IS the plan).",
+    oracle=f"""
+        WITH vals AS (
+          SELECT event_type AS g, value,
+                 CAST(concat('0x', substr(sha256(concat('qs:',
+                      CAST(event_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+          FROM events
+          WHERE value IS NOT NULL
+        ),
+        samp AS (
+          SELECT g, value FROM (
+            SELECT g, value, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h)
+                   AS rn
+            FROM vals
+          ) WHERE rn <= {QS_K}
+        ),
+        est AS (
+          SELECT g,
+                 CAST(COUNT(*) AS BIGINT) AS n_sample,
+                 round(quantile_cont(value, 0.5), 6) AS est_p50,
+                 round(quantile_cont(value, 0.9), 6) AS est_p90,
+                 round(quantile_cont(value, 0.99), 6) AS est_p99
+          FROM samp GROUP BY g
+        ),
+        exact AS (
+          SELECT g,
+                 CAST(COUNT(*) AS BIGINT) AS n_total,
+                 round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                 round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                 round(quantile_cont(value, 0.99), 6) AS exact_p99
+          FROM vals GROUP BY g
+        )
+        SELECT e.g AS event_type, x.n_total, e.n_sample,
+               e.est_p50, e.est_p90, e.est_p99,
+               x.exact_p50, x.exact_p90, x.exact_p99
+        FROM est e JOIN exact x USING (g)
+        ORDER BY event_type
+    """,
+)
+def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            "value",
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit("qs:"), F.col("event_id").cast("string")
+                        ),
+                        256,
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    samp = (
+        vals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QS_K)
+    )
+    est = samp.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("est_p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("est_p90"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias(
+            "est_p99"
+        ),
+    )
+    exact = vals.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias(
+            "exact_p50"
+        ),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias(
+            "exact_p90"
+        ),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias(
+            "exact_p99"
+        ),
+    )
+    return ordered_small(
+        est.join(exact, "g").select(
+            F.col("g").alias("event_type"),
+            "n_total",
+            "n_sample",
+            "est_p50",
+            "est_p90",
+            "est_p99",
+            "exact_p50",
+            "exact_p90",
+            "exact_p99",
+        ),
+        "event_type",
+    )

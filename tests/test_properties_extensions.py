@@ -305,6 +305,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         # round-8 additions: empty corpus -> empty audit / empty pair list
         "corpus_source_cap",
         "kmv_set_intersection",
+        "quantile_hash_sample",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()

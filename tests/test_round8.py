@@ -118,3 +118,41 @@ def test_kmv_intersection_exact_mode_synthetic(spark, tmp_path):
         assert r["n_union_sketch"] < KMV_K
         assert r["kmv_inter_est"] == float(r["n_exact"])
         assert r["rel_err"] == (0.0 if r["n_exact"] else None)
+
+
+def test_quantile_hash_sample_membership_and_bounds(spark, sf_dir):
+    # pins the sample-membership convention (sha256 'qs:' hash, bottom-k by
+    # the 56-bit prefix) against an independent Python recomputation, plus
+    # the estimator's structural bounds. The bottom-k-by-global-hash sample
+    # is union-mergeable by construction (min-k is a monoid); what needs
+    # pinning is that Spark's window picks EXACTLY the k smallest hashes.
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from notion_timetracking_etl_spark.queries.sketches import QS_K
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pylist()
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for r in ev:
+        if r["value"] is None:
+            continue
+        h = int(
+            hashlib.sha256(f"qs:{r['event_id']}".encode()).hexdigest()[:14], 16
+        )
+        by_type.setdefault(r["event_type"], []).append((h, r["value"]))
+    rows = REGISTRY["quantile_hash_sample"].spark(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for r in rows:
+        pool = sorted(by_type[r["event_type"]])
+        assert r["n_total"] == len(pool)
+        assert r["n_sample"] == min(QS_K, len(pool))
+        sample_vals = [v for _, v in pool[: QS_K]]
+        lo, hi = min(sample_vals), max(sample_vals)
+        for c in ("est_p50", "est_p90", "est_p99"):
+            assert lo <= r[c] <= hi
+        # exact percentiles bound by the full pool
+        all_vals = [v for _, v in pool]
+        assert min(all_vals) <= r["exact_p50"] <= max(all_vals)
