@@ -946,7 +946,9 @@ QS_K = 256  # bottom-k hash sample size per group
                  CAST(concat('0x', substr(sha256(concat('qs:',
                       CAST(event_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
           FROM events
-          WHERE value IS NOT NULL
+          -- event_id NULL would hash to NULL and ride each engine's
+          -- divergent NULL ordering into the sample — exclude explicitly
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
         ),
         samp AS (
           SELECT g, value FROM (
@@ -983,7 +985,7 @@ def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vals = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
         .select(
             F.col("event_type").alias("g"),
             "value",
