@@ -924,23 +924,11 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QS_K = 256  # bottom-k hash sample size per group
 
-
-@register(
-    "quantile_hash_sample",
-    "A3-analog,F20-analog",
-    f"Mergeable quantile sketch per event type: a bottom-{QS_K} hash sample "
-    "(the k rows with the smallest sha256(event_id) — a uniform sample "
-    "without replacement that merges by union + re-bottom-k, the same "
-    "algebra as the KMV distinct sketch) with exact interpolated p50/p90/"
-    "p99 computed over the sample, next to the full-data truth for the "
-    "audit. Completes the mergeable-sketch ladder: distinct (HLL/KMV), "
-    "frequency (CMS), heavy hitters (MG), membership (Bloom), activity "
-    "(bitmap), quantiles (hash sample). Deterministic on both engines "
-    "(hash-ranked sample membership, shared percentile convention), so "
-    "every sketch value is oracle-hashed. The bottom-k rides the map-side "
-    "WindowGroupLimit prune; only the exact-audit percentile is holistic "
-    "(same caveat as quantile_summary — at 100 TB the sample IS the plan).",
-    oracle=f"""
+# Shared by quantile_hash_sample and its streaming twin
+# (queries/streaming.py::streaming_quantile_sample): the stream-merged
+# bottom-k sample is IDENTICAL to the batch sample (bottom-k by a global
+# hash is a monoid), so one oracle serves both.
+_QS_ORACLE_SQL = f"""
         WITH vals AS (
           SELECT event_type AS g, value,
                  CAST(concat('0x', substr(sha256(concat('qs:',
@@ -978,35 +966,69 @@ QS_K = 256  # bottom-k hash sample size per group
                x.exact_p50, x.exact_p90, x.exact_p99
         FROM est e JOIN exact x USING (g)
         ORDER BY event_type
-    """,
+    """
+
+
+def qs_hash_col() -> Column:
+    """The sample-membership hash: 56-bit sha256('qs:' || event_id)."""
+    return (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("qs:"), F.col("event_id").cast("string")),
+                    256,
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+
+
+def qs_keyed_values(events: DataFrame) -> DataFrame:
+    """(g, value, h) rows eligible for the sample — NULL values carry no
+    quantile information and a NULL event_id would hash to NULL and ride
+    each engine's divergent NULL ordering into the sample."""
+    return events.filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(F.col("event_type").alias("g"), "value", qs_hash_col())
+
+
+def qs_percentile_aggs(prefix: str) -> list[Column]:
+    """The shared 6dp percentile convention for the sample/exact sides."""
+    return [
+        F.round(F.percentile(F.col("value"), F.lit(p)), 6).alias(
+            f"{prefix}_p{int(p * 100)}"
+        )
+        for p in (0.5, 0.9, 0.99)
+    ]
+
+
+@register(
+    "quantile_hash_sample",
+    "A3-analog,F20-analog",
+    f"Mergeable quantile sketch per event type: a bottom-{QS_K} hash sample "
+    "(the k rows with the smallest sha256(event_id) — a uniform sample "
+    "without replacement that merges by union + re-bottom-k, the same "
+    "algebra as the KMV distinct sketch) with exact interpolated p50/p90/"
+    "p99 computed over the sample, next to the full-data truth for the "
+    "audit. Completes the mergeable-sketch ladder: distinct (HLL/KMV), "
+    "frequency (CMS), heavy hitters (MG), membership (Bloom), activity "
+    "(bitmap), quantiles (hash sample). Deterministic on both engines "
+    "(hash-ranked sample membership, shared percentile convention), so "
+    "every sketch value is oracle-hashed. The bottom-k rides the map-side "
+    "WindowGroupLimit prune; only the exact-audit percentile is holistic "
+    "(same caveat as quantile_summary — at 100 TB the sample IS the plan).",
+    oracle=_QS_ORACLE_SQL,
 )
 def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    vals = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
-        .select(
-            F.col("event_type").alias("g"),
-            "value",
-            F.conv(
-                F.substring(
-                    F.sha2(
-                        F.concat(
-                            F.lit("qs:"), F.col("event_id").cast("string")
-                        ),
-                        256,
-                    ),
-                    1,
-                    14,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
-        )
-    )
+    vals = qs_keyed_values(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("g").orderBy(F.col("h").asc())
     samp = (
         vals.withColumn("rn", F.row_number().over(w))
@@ -1014,23 +1036,11 @@ def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = samp.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sample"),
-        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("est_p50"),
-        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("est_p90"),
-        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias(
-            "est_p99"
-        ),
+        *qs_percentile_aggs("est"),
     )
     exact = vals.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias(
-            "exact_p50"
-        ),
-        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias(
-            "exact_p90"
-        ),
-        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias(
-            "exact_p99"
-        ),
+        *qs_percentile_aggs("exact"),
     )
     return ordered_small(
         est.join(exact, "g").select(

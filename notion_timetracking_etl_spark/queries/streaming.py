@@ -24,6 +24,7 @@ from ..streaming import (
 from .helpers import dsum, dsum_sql
 from .registry import register
 from .sketches import _HLL_NUM as _HLL_NUM_SQL
+from .sketches import _QS_ORACLE_SQL
 
 
 @register(
@@ -646,4 +647,70 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * F.lit(HH_K) > F.col("n"))
         .select("item", "cnt"),
         "item",
+    )
+
+
+@register(
+    "streaming_quantile_sample",
+    "A3-analog-stream,UDF-stream",
+    "Streaming twin of quantile_hash_sample: the bottom-k-by-hash sample "
+    "maintained as CUSTOM streaming state (applyInPandasWithState) — per "
+    "event type the state holds the k smallest sha256(event_id) pairs, "
+    "merged per micro-batch, so state is O(groups x k) forever while an "
+    "exact streaming percentile would buffer the whole stream. Bottom-k "
+    "by a GLOBAL hash is a monoid, so the drained sample is IDENTICAL to "
+    "the batch sample under any batch split — which is why the batch "
+    "query's oracle serves unchanged, percentiles and all (the streaming "
+    "analogue of the HLL-registers / CMS-counters / MG-summaries story, "
+    "now for order statistics).",
+    oracle=_QS_ORACLE_SQL,
+)
+def streaming_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..sources.tpch import load_table
+    from ..streaming import bottomk_sample_stream
+    from .helpers import ordered_small
+    from .sketches import QS_K, qs_keyed_values, qs_percentile_aggs
+
+    keyed_stream = qs_keyed_values(read_events_stream(spark, sf_dir))
+    emissions = run_stream_to_table(
+        bottomk_sample_stream(keyed_stream, QS_K),
+        output_mode="update",
+    )
+    # update-mode drain appends every batch's current sample: the union is
+    # a superset of the final state; one dedup + re-bottom-k recovers the
+    # exact global sample (any hash outside the true bottom-k is above the
+    # kth minimum by construction)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    samp = (
+        emissions.dropDuplicates(["g", "h"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QS_K)
+    )
+    est = samp.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        *qs_percentile_aggs("est"),
+    )
+    exact = qs_keyed_values(load_table(spark, sf_dir, "events")).groupBy(
+        "g"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        *qs_percentile_aggs("exact"),
+    )
+    return ordered_small(
+        est.join(exact, "g").select(
+            F.col("g").alias("event_type"),
+            "n_total",
+            "n_sample",
+            "est_p50",
+            "est_p90",
+            "est_p99",
+            "exact_p50",
+            "exact_p90",
+            "exact_p99",
+        ),
+        "event_type",
     )

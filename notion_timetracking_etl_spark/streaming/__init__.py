@@ -10,7 +10,7 @@ tests.
 """
 
 from .cdc import merge_upsert_batch, upsert_drain
-from .sketch import heavy_hitter_candidates_stream
+from .sketch import bottomk_sample_stream, heavy_hitter_candidates_stream
 from .dedupe import dedup_keys_within_watermark
 from .joins import view_purchase_interval_join
 from .rollup import (  # noqa: F401
@@ -25,6 +25,7 @@ from .stateful import user_stats_stateful
 
 __all__ = [
     "dedup_keys_within_watermark",
+    "bottomk_sample_stream",
     "heavy_hitter_candidates_stream",
     "merge_upsert_batch",
     "upsert_drain",

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -97,6 +98,74 @@ def heavy_hitter_candidates_stream(
         _mg_update_fn(k),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_QS_OUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), True),
+        StructField("h", LongType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+_QS_STATE_SCHEMA = StructType(
+    [
+        StructField("hs", ArrayType(LongType()), True),
+        StructField("vals", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _bottomk_update_fn(k: int):
+    def update(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            hs, vals = state.get
+            pairs = list(zip(hs, vals))
+        else:
+            pairs = []
+        for pdf in pdfs:
+            pairs.extend(
+                zip(
+                    (int(h) for h in pdf["h"]),
+                    (float(v) for v in pdf["value"]),
+                )
+            )
+            # bottom-k by hash is a monoid: merging per batch keeps state
+            # at <= k pairs per group regardless of stream length
+            pairs.sort(key=lambda t: t[0])
+            del pairs[k:]
+        state.update(
+            ([h for h, _ in pairs], [v for _, v in pairs])
+        )
+        yield pd.DataFrame(
+            {
+                "g": [key[0]] * len(pairs),
+                "h": [h for h, _ in pairs],
+                "value": [v for _, v in pairs],
+            }
+        )
+
+    return update
+
+
+def bottomk_sample_stream(keyed: DataFrame, k: int) -> DataFrame:
+    """Streaming bottom-k-by-hash sample as custom stateful state.
+
+    ``keyed`` columns: (g string, h long, value double). Per group the
+    state holds the k smallest hashes seen so far — the union-merge of the
+    batch operator's sample algebra (queries/sketches.py QS_K family), so
+    the final state is IDENTICAL to the batch sample. Every batch emits
+    the group's current sample; the drained union across batches is a
+    superset whose re-bottom-k equals the final state exactly."""
+    return keyed.groupBy("g").applyInPandasWithState(
+        _bottomk_update_fn(k),
+        outputStructType=_QS_OUT_SCHEMA,
+        stateStructType=_QS_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -306,6 +306,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "corpus_source_cap",
         "kmv_set_intersection",
         "quantile_hash_sample",
+        "streaming_quantile_sample",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()

@@ -156,3 +156,64 @@ def test_quantile_hash_sample_membership_and_bounds(spark, sf_dir):
         # exact percentiles bound by the full pool
         all_vals = [v for _, v in pool]
         assert min(all_vals) <= r["exact_p50"] <= max(all_vals)
+
+
+def test_streaming_sample_multi_batch_equals_batch_sample(spark, sf_dir, tmp_path):
+    # the monoid claim, exercised for real: 3 files -> 3 micro-batches with
+    # maxFilesPerTrigger=1, so the bottom-k state MERGES across batches;
+    # the drained union re-bottom-k'd must equal the batch sample EXACTLY
+    # (recomputed independently in Python from the raw parquet).
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    from notion_timetracking_etl_spark.queries.sketches import QS_K
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+    from notion_timetracking_etl_spark.streaming import (
+        bottomk_sample_stream,
+        run_stream_to_table,
+    )
+    from notion_timetracking_etl_spark.queries.sketches import qs_keyed_values
+
+    ev = load_table(spark, sf_dir, "events")
+    split_dir = str(tmp_path / "ev_split")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(split_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    emissions = run_stream_to_table(
+        bottomk_sample_stream(qs_keyed_values(stream), QS_K),
+        output_mode="update",
+    )
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    got = {
+        (r["g"], r["h"]): r["value"]
+        for r in emissions.dropDuplicates(["g", "h"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QS_K)
+        .collect()
+    }
+    # independent truth from the raw parquet
+    raw = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pylist()
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for r in raw:
+        if r["value"] is None or r["event_id"] is None:
+            continue
+        h = int(
+            hashlib.sha256(f"qs:{r['event_id']}".encode()).hexdigest()[:14], 16
+        )
+        by_type.setdefault(r["event_type"], []).append((h, r["value"]))
+    want = {}
+    for g, pool in by_type.items():
+        for h, v in sorted(pool)[:QS_K]:
+            want[(g, h)] = v
+    assert got == want
