@@ -323,21 +323,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_CAP = 15  # max documents retained per source (domain capping)
 
-
-@register(
-    "corpus_source_cap",
-    "A3-analog,O3-analog,F-ext",
-    f"Per-source frequency capping (domain capping): each source keeps at "
-    f"most {SOURCE_CAP} documents, retained by quality (integer-micro "
-    "quality desc, doc_id tiebreak), and the audit reports what the cap "
-    "removes per source — the standard guard against a single crawl domain "
-    "dominating a training mix. The top-k per source is ONE window "
-    "row_number whose `rn <= cap` filter Spark rewrites into a map-side "
-    "WindowGroupLimit (each task pre-prunes to k rows per source before "
-    "the exchange), so the shuffle carries O(sources x cap) rows, not the "
-    "corpus — no salting needed even for a skewed mega-domain. Output is "
-    "one row per source (bounded).",
-    oracle=f"""
+# Shared by corpus_source_cap and its streaming twin
+# (queries/streaming.py::streaming_source_cap): the stream-merged kept set
+# is IDENTICAL to the batch kept set (top-k by a total order is a monoid),
+# so one oracle serves both.
+_SOURCE_CAP_ORACLE_SQL = f"""
         WITH q AS (
           SELECT doc_id, source, n_chars,
                  CAST(COALESCE(floor(({_QUALITY_SCORE_SQL}) * 1000000.0), 0)
@@ -369,7 +359,23 @@ SOURCE_CAP = 15  # max documents retained per source (domain capping)
                k.threshold_q_micro
         FROM tot t JOIN kept k USING (source)
         ORDER BY source
-    """,
+    """
+
+
+@register(
+    "corpus_source_cap",
+    "A3-analog,O3-analog,F-ext",
+    f"Per-source frequency capping (domain capping): each source keeps at "
+    f"most {SOURCE_CAP} documents, retained by quality (integer-micro "
+    "quality desc, doc_id tiebreak), and the audit reports what the cap "
+    "removes per source — the standard guard against a single crawl domain "
+    "dominating a training mix. The top-k per source is ONE window "
+    "row_number whose `rn <= cap` filter Spark rewrites into a map-side "
+    "WindowGroupLimit (each task pre-prunes to k rows per source before "
+    "the exchange), so the shuffle carries O(sources x cap) rows, not the "
+    "corpus — no salting needed even for a skewed mega-domain. Output is "
+    "one row per source (bounded).",
+    oracle=_SOURCE_CAP_ORACLE_SQL,
 )
 def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -25,6 +25,7 @@ from .helpers import dsum, dsum_sql
 from .registry import register
 from .sketches import _HLL_NUM as _HLL_NUM_SQL
 from .sketches import _QS_ORACLE_SQL
+from .corpus import _SOURCE_CAP_ORACLE_SQL
 
 
 @register(
@@ -713,4 +714,104 @@ def streaming_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_p99",
         ),
         "event_type",
+    )
+
+
+@register(
+    "streaming_source_cap",
+    "A3-analog-stream,UDF-stream",
+    "Streaming twin of corpus_source_cap — domain capping applied "
+    "INCREMENTALLY as documents arrive: per source the custom streaming "
+    "state (applyInPandasWithState) holds only the current top-cap "
+    "documents by (quality desc, doc_id), merged each micro-batch, so "
+    "state is O(sources x cap) for any stream length. Top-k over a total "
+    "order is a monoid, so the stream-merged kept set is IDENTICAL to the "
+    "batch cap under any batch split — the drained membership joins back "
+    "to the table for the byte/threshold audit and the batch query's "
+    "oracle serves unchanged. This is the production shape for curation "
+    "that cannot afford a full recompute per crawl increment.",
+    oracle=_SOURCE_CAP_ORACLE_SQL,
+)
+def streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+    from ..sources.tpch import load_table
+    from ..streaming import topk_quality_stream
+    from .corpus import SOURCE_CAP
+
+    q_micro = (
+        F.coalesce(F.floor(quality_score(F.col("text")) * 1000000.0), F.lit(0))
+        .cast("bigint")
+        .alias("q_micro")
+    )
+    from ..streaming.rollup import _is_directory
+
+    path = f"{sf_dir}/documents.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if _is_directory(spark, path):
+        # directory layout (a real lake / the multi-batch test): stream it
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file layout (the driver's testdata): the file source lists
+        # a directory, so stream the parent filtered to this one file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    emissions = run_stream_to_table(
+        topk_quality_stream(
+            stream.select("source", "doc_id", q_micro), SOURCE_CAP
+        ),
+        output_mode="update",
+    )
+    # drained union ⊇ final state; re-top-k recovers the exact kept set
+    w = Window.partitionBy("source").orderBy(
+        F.col("q_micro").desc(), F.col("doc_id").asc()
+    )
+    kept_ids = (
+        emissions.dropDuplicates(["source", "doc_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.floor(quality_score(F.col("text")) * 1000000.0), F.lit(0))
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    # kept_ids is O(sources x cap) — small for any sane cap, but source
+    # cardinality grows with the corpus, so let the planner pick broadcast
+    # vs shuffled semi-join from its size estimate rather than pinning
+    kept = base.join(kept_ids, "doc_id", "left_semi").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_bytes"),
+        F.min("q_micro").cast("bigint").alias("threshold_q_micro"),
+    )
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+    )
+    return (
+        tot.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint")
+            .alias("n_dropped"),
+            "kept_bytes",
+            (F.col("total_bytes") - F.col("kept_bytes")).cast("bigint")
+            .alias("dropped_bytes"),
+            "threshold_q_micro",
+        )
+        .orderBy("source")
     )

@@ -10,7 +10,11 @@ tests.
 """
 
 from .cdc import merge_upsert_batch, upsert_drain
-from .sketch import bottomk_sample_stream, heavy_hitter_candidates_stream
+from .sketch import (
+    bottomk_sample_stream,
+    heavy_hitter_candidates_stream,
+    topk_quality_stream,
+)
 from .dedupe import dedup_keys_within_watermark
 from .joins import view_purchase_interval_join
 from .rollup import (  # noqa: F401
@@ -27,6 +31,7 @@ __all__ = [
     "dedup_keys_within_watermark",
     "bottomk_sample_stream",
     "heavy_hitter_candidates_stream",
+    "topk_quality_stream",
     "merge_upsert_batch",
     "upsert_drain",
     "read_events_stream",

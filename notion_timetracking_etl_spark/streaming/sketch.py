@@ -169,3 +169,71 @@ def bottomk_sample_stream(keyed: DataFrame, k: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CAP_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), True),
+        StructField("doc_id", LongType(), True),
+        StructField("q_micro", LongType(), True),
+    ]
+)
+
+_CAP_STATE_SCHEMA = StructType(
+    [
+        StructField("qs", ArrayType(LongType()), True),
+        StructField("ids", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _topk_quality_update_fn(cap: int):
+    def update(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            qs, ids = state.get
+            members = list(zip(qs, ids))
+        else:
+            members = []
+        for pdf in pdfs:
+            members.extend(
+                zip(
+                    (int(q) for q in pdf["q_micro"]),
+                    (int(d) for d in pdf["doc_id"]),
+                )
+            )
+            # top-cap by (quality desc, doc_id asc) is a monoid over the
+            # total order (-q, id): state stays <= cap pairs per source
+            members.sort(key=lambda t: (-t[0], t[1]))
+            del members[cap:]
+        state.update(
+            ([q for q, _ in members], [d for _, d in members])
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(members),
+                "doc_id": [d for _, d in members],
+                "q_micro": [q for q, _ in members],
+            }
+        )
+
+    return update
+
+
+def topk_quality_stream(keyed: DataFrame, cap: int) -> DataFrame:
+    """Streaming per-source quality top-k (domain capping) as custom state.
+
+    ``keyed`` columns: (source string, doc_id long, q_micro long). The
+    state holds each source's current top-``cap`` documents by
+    (q_micro desc, doc_id) — a monoid over a total order, so the final
+    state is IDENTICAL to the batch cap's kept set under any batch split.
+    Every batch emits the source's current kept set; the drained union is
+    a superset whose re-top-k equals the final state exactly."""
+    return keyed.groupBy("source").applyInPandasWithState(
+        _topk_quality_update_fn(cap),
+        outputStructType=_CAP_OUT_SCHEMA,
+        stateStructType=_CAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -307,6 +307,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "kmv_set_intersection",
         "quantile_hash_sample",
         "streaming_quantile_sample",
+        "streaming_source_cap",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()

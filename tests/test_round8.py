@@ -217,3 +217,77 @@ def test_streaming_sample_multi_batch_equals_batch_sample(spark, sf_dir, tmp_pat
         for h, v in sorted(pool)[:QS_K]:
             want[(g, h)] = v
     assert got == want
+
+
+def test_streaming_source_cap_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    # 3 files -> 3 micro-batches: the per-source top-cap state merges
+    # across batches; the full streaming query's audit must equal the
+    # batch query's audit row-for-row on the same lake.
+    import shutil
+
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    split_dir = str(lake / "documents.parquet")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(split_dir)
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["streaming_source_cap"]
+        .spark(spark, str(lake))
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["corpus_source_cap"].spark(spark, str(lake)).collect()
+    )
+    assert got == want
+    # and the state-merge itself under FORCED multi-batch (one file per
+    # micro-batch): the drained kept membership re-top-k'd equals the
+    # batch kept set
+    from pyspark.sql import Window
+
+    from notion_timetracking_etl_spark.operators.text import quality_score
+    from notion_timetracking_etl_spark.queries.corpus import SOURCE_CAP
+    from notion_timetracking_etl_spark.streaming import (
+        run_stream_to_table,
+        topk_quality_stream,
+    )
+
+    q_micro = (
+        F.coalesce(F.floor(quality_score(F.col("text")) * 1000000.0), F.lit(0))
+        .cast("bigint")
+        .alias("q_micro")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    emissions = run_stream_to_table(
+        topk_quality_stream(stream.select("source", "doc_id", q_micro), SOURCE_CAP),
+        output_mode="update",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("q_micro").desc(), F.col("doc_id").asc()
+    )
+    got_ids = {
+        (r["source"], r["doc_id"])
+        for r in emissions.dropDuplicates(["source", "doc_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .collect()
+    }
+    want_ids = {
+        (r["source"], r["doc_id"])
+        for r in docs.select("source", "doc_id", q_micro)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .collect()
+    }
+    assert got_ids == want_ids
+    shutil.rmtree(str(lake), ignore_errors=True)
