@@ -214,3 +214,115 @@ def test_mad_and_cusum_match_python_models(spark, tmp_path, series):
                 )
         c = REGISTRY["changepoint_cusum_daily"].spark(spark, sf).collect()[0]
         assert (c["cp_day"], c["cusum_abs_max"], c["n_before"]) == best_row
+
+
+# ---------------------------------------------------------------------------
+# round-8 streaming state monoids: the pandas update fns, driven directly
+# (no Spark) against brute-force models on randomized batch splits
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**12), st.floats(-100, 100, allow_nan=False)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+    st.data(),
+)
+def test_bottomk_update_fn_is_split_invariant(rows, k, data):
+    import pandas as pd
+
+    from notion_timetracking_etl_spark.streaming.sketch import (
+        _bottomk_update_fn,
+    )
+
+    # random split into 1..4 batches
+    n_batches = data.draw(st.integers(1, 4))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(rows)), min_size=n_batches - 1,
+                     max_size=n_batches - 1)
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        batches.append(rows[prev:c])
+        prev = c
+    fn = _bottomk_update_fn(k)
+    state = _FakeState()
+    last = None
+    for b in batches:
+        pdf = pd.DataFrame({"h": [h for h, _ in b], "value": [v for _, v in b]})
+        last = list(fn(("g",), iter([pdf]), state))[-1]
+    # dedupe by hash like the real pipeline (same key -> same hash), then
+    # compare against the brute-force bottom-k of everything
+    seen = {}
+    for h, v in rows:
+        seen.setdefault(h, v)
+    want = sorted(seen.items())[:k]
+    got = sorted(zip(last["h"], last["value"]))
+    # state may hold duplicate hashes if one batch repeats them — the batch
+    # operator dedupes upstream via .distinct(); model that here
+    got_dedup = sorted({h: v for h, v in got}.items())[:k]
+    assert [h for h, _ in got_dedup] == [h for h, _ in want]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 10**9)),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[1],  # doc_id unique, like a PK
+    ),
+    st.integers(1, 8),
+    st.data(),
+)
+def test_topk_quality_update_fn_is_split_invariant(rows, cap, data):
+    import pandas as pd
+
+    from notion_timetracking_etl_spark.streaming.sketch import (
+        _topk_quality_update_fn,
+    )
+
+    n_batches = data.draw(st.integers(1, 4))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(rows)), min_size=n_batches - 1,
+                     max_size=n_batches - 1)
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        batches.append(rows[prev:c])
+        prev = c
+    fn = _topk_quality_update_fn(cap)
+    state = _FakeState()
+    last = None
+    for b in batches:
+        pdf = pd.DataFrame(
+            {"q_micro": [q for q, _ in b], "doc_id": [d for _, d in b]}
+        )
+        last = list(fn(("src",), iter([pdf]), state))[-1]
+    want = sorted(rows, key=lambda t: (-t[0], t[1]))[:cap]
+    got = sorted(
+        zip(last["q_micro"], last["doc_id"]), key=lambda t: (-t[0], t[1])
+    )
+    assert got == want
