@@ -587,6 +587,66 @@ def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64
 _KMV_SPACE = float(1 << 56)  # hash domain: 14 sha256 hex chars
 
+# Shared user-day keying + 56-bit hashing for the KMV family
+# (kmv_distinct_union keeps its original inline copy — same expressions —
+# so its long-green plan text is untouched; the pair-algebra queries
+# below build from these helpers).
+_KMV_BASE_CTES_SQL = """keyed AS (
+          SELECT DISTINCT event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        hashed AS (
+          SELECT g, key,
+                 CAST(concat('0x', substr(sha256(concat('kmv:', key)),
+                      1, 14)) AS BIGINT) AS h
+          FROM keyed
+        )"""
+
+
+def kmv_hashed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g, key, h): distinct per-type user-day keys with the 56-bit
+    sha256('kmv:'||key) hash — identical expressions to the oracle CTEs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    keyed = ev.select(
+        F.col("event_type").alias("g"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+        ).alias("key"),
+    ).distinct()
+    return keyed.select(
+        "g",
+        "key",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("kmv:"), F.col("key")), 256), 1, 14
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def kmv_sketch_df(hashed: DataFrame) -> DataFrame:
+    """Per-type bottom-k sketch (g, h) — map-side WindowGroupLimit prune."""
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g").orderBy(F.col("h").asc())
+    return (
+        hashed.select("g", "h")
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+
 
 @register(
     "kmv_distinct_union",
@@ -727,19 +787,7 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"O(pairs x {KMV_K}) rows; only the per-type bottom-k (map-side "
     "WindowGroupLimit prune) and the exact-audit key join touch the corpus.",
     oracle=f"""
-        WITH keyed AS (
-          SELECT DISTINCT event_type AS g,
-                 concat(user_id, ':',
-                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
-          FROM events
-          WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ),
-        hashed AS (
-          SELECT g, key,
-                 CAST(concat('0x', substr(sha256(concat('kmv:', key)),
-                      1, 14)) AS BIGINT) AS h
-          FROM keyed
-        ),
+        WITH {_KMV_BASE_CTES_SQL},
         sk AS (
           SELECT g, h FROM (
             SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -809,37 +857,8 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    keyed = ev.select(
-        F.col("event_type").alias("g"),
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
-        ).alias("key"),
-    ).distinct()
-    hashed = keyed.select(
-        "g",
-        "key",
-        F.conv(
-            F.substring(
-                F.sha2(F.concat(F.lit("kmv:"), F.col("key")), 256), 1, 14
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    wg = Window.partitionBy("g").orderBy(F.col("h").asc())
-    sk = (
-        hashed.select("g", "h")
-        .withColumn("rn", F.row_number().over(wg))
-        .filter(F.col("rn") <= KMV_K)
-        .select("g", "h")
-    )
+    hashed = kmv_hashed_df(spark, sf_dir)
+    sk = kmv_sketch_df(hashed)
     types = sk.select("g").distinct()
     pairs = (
         types.alias("ta")
@@ -1055,4 +1074,236 @@ def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_p99",
         ),
         "event_type",
+    )
+
+
+@register(
+    "kmv_set_difference",
+    "A1-analog,U3-analog,F20-analog",
+    f"KMV (bottom-{KMV_K}) set-DIFFERENCE estimates for every pair of "
+    "event types over user-day keys — the third operation of the sketch "
+    "set algebra (union: kmv_distinct_union, intersection: "
+    "kmv_set_intersection). Per pair and per direction: theta = kth "
+    "minimum of the pair's union sketch; since theta <= each side's own "
+    "kth min, sketch membership is COMPLETE below it, so |A\\\\B| is "
+    "estimated by the A-sketch hashes below theta that do NOT appear in "
+    "B's sketch, scaled by space/theta — with exact mode when the union "
+    "sketch is unsaturated. Deterministic and oracle-hashed end to end; "
+    "exact anti-join counts ride along for both directions' rel_err. All "
+    "pair-level operators run over O(types x k) sketch rows.",
+    oracle=f"""
+        WITH {_KMV_BASE_CTES_SQL},
+        sk AS (
+          SELECT g, h FROM (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashed
+          ) WHERE rn <= {KMV_K}
+        ),
+        types AS (SELECT DISTINCT g FROM hashed),
+        pairs AS (
+          SELECT a.g AS ga, b.g AS gb FROM types a JOIN types b ON a.g < b.g
+        ),
+        upool AS (
+          SELECT DISTINCT ga, gb, h FROM (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+          )
+        ),
+        theta AS (
+          SELECT ga, gb, CAST(MAX(h) AS BIGINT) AS theta,
+                 CAST(COUNT(*) AS BIGINT) AS n_union_sketch
+          FROM (
+            SELECT ga, gb, h,
+                   ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM upool
+          ) WHERE rn <= {KMV_K}
+          GROUP BY ga, gb
+        ),
+        a_excl AS (
+          SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+          WHERE NOT EXISTS (SELECT 1 FROM sk o
+                            WHERE o.g = p.gb AND o.h = s.h)
+        ),
+        b_excl AS (
+          SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+          WHERE NOT EXISTS (SELECT 1 FROM sk o
+                            WHERE o.g = p.ga AND o.h = s.h)
+        ),
+        only_a AS (
+          SELECT t.ga, t.gb,
+                 CAST(COUNT(CASE WHEN a.h < t.theta THEN 1 END) AS BIGINT)
+                   AS a_below,
+                 CAST(COUNT(a.h) AS BIGINT) AS a_all
+          FROM theta t LEFT JOIN a_excl a
+            ON a.ga = t.ga AND a.gb = t.gb
+          GROUP BY t.ga, t.gb, t.theta
+        ),
+        only_b AS (
+          SELECT t.ga, t.gb,
+                 CAST(COUNT(CASE WHEN b.h < t.theta THEN 1 END) AS BIGINT)
+                   AS b_below,
+                 CAST(COUNT(b.h) AS BIGINT) AS b_all
+          FROM theta t LEFT JOIN b_excl b
+            ON b.ga = t.ga AND b.gb = t.gb
+          GROUP BY t.ga, t.gb, t.theta
+        ),
+        exact AS (
+          SELECT p.ga, p.gb,
+                 CAST((SELECT COUNT(*) FROM hashed x WHERE x.g = p.ga
+                       AND NOT EXISTS (SELECT 1 FROM hashed y
+                                       WHERE y.g = p.gb AND y.key = x.key))
+                      AS BIGINT) AS n_exact_a_minus_b,
+                 CAST((SELECT COUNT(*) FROM hashed x WHERE x.g = p.gb
+                       AND NOT EXISTS (SELECT 1 FROM hashed y
+                                       WHERE y.g = p.ga AND y.key = x.key))
+                      AS BIGINT) AS n_exact_b_minus_a
+          FROM pairs p
+        )
+        SELECT t.ga AS type_a, t.gb AS type_b,
+               e.n_exact_a_minus_b, e.n_exact_b_minus_a,
+               t.n_union_sketch,
+               CASE WHEN t.n_union_sketch < {KMV_K}
+                    THEN CAST(oa.a_all AS DOUBLE)
+                    ELSE CAST(oa.a_below AS DOUBLE) * {_KMV_SPACE}
+                         / CAST(t.theta AS DOUBLE)
+               END AS est_a_minus_b,
+               CASE WHEN t.n_union_sketch < {KMV_K}
+                    THEN CAST(ob.b_all AS DOUBLE)
+                    ELSE CAST(ob.b_below AS DOUBLE) * {_KMV_SPACE}
+                         / CAST(t.theta AS DOUBLE)
+               END AS est_b_minus_a
+        FROM theta t
+        JOIN only_a oa ON oa.ga = t.ga AND oa.gb = t.gb
+        JOIN only_b ob ON ob.ga = t.ga AND ob.gb = t.gb
+        JOIN exact e ON e.ga = t.ga AND e.gb = t.gb
+        ORDER BY type_a, type_b
+    """,
+)
+def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hashed = kmv_hashed_df(spark, sf_dir)
+    sk = kmv_sketch_df(hashed)
+    types = sk.select("g").distinct()
+    pairs = (
+        types.alias("ta")
+        .join(types.alias("tb"), F.col("ta.g") < F.col("tb.g"))
+        .select(F.col("ta.g").alias("ga"), F.col("tb.g").alias("gb"))
+    )
+    upool = (
+        pairs.join(sk.withColumnRenamed("g", "ga"), "ga")
+        .select("ga", "gb", "h")
+        .unionByName(
+            pairs.join(sk.withColumnRenamed("g", "gb"), "gb")
+            .select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    theta = (
+        upool.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ga", "gb")
+        .agg(
+            F.max("h").cast("bigint").alias("theta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_union_sketch"),
+        )
+    )
+    # per-pair exclusive sketch hashes: h < theta <= the OTHER side's own
+    # kth min, so absence from the partner's sketch means absence from the
+    # partner's set — the anti-membership test is complete below theta
+    others = sk.select(F.col("g").alias("og"), F.col("h").alias("oh"))
+
+    def _excl(own_col: str, other_col: str) -> DataFrame:
+        own = pairs.join(sk.withColumnRenamed("g", own_col), own_col).select(
+            "ga", "gb", "h"
+        )
+        return own.join(
+            others,
+            (F.col(other_col) == F.col("og")) & (F.col("h") == F.col("oh")),
+            "left_anti",
+        )
+
+    def _side(excl: DataFrame, prefix: str) -> DataFrame:
+        return (
+            theta.join(excl, ["ga", "gb"], "left")
+            .groupBy("ga", "gb", "theta", "n_union_sketch")
+            .agg(
+                F.count(F.when(F.col("h") < F.col("theta"), F.lit(1)))
+                .cast("bigint")
+                .alias(f"{prefix}_below"),
+                F.count("h").cast("bigint").alias(f"{prefix}_all"),
+            )
+        )
+
+    only_a = _side(_excl("ga", "gb"), "a")
+    only_b = _side(_excl("gb", "ga"), "b").drop("theta", "n_union_sketch")
+    # exact anti counts per ordered pair, both directions, via one
+    # membership matrix: keys of x.g present in y.g
+    present = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.g") != F.col("y.g")),
+        )
+        .groupBy(F.col("x.g").alias("g1"), F.col("y.g").alias("g2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    totals = hashed.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    exact = (
+        pairs.join(
+            totals.select(F.col("g").alias("ga"), F.col("n_total").alias("na")),
+            "ga",
+        )
+        .join(
+            totals.select(F.col("g").alias("gb"), F.col("n_total").alias("nb")),
+            "gb",
+        )
+        .join(
+            present.select(
+                F.col("g1").alias("ga"), F.col("g2").alias("gb"), "n_common"
+            ),
+            ["ga", "gb"],
+            "left",
+        )
+        .select(
+            "ga",
+            "gb",
+            (F.col("na") - F.coalesce(F.col("n_common"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_a_minus_b"),
+            (F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_b_minus_a"),
+        )
+    )
+    exact_mode = F.col("n_union_sketch") < KMV_K
+    est_a = F.when(exact_mode, F.col("a_all").cast("double")).otherwise(
+        F.col("a_below").cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("theta").cast("double")
+    )
+    est_b = F.when(exact_mode, F.col("b_all").cast("double")).otherwise(
+        F.col("b_below").cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("theta").cast("double")
+    )
+    return ordered_small(
+        only_a.join(only_b, ["ga", "gb"])
+        .join(exact, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "n_exact_a_minus_b",
+            "n_exact_b_minus_a",
+            "n_union_sketch",
+            est_a.alias("est_a_minus_b"),
+            est_b.alias("est_b_minus_a"),
+        ),
+        "type_a",
+        "type_b",
     )

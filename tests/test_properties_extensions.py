@@ -305,6 +305,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         # round-8 additions: empty corpus -> empty audit / empty pair list
         "corpus_source_cap",
         "kmv_set_intersection",
+        "kmv_set_difference",
         "quantile_hash_sample",
         "streaming_quantile_sample",
         "streaming_source_cap",

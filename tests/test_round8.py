@@ -291,3 +291,35 @@ def test_streaming_source_cap_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got_ids == want_ids
     shutil.rmtree(str(lake), ignore_errors=True)
+
+
+def test_kmv_difference_exact_mode_synthetic(spark, tmp_path):
+    # same fixture as the intersection test: users 0..19 'a', 10..29 'b',
+    # 20..39 'c' -> |a\b| = |b\a| = 10, |a\c| = |c\a| = 20, |b\c| = 10.
+    # All sketches unsaturated -> estimates must be exact.
+    import datetime
+
+    rows = []
+    eid = 0
+    for t, lo in (("a", 0), ("b", 10), ("c", 20)):
+        for u in range(lo, lo + 20):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 12, 0, 0), u, t, 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["kmv_set_difference"].spark(spark, str(tmp_path)).collect()
+    }
+    want = {("a", "b"): (10, 10), ("a", "c"): (20, 20), ("b", "c"): (10, 10)}
+    for pair, (ab, ba) in want.items():
+        r = got[pair]
+        assert r["n_exact_a_minus_b"] == ab and r["n_exact_b_minus_a"] == ba
+        assert r["n_union_sketch"] < KMV_K
+        assert r["est_a_minus_b"] == float(ab)
+        assert r["est_b_minus_a"] == float(ba)
