@@ -25,19 +25,67 @@ ITERS = 3
 # cached centroid table is k rows (a localCheckpoint NOT registered for
 # scoped release, so bench/parity harnesses can't evict it between
 # queries); assignments rebuild from it as a cheap shuffle-free plan.
+#
+# Lifetime hygiene (r8 verdict task #7): both model caches are BOUNDED —
+# a long-lived session cycling through many sf_dirs (multi-tenant serving,
+# tests over many tmp_path lakes) evicts least-recently-used entries and
+# frees their checkpoint blocks instead of pinning executor block-manager
+# memory forever — and expose an explicit release for callers that know a
+# corpus is done (tests/teardown, a tenant unload).
+_MODEL_MAX_ENTRIES = 4
 _MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _cache_get(cache: dict, key):
+    """LRU read: move the hit to the most-recent position."""
+    val = cache.pop(key, None)
+    if val is not None:
+        cache[key] = val
+    return val
+
+
+def _evict_lru(cache: dict, free) -> None:
+    while len(cache) > _MODEL_MAX_ENTRIES:
+        oldest = next(iter(cache))
+        free(cache.pop(oldest))
+
+
+def _free_model(model: tuple[DataFrame, DataFrame]) -> None:
+    from ..operators.dedup import _free_checkpoint_blocks
+
+    _asg, cent = model
+    _free_checkpoint_blocks(cent)
+
+
+def _free_cells(mem: DataFrame) -> None:
+    from ..operators.dedup import _free_checkpoint_blocks
+
+    _free_checkpoint_blocks(mem)
+
+
+def release_session_models() -> None:
+    """Free every cached fitted model and refined-cell membership NOW
+    (checkpoint blocks included). Safe on a stopped session; later calls
+    to :func:`fitted_model` / :func:`_refined_cells` simply re-fit."""
+    for model in list(_MODEL_CACHE.values()):
+        _free_model(model)
+    _MODEL_CACHE.clear()
+    for mem in list(_CELLS_CACHE.values()):
+        _free_cells(mem)
+    _CELLS_CACHE.clear()
 
 
 def fitted_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(assignments, centroids) for the session-shared (k=K, ITERS) model."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MODEL_CACHE.get(key)
+    cached = _cache_get(_MODEL_CACHE, key)
     if cached is None:
         emb = load_embeddings(spark, sf_dir)
         cached = kmeans_fit(
             emb, "vec_id", "embedding", k=K, iters=ITERS, scoped=False
         )
         _MODEL_CACHE[key] = cached
+        _evict_lru(_MODEL_CACHE, _free_model)
     return cached
 
 
@@ -173,9 +221,12 @@ def _sem_cell_ctes(a_last: str) -> list[str]:
     (membership + full SRP signature), sbv (the adaptive bits scalar),
     memc (cell = '<cid>:<sig prefix>')."""
     from ..operators.similarity import srp_planes
-    from .similarity import _plane_dot_sql
+    from .similarity import EMB_DIMS, _plane_dot_sql
 
-    planes = srp_planes(SEM_MAX_BITS, dims=64)
+    # EMB_DIMS, not a literal: the Spark side (_refined_cells) generates its
+    # planes at dims=EMB_DIMS, and a dims mismatch would silently
+    # desynchronize the oracle's cell partition from the plan's (ADVICE r8).
+    planes = srp_planes(SEM_MAX_BITS, dims=EMB_DIMS)
     sig = (
         "("
         + " || ".join(
@@ -199,6 +250,9 @@ def _sem_cell_ctes(a_last: str) -> list[str]:
 # semdedup_embeddings and semdedup_incremental consume the same partition,
 # and a production pipeline materializes cell assignments once per corpus
 # snapshot anyway (they are the routing table every ingest batch joins).
+# Same LRU bound + release path as _MODEL_CACHE (r8 verdict task #7 /
+# ADVICE: an un-scoped localCheckpoint per sf_dir would otherwise pin
+# executor block-manager memory unboundedly across corpora).
 _CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -210,7 +264,7 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adaptive range the query fails loudly instead of silently
     re-entering linear cell growth."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CELLS_CACHE.get(key)
+    cached = _cache_get(_CELLS_CACHE, key)
     if cached is not None:
         return cached
     from ..operators.similarity import norm_sq, srp_planes, srp_signature_bands
@@ -251,10 +305,12 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # routing table both semdedup queries (and every ingest batch in
         # production) join against — recomputing the signature + assignment
         # per consumer is pure waste. NOT scope-released (session model
-        # cache, same lifetime policy as the fitted quantizer).
+        # cache, same LRU-bounded lifetime policy as the fitted quantizer;
+        # release_session_models() frees it explicitly).
         .localCheckpoint(eager=True)
     )
     _CELLS_CACHE[key] = mem
+    _evict_lru(_CELLS_CACHE, _free_cells)
     return mem
 
 

@@ -200,6 +200,241 @@ def lake_bucketed_cohort_activity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Persisted-sketch lake maintenance (r8 verdict task #3): per-partition KMV
+# partials written to the lake, merged on read — the 100 TB pattern where
+# raw events are too big to rescan per question.
+# ---------------------------------------------------------------------------
+
+_SKETCH_LAKES: set[str] = set()
+
+
+def _sketch_lake_path(sf_dir: str) -> str:
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_kmv_by_date"
+    )
+
+
+def kmv_dated_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, g, h): the KMV family's distinct per-type user-day keys
+    (queries/sketches.py::kmv_hashed_df — same key, same 56-bit
+    sha256('kmv:'||key) hash) carrying the partition date. A key embeds its
+    day, so per-date partials partition the key space exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    day = F.date_format(F.to_date("ts"), DATE_FMT_SPARK)
+    keyed = ev.select(
+        F.to_date("ts").alias("event_date"),
+        F.col("event_type").alias("g"),
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), day).alias("key"),
+    ).distinct()
+    return keyed.select(
+        "event_date",
+        "g",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("kmv:"), F.col("key")), 256), 1, 14
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def kmv_partial_sketches(hashed: DataFrame) -> DataFrame:
+    """Per-(event_date, g) bottom-k partial sketch rows — the unit a 100 TB
+    ingest maintains per partition as new data lands (O(dates x types x k)
+    rows total). Map-side WindowGroupLimit prunes each task to k rows per
+    group before the exchange."""
+    from pyspark.sql import Window
+
+    from .sketches import KMV_K
+
+    w = Window.partitionBy("event_date", "g").orderBy(F.col("h").asc())
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_date", "g", "h")
+    )
+
+
+def kmv_merge_sketch(partials: DataFrame) -> DataFrame:
+    """Merge partial sketches into per-g (kth_min, n_in_sketch): bottom-k
+    over the union of partials — exact, because bottom-k by a global hash
+    is a monoid (the property tests pin the algebra; this helper is the
+    storage-seam consumer)."""
+    from pyspark.sql import Window
+
+    from .sketches import KMV_K
+
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    return (
+        partials.select("g", "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("g")
+        .agg(
+            F.max("h").cast("bigint").alias("kth_min"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        )
+    )
+
+
+def kmv_sketch_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-date KMV partial sketch table as an ``event_date=``-
+    partitioned parquet lake: first use per process writes it (one task per
+    date directory), later uses read it back. Explicit schema on read for
+    the empty-events case (zero partition directories — ROBUSTNESS §1)."""
+    path = _sketch_lake_path(sf_dir)
+    partials = kmv_partial_sketches(kmv_dated_hashes(spark, sf_dir))
+    if path not in _SKETCH_LAKES:
+        write_partitioned_lake(partials, path, ["event_date"], sort_cols=["g", "h"])
+        _SKETCH_LAKES.add(path)
+    return spark.read.schema(partials.schema).parquet(path)
+
+
+def _kmv_lake_oracle_sql() -> str:
+    from .sketches import _KMV_SPACE, KMV_K
+
+    return f"""
+        WITH keyed AS (
+          SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+                 event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        hashed AS (
+          SELECT d, g,
+                 CAST(concat('0x', substr(sha256(concat('kmv:', key)),
+                      1, 14)) AS BIGINT) AS h
+          FROM keyed
+        ),
+        part AS (
+          SELECT d, g, h FROM (
+            SELECT d, g, h,
+                   ROW_NUMBER() OVER (PARTITION BY d, g ORDER BY h) AS rn
+            FROM hashed
+          ) WHERE rn <= {KMV_K}
+        ),
+        merged AS (
+          SELECT g, CAST(MAX(h) AS BIGINT) AS kth_min,
+                 CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+          FROM (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM part
+          ) WHERE rn <= {KMV_K}
+          GROUP BY g
+        ),
+        np AS (
+          SELECT g, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
+          FROM part GROUP BY g
+        ),
+        whole AS (
+          SELECT g, CAST(MAX(h) AS BIGINT) AS kth_w,
+                 CAST(COUNT(*) AS BIGINT) AS n_w
+          FROM (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashed
+          ) WHERE rn <= {KMV_K}
+          GROUP BY g
+        ),
+        exact AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM hashed GROUP BY g
+        )
+        SELECT m.g AS event_type,
+               np.n_partials,
+               m.n_in_sketch,
+               m.kth_min,
+               CASE WHEN m.n_in_sketch < {KMV_K}
+                    THEN CAST(m.n_in_sketch AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} * {_KMV_SPACE} / m.kth_min
+               END AS kmv_est,
+               (m.kth_min = w.kth_w AND m.n_in_sketch = w.n_w)
+                 AS merged_equals_whole,
+               e.n_exact,
+               ((CASE WHEN m.n_in_sketch < {KMV_K}
+                      THEN CAST(m.n_in_sketch AS DOUBLE)
+                      ELSE {float(KMV_K - 1)} * {_KMV_SPACE} / m.kth_min END)
+                - e.n_exact) / e.n_exact AS rel_err
+        FROM merged m
+        JOIN np USING (g)
+        JOIN whole w USING (g)
+        JOIN exact e USING (g)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "kmv_sketch_lake_merge",
+    "S6-analog,A10-ext,U2-analog",
+    "Persisted-sketch lake maintenance — the 100 TB count-distinct pattern "
+    "where raw events are too big to rescan: per-(event_date, event_type) "
+    "KMV bottom-64 partials written once to a date-partitioned parquet "
+    "lake (O(dates x types x k) rows — the table an ingest pipeline "
+    "maintains incrementally as partitions land), then a MERGE-ON-READ "
+    "that rebuilds each type's sketch from the stored partials alone. "
+    "Bottom-k by a global hash is a monoid, so merged(partials) must "
+    "EQUAL the single-pass whole-corpus sketch — the query recomputes the "
+    "whole sketch from raw events as an audit twin and hashes the "
+    "equality flag (a lost partition, a short-read, or a broken merge "
+    "flips it red), plus the exact distinct count and the estimate's "
+    "rel_err. In production only the merged path runs; the audit side is "
+    "this query's evidence seam. The oracle replays partials, merge, "
+    "whole sketch, and audit from the raw events view end-to-end.",
+    oracle=_kmv_lake_oracle_sql(),
+)
+def kmv_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import _KMV_SPACE, KMV_K
+
+    partials = kmv_sketch_lake(spark, sf_dir)
+    merged = kmv_merge_sketch(partials)
+    np_ = partials.groupBy("g").agg(
+        F.countDistinct("event_date").cast("bigint").alias("n_partials")
+    )
+    hashed = kmv_dated_hashes(spark, sf_dir)
+    whole = kmv_merge_sketch(
+        hashed.withColumn("event_date", F.lit(None).cast("date"))
+    ).select(
+        "g",
+        F.col("kth_min").alias("kth_w"),
+        F.col("n_in_sketch").alias("n_w"),
+    )
+    exact = hashed.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE)
+        / F.col("kth_min").cast("double")
+    )
+    return ordered_small(
+        merged.join(np_, "g")
+        .join(whole, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_partials",
+            "n_in_sketch",
+            "kth_min",
+            est.alias("kmv_est"),
+            (
+                (F.col("kth_min") == F.col("kth_w"))
+                & (F.col("n_in_sketch") == F.col("n_w"))
+            ).alias("merged_equals_whole"),
+            "n_exact",
+            ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+        ),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # schema evolution: mergeSchema read over an evolving lake
 # ---------------------------------------------------------------------------
 

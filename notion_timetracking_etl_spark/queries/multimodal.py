@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..operators.multimodal import (
+    PHASH_MIN_CHARS,
     attach_media_columns,
     decode_media,
+    phash_media,
+    phash_near_dup_pairs,
     resize_media,
     sample_frames,
 )
@@ -177,3 +180,108 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+MM_MAX_HAMMING = 8  # near-dup radius over the 64-bit dHash
+MM_PX_L1_MAX = 262144  # exact pixel-L1 verify cap (2^18 fixed-point units)
+
+# DuckDB twin of operators.multimodal._stub_raster + the dHash fold, as
+# reusable CTEs: vis (visual media >= PHASH_MIN_CHARS chars), grid (the
+# 8-channel x 9-block scaled codepoint histogram), ph (the signed-64 dHash),
+# pxv (the row-major 72-cell pixel list).
+_PHASH_CTES = f"""
+        vis AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+          FROM documents
+          WHERE text IS NOT NULL
+            AND length(text) >= {PHASH_MIN_CHARS}
+            AND doc_id % 3 <> 1  -- audio rows have no raster
+        ),
+        chars AS (
+          SELECT doc_id, n,
+                 generate_subscripts(string_split(text, ''), 1) AS i,
+                 unnest(string_split(text, '')) AS ch
+          FROM vis
+        ),
+        cellcnt AS (
+          SELECT doc_id, n, unicode(ch) % 8 AS r, ((i - 1) * 9) // n AS c,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM chars GROUP BY 1, 2, 3, 4
+        ),
+        spine AS (
+          SELECT v.doc_id, v.n, r.r, c.c
+          FROM vis v,
+               (SELECT unnest(generate_series(0, 7)) AS r) r,
+               (SELECT unnest(generate_series(0, 8)) AS c) c
+        ),
+        grid AS (
+          SELECT s.doc_id, s.r, s.c,
+                 (COALESCE(k.cnt, 0) * 1048576) // s.n AS px
+          FROM spine s LEFT JOIN cellcnt k
+            ON k.doc_id = s.doc_id AND k.r = s.r AND k.c = s.c
+        ),
+        ph AS (
+          SELECT g.doc_id,
+                 CAST(SUM(CASE WHEN g.px < g2.px THEN
+                      CASE WHEN g.r * 8 + g.c = 63
+                           THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << (g.r * 8 + g.c)) END
+                      ELSE 0 END) AS BIGINT) AS phash
+          FROM grid g JOIN grid g2
+            ON g2.doc_id = g.doc_id AND g2.r = g.r AND g2.c = g.c + 1
+          GROUP BY 1
+        ),
+        pxv AS (
+          SELECT doc_id, list(px ORDER BY r, c) AS pxl FROM grid GROUP BY 1
+        )"""
+
+
+@register(
+    "multimodal_near_dup",
+    "A6-ext-phash,J8-analog",
+    "Perceptual-hash near-dup over VISUAL media (the r8 verdict's missing "
+    "dedup surface: the text/embedding families never deduplicated the "
+    "multimodal column itself): a 64-bit dHash — horizontal-gradient bits "
+    "over the decoded 8x9 raster — computed inside the SAME Arrow "
+    "mapInPandas decode seam as the rest of the media family (stub raster: "
+    "scaled codepoint histogram, deterministic and SQL-replayable; a PIL "
+    "grayscale-resize drops into raster_fn without touching the hash, "
+    f"blocking, or verify). Pairs within Hamming {MM_MAX_HAMMING} surface "
+    "via the pigeonhole block self-join (9 disjoint bit blocks — the "
+    "machinery shared with dedup_simhash_hamming: any pair in radius "
+    "agrees exactly on >= 1 block; the shuffle carries (media, block) "
+    "rows, never the O(n^2) pair space), then exact two-stage verify: "
+    "bit_count(xor) on the full hashes in the join projection, and the "
+    f"exact pixel L1 distance (<= {MM_PX_L1_MAX}) over the 72-cell grids "
+    "for survivors only. The oracle replays raster, hash (signed-64 "
+    "two's-complement reinterpretation), and both verifies end-to-end; "
+    "candidate generation needs no replay because the pigeonhole cover is "
+    "COMPLETE within the radius — Spark's blocked output provably equals "
+    "the oracle's full-join filter.",
+    oracle=f"""
+        WITH {_PHASH_CTES}
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+               CAST(list_sum(list_transform(generate_series(1, 72),
+                    k -> abs(pa.pxl[k] - pb.pxl[k]))) AS BIGINT) AS px_l1
+        FROM ph a
+        JOIN ph b ON a.doc_id < b.doc_id
+        JOIN pxv pa ON pa.doc_id = a.doc_id
+        JOIN pxv pb ON pb.doc_id = b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {MM_MAX_HAMMING}
+          AND list_sum(list_transform(generate_series(1, 72),
+               k -> abs(pa.pxl[k] - pb.pxl[k]))) <= {MM_PX_L1_MAX}
+        ORDER BY a, b
+    """,
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    sig = phash_media(media)  # audio filtered JVM-side inside the operator
+    pairs = phash_near_dup_pairs(
+        sig, max_hamming=MM_MAX_HAMMING, px_l1_max=MM_PX_L1_MAX
+    )
+    # O(near-dup pairs) output on a dup-heavy corpus -> distributed orderBy
+    return pairs.orderBy("a", "b")

@@ -220,7 +220,10 @@ def _plane_dot_sql(col: str, plane: list[float]) -> str:
 def _srp_oracle(bits: int, bands: int, threshold: float) -> str:
     from ..operators.similarity import srp_planes
 
-    planes = srp_planes(bits, dims=64)
+    # EMB_DIMS, not a literal 64: the Spark operator generates its planes at
+    # dims=EMB_DIMS, and a mismatch would silently desynchronize the oracle's
+    # buckets from the plan's (ADVICE r8).
+    planes = srp_planes(bits, dims=EMB_DIMS)
     per = bits // bands
     buckets = []
     for j in range(bands):
@@ -756,6 +759,24 @@ def _knn_bits_terms(n_sql: str) -> str:
     )
 
 
+# r8 verdict task #2 (skew-adaptive cells): the GLOBAL bit count assumes
+# balanced SRP sign bits, so correlated embeddings could concentrate the
+# corpus into a few coarse cells and silently push members into the
+# KNN_MAX_CELL valve. Cells now refine PER COARSE CELL from their OBSERVED
+# occupancy — the SemDeDup two-level pattern (queries/kmeans.py), with the
+# SRP prefix itself as the coarse level: extra bits = smallest e with
+# occupancy <= TARGET*2^e, refined cell = the first min(global_bits +
+# extra, KNN_MAX_BITS) signature bits. Same integer thresholds on both
+# engines; cell ids of different lengths can never collide because every
+# id shares the global-bits prefix length and refinement only appends.
+def _knn_extra_terms(m_sql: str) -> str:
+    """Integer-exact per-cell refinement bits from observed occupancy."""
+    return " + ".join(
+        f"(CASE WHEN {m_sql} > {KNN_TARGET_CELL * (1 << b)} THEN 1 ELSE 0 END)"
+        for b in range(KNN_MAX_BITS)
+    )
+
+
 def _knn_sig_sql(col: str) -> str:
     from ..operators.similarity import srp_planes
 
@@ -771,16 +792,20 @@ def _knn_sig_sql(col: str) -> str:
     "knn_graph_stats",
     "J4-analog,A10-ext",
     f"k-NN graph (k={_KNN_K}) over the embedding corpus, blocked by "
-    "ADAPTIVE SRP quantizer cells: the cell id is the first ceil-log2(n/"
-    f"{KNN_TARGET_CELL}) sign bits of a fixed md5-derived hyperplane "
-    "signature, so cell count scales with the corpus and expected cell "
-    f"size stays ~{KNN_TARGET_CELL} — the pair space is O(n * cell), "
-    "never O(n^2) (the r6 verdict's label-blocking fix). Cells above "
-    f"{KNN_MAX_CELL} members are truncated to the lowest vec_ids "
-    "(MAX_BLOCK-style valve, dormant at tested scales) and the per-cell "
-    "n_truncated column exposes exactly how many vectors the valve "
-    "dropped, so skew-driven coverage loss is observable in the result "
-    "itself rather than silent. Per participant, "
+    "SKEW-ADAPTIVE two-level SRP quantizer cells (r8 verdict task #2): a "
+    f"global coarse level (first ceil-log2(n/{KNN_TARGET_CELL}) sign bits "
+    "of a fixed md5-derived hyperplane signature) plus PER-CELL refinement "
+    "bits derived from each coarse cell's OBSERVED occupancy — the "
+    "SemDeDup two-level pattern — so correlated embeddings that "
+    "concentrate into few coarse cells re-split to ~target size instead "
+    "of silently truncating at the valve. Expected cell size stays "
+    f"~{KNN_TARGET_CELL} at any scale AND under any skew the signature "
+    "can separate — the pair space is O(n * cell), never O(n^2). Cells "
+    f"above {KNN_MAX_CELL} members (now only possible from near-identical "
+    "signatures, which no prefix can split) truncate to the lowest "
+    "vec_ids and the per-cell n_truncated column exposes exactly how many "
+    "vectors the valve dropped, so skew-driven coverage loss is "
+    "observable in the result itself rather than silent. Per participant, "
     "the top-k same-cell neighbors by the deterministic cosine fold; per "
     "cell, the graph-quality report — nodes, directed edges, RECIPROCAL "
     "edge count (a->b with b->a, the symmetry signal HNSW-style builders "
@@ -792,20 +817,33 @@ def _knn_sig_sql(col: str) -> str:
           FROM embeddings WHERE {VALID_EMB_PRED_SQL}
         ),
         bv AS (SELECT ({_knn_bits_terms("COUNT(*)")}) AS bits FROM base),
+        coarse AS (
+          SELECT vec_id, embedding, sig,
+                 substr(sig, 1, (SELECT bits FROM bv)) AS ccell
+          FROM base
+        ),
+        ref AS (
+          SELECT ccell,
+                 LEAST((SELECT bits FROM bv)
+                       + ({_knn_extra_terms("COUNT(*)")}),
+                       {KNN_MAX_BITS}) AS blen
+          FROM coarse GROUP BY ccell
+        ),
+        refined AS (
+          SELECT c.vec_id, c.embedding, substr(c.sig, 1, r.blen) AS cell
+          FROM coarse c JOIN ref r USING (ccell)
+        ),
         members AS (
           SELECT vec_id, embedding, cell FROM (
-            SELECT vec_id, embedding,
-                   substr(sig, 1, (SELECT bits FROM bv)) AS cell,
+            SELECT vec_id, embedding, cell,
                    ROW_NUMBER() OVER (
-                     PARTITION BY substr(sig, 1, (SELECT bits FROM bv))
-                     ORDER BY vec_id) AS crn
-            FROM base
+                     PARTITION BY cell ORDER BY vec_id) AS crn
+            FROM refined
           ) WHERE crn <= {KNN_MAX_CELL}
         ),
         pop AS (
-          SELECT substr(sig, 1, (SELECT bits FROM bv)) AS cell,
-                 CAST(COUNT(*) AS BIGINT) AS n_total
-          FROM base GROUP BY 1
+          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_total
+          FROM refined GROUP BY 1
         ),
         edges AS (
           SELECT * FROM (
@@ -871,10 +909,26 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE CAST(({_bits_sum}) AS INT) END"
         ).alias("bits")
     )
+    coarse = base.crossJoin(F.broadcast(bits)).withColumn(
+        "ccell", F.expr("substring(sig, 1, bits)")
+    )
+    # skew-adaptive refinement (r8 verdict task #2): extra bits per coarse
+    # cell from its OBSERVED occupancy, so correlated embeddings that
+    # concentrate into few coarse cells re-split instead of silently
+    # hitting the KNN_MAX_CELL valve. The occupancy aggregate and the join
+    # back share the ccell key, so Catalyst reuses one exchange; the ref
+    # table is O(n / TARGET_CELL) rows — never broadcast-forced, AQE picks
+    # the strategy by measured size.
+    extra = _knn_extra_terms("count(1)")
+    ref = coarse.groupBy("ccell").agg(
+        F.expr(
+            f"least(any_value(bits) + ({extra}), {KNN_MAX_BITS})"
+        ).alias("blen")
+    )
     members = (
-        base.crossJoin(F.broadcast(bits))
-        .withColumn("cell", F.expr("substring(sig, 1, bits)"))
-        .drop("sig", "bits")
+        coarse.join(ref, "ccell")
+        .withColumn("cell", F.expr("substring(sig, 1, blen)"))
+        .drop("sig", "bits", "ccell", "blen")
     )
     cw = Window.partitionBy("cell").orderBy("vec_id")
     counted = members.withColumn("crn", F.row_number().over(cw))

@@ -105,9 +105,15 @@ def quantile_rank_flags(ev: DataFrame, summ: DataFrame) -> DataFrame:
     must intersect the guaranteed window (widened by 2 absolute rank slots
     for boundary-convention differences). A broken sketch (shifted value,
     swapped groups, garbage merge) flips the flag; the flags — not the
-    engine-specific estimates — are the hashed output."""
-    joined = ev.select("event_type", "value").join(
-        F.broadcast(summ), "event_type"
+    engine-specific estimates — are the hashed output.
+
+    Both joins key on a null-coalesced group id: ``event_type`` itself is
+    nullable (groupBy keeps the NULL group), and a plain equi-join would
+    drop it — the NULL group's flags would come back NULL while the
+    oracle emits TRUE (ADVICE r8, the NULL-key divergence class)."""
+    gkey = F.coalesce(F.col("event_type"), F.lit("\x00<null>")).alias("_g")
+    joined = ev.select(gkey, "value").join(
+        F.broadcast(summ.select(gkey, *_PCTS)), "_g"
     )
     rank_aggs = []
     for p_name in _PCTS:
@@ -121,7 +127,7 @@ def quantile_rank_flags(ev: DataFrame, summ: DataFrame) -> DataFrame:
                 F.when(F.col("value") <= F.col(p_name), 1).otherwise(0)
             ).alias(f"{p_name}_le")
         )
-    checks = joined.groupBy("event_type").agg(*rank_aggs)
+    checks = joined.groupBy("_g").agg(*rank_aggs)
 
     def in_bound(p_name: str, p: float) -> Column:
         n = F.col("n_vals").cast("double")
@@ -134,7 +140,8 @@ def quantile_rank_flags(ev: DataFrame, summ: DataFrame) -> DataFrame:
         return F.when(F.col("n_vals") == 0, F.lit(True)).otherwise(ok)
 
     return (
-        summ.join(checks, "event_type", "left")
+        summ.withColumn("_g", gkey)
+        .join(checks, "_g", "left")
         .select(
             "event_type",
             "n_events",

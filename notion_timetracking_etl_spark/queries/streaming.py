@@ -815,3 +815,143 @@ def streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _semgate_oracle_sql() -> str:
+    """The streaming gate is verdict-identical to the batch gate, so it
+    reuses semdedup_incremental's oracle verbatim (same convention as the
+    quantile/source-cap streaming twins sharing their batch oracles).
+    Importing .kmeans here (before queries/__init__ reaches it) is safe:
+    its own imports are all earlier in the package order."""
+    from .kmeans import ITERS, K, SEMDEDUP_T, _semdedup_incr_oracle_sql
+
+    return _semdedup_incr_oracle_sql(K, ITERS, SEMDEDUP_T)
+
+
+@register(
+    "streaming_semdedup_gate",
+    "A6-ext-sem-stream,UDF-stream",
+    "Streaming twin of semdedup_incremental — the SEMANTIC ingest gate run "
+    "INCREMENTALLY as embeddings arrive (foreachBatch): each micro-batch "
+    "routes through the two-level quantizer (broadcast k-means centroids + "
+    "the SRP refinement-bit scalar, which in production derives from the "
+    "ingest-time corpus count — captured once before the stream here) and "
+    "joins ONLY the refined-cell corpus representatives (<= SEM_MAX_CELL "
+    "lowest ids per cell, the batch query's valve), emitting each flagged "
+    "arrival's best corpus match by the same comparison-struct MAX. A "
+    "verdict depends on (arrival, corpus) alone, so ANY micro-batch split "
+    "unions to the identical verdict set — stream-merged == batch gate "
+    "under forced splits (pinned in tests), and the batch oracle serves "
+    "unchanged. Completes the streaming-twin set: every major curation "
+    "operator (cap, quantile, CDC, sketches, semantic dedup) now has an "
+    "incremental form.",
+    oracle=_semgate_oracle_sql(),
+)
+def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _scoped_persist
+    from ..operators.kmeans import _as_double_vec, _assign
+    from ..operators.similarity import norm_sq, srp_planes, srp_signature_bands
+    from ..streaming.rollup import _is_directory
+    from ..streaming.semgate import semdedup_gate_drain
+    from .kmeans import (
+        K,
+        SEM_MAX_BITS,
+        SEM_MAX_CELL,
+        SEM_TARGET_CELL,
+        SEMDEDUP_T,
+        _refined_cells,
+        fitted_model,
+    )
+    from .similarity import EMB_DIMS, VALID_EMB_PRED, load_embeddings
+
+    # ingest-time quantizer config: the refinement-bit scalar from the
+    # corpus count (a driver-side scalar by design — production stores it
+    # with the frozen model, the way model_store persists centroids)
+    n_corpus = load_embeddings(spark, sf_dir).count()
+    bits = sum(
+        n_corpus > K * SEM_TARGET_CELL * (1 << b) for b in range(SEM_MAX_BITS)
+    )
+    if bits >= SEM_MAX_BITS:
+        raise RuntimeError(
+            f"streaming semdedup gate: SRP refinement bits saturated at "
+            f"SEM_MAX_BITS={SEM_MAX_BITS}; lift the cap"
+        )
+    _asg, cent = fitted_model(spark, sf_dir)
+    planes = srp_planes(SEM_MAX_BITS, dims=EMB_DIMS)
+
+    # the persisted routing state: refined-cell corpus representatives
+    mem = _refined_cells(spark, sf_dir)
+    is_new = F.col("vec_id") % 10 == 9
+    cw = Window.partitionBy("cell").orderBy("vec_id")
+    corpus = _scoped_persist(
+        mem.filter(~is_new)
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= SEM_MAX_CELL)
+        .select(
+            "cell",
+            F.col("vec_id").alias("matched_vec"),
+            F.col("embedding").alias("vc"),
+            F.col("nrm").alias("nc"),
+        )
+    )
+
+    def route(batch: DataFrame) -> DataFrame:
+        asg = _assign(_as_double_vec(batch, "vec_id", "embedding"), cent)
+        sigd = batch.select(
+            "vec_id",
+            F.col("embedding").alias("vb"),
+            F.sqrt(norm_sq(F.col("embedding"))).alias("nb"),
+            srp_signature_bands(F.col("embedding"), planes, bands=1)[0]
+            .alias("sig"),
+        )
+        return sigd.join(asg.select("vec_id", "cid"), "vec_id").select(
+            F.concat(
+                F.col("cid").cast("string"),
+                F.lit(":"),
+                F.expr(f"substring(sig, 1, {bits})"),
+            ).alias("cell"),
+            "vec_id",
+            "vb",
+            "nb",
+        )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if _is_directory(spark, path):
+        # a real multi-file lake: one micro-batch per file — the forced
+        # split that makes the stream==batch claim non-vacuous (tests
+        # stage arrivals as 3 files and compare against the batch gate)
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+    arrivals = stream.filter(F.expr(VALID_EMB_PRED)).filter(is_new).select(
+        "vec_id", "embedding"
+    )
+    verdicts, _n = semdedup_gate_drain(
+        spark,
+        arrivals,
+        corpus,
+        route,
+        SEMDEDUP_T,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sg_semgate_ckpt_"),
+    )
+    if verdicts is None:  # zero micro-batches: an empty arrival backlog
+        return spark.createDataFrame(
+            [], "vec_id long, cell string, matched_vec long, cos double"
+        )
+    return verdicts.orderBy("vec_id")
+
+

@@ -1,0 +1,390 @@
+"""Round-9 additions: skew-adaptive kNN cells, perceptual-hash near-dup,
+session model-cache hygiene, NULL event_type hostile probe.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pytest
+
+from notion_timetracking_etl_spark.queries import REGISTRY
+from tests.parity import compare_query, duck_connection
+
+SRC_SF = "/root/testdata/sf0.001"
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _clone_lake(tmp_path, replace: dict[str, str]) -> str:
+    """A lake dir with ``replace[t]`` parquet files swapped in and every
+    other table symlinked from sf0.001 — single files throughout, so both
+    Spark and tests/parity.duck_connection resolve all ten views."""
+    d = tmp_path / "lake"
+    d.mkdir()
+    for t in ALL_TABLES:
+        dst = str(d / f"{t}.parquet")
+        if t in replace:
+            os.replace(replace[t], dst)
+        else:
+            os.symlink(f"{SRC_SF}/{t}.parquet", dst)
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# kNN skew-adaptive refinement (r8 verdict task #2)
+# ---------------------------------------------------------------------------
+
+N_SKEW = 2000  # > KNN_TARGET_CELL * 2^3, so global bits = 4
+
+
+def _skewed_embeddings(tmp_path) -> tuple[str, int]:
+    """A correlated-embedding lake: every vector agrees on the first 4 SRP
+    sign bits (margin-forced, so float fold order cannot flip them), with
+    later bits random. Under the pre-r9 GLOBAL bit derivation this corpus
+    lands in ONE 4-bit cell of 2000 members — far past KNN_MAX_CELL=1024 —
+    and silently truncates; per-cell refinement must re-split it.
+    Returns (lake_dir, expected_global_bits)."""
+    from notion_timetracking_etl_spark.operators.similarity import srp_planes
+    from notion_timetracking_etl_spark.queries.similarity import (
+        EMB_DIMS,
+        KNN_MAX_BITS,
+        KNN_TARGET_CELL,
+    )
+
+    planes = srp_planes(KNN_MAX_BITS, dims=EMB_DIMS)
+    rng = random.Random(20260815)
+    rows = []
+    while len(rows) < N_SKEW:
+        vec = [rng.gauss(0.0, 1.0) for _ in range(EMB_DIMS)]
+        # first 4 sign bits must all read '1' with a wide margin (the Spark
+        # plane dot is a strict sequential fold; |dot| >= 0.5 cannot flip
+        # under any summation order of float32-rounded components)
+        dots = [
+            sum(float(v) * p for v, p in zip(vec, pl)) for pl in planes[:4]
+        ]
+        if all(dt >= 0.5 for dt in dots):
+            rows.append(vec)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {r}::FLOAT[], 0)" for i, r in enumerate(rows)
+        )
+        + ") t(vec_id, embedding, label)"
+    )
+    out = str(tmp_path / "embeddings_skew.parquet")
+    con.execute(f"COPY (SELECT vec_id, embedding, label FROM emb) TO '{out}'")
+    con.close()
+    # expected global bits for n=2000: smallest b with n <= 128 * 2^b
+    bits = 0
+    while N_SKEW > KNN_TARGET_CELL * (1 << bits):
+        bits += 1
+    assert bits == 4
+    return out, bits
+
+
+@pytest.fixture(scope="module")
+def skew_lake(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("knn_skew")
+    emb_file, _bits = _skewed_embeddings(tmp)
+    return _clone_lake(tmp, {"embeddings": emb_file})
+
+
+def test_knn_skewed_corpus_refines_instead_of_truncating(spark, skew_lake):
+    from notion_timetracking_etl_spark.queries.similarity import KNN_MAX_CELL
+
+    rows = REGISTRY["knn_graph_stats"].spark(spark, skew_lake).collect()
+    # pre-refinement this corpus is ONE coarse cell of N_SKEW members
+    # (> KNN_MAX_CELL): the old global-bits scheme truncated 976 vectors.
+    assert N_SKEW > KNN_MAX_CELL
+    # refined cells re-split the skew: nothing truncates, every cell is
+    # a real sub-partition of the single coarse cell
+    assert len(rows) > 1
+    assert sum(r.n_truncated for r in rows) == 0
+    assert all(r.n_nodes <= KNN_MAX_CELL for r in rows)
+    assert sum(r.n_nodes for r in rows) == N_SKEW
+    # all refined cells extend the same 4-bit coarse prefix
+    assert {r.cell[:4] for r in rows} == {"1111"}
+    assert all(len(r.cell) == 8 for r in rows)  # 4 global + 4 occupancy bits
+
+
+def test_knn_skewed_corpus_hash_parity(spark, skew_lake):
+    con = duck_connection(skew_lake)
+    try:
+        result = compare_query(spark, con, REGISTRY["knn_graph_stats"], skew_lake)
+        assert result.ok, result.detail
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# NULL event_type hostile probe (ADVICE r8 medium)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def null_type_lake(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("null_event_type")
+    con = duckdb.connect()
+    out = str(tmp / "events_nulled.parquet")
+    con.execute(
+        f"""COPY (
+            SELECT event_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END
+                     AS event_type,
+                   user_id, value
+            FROM read_parquet('{SRC_SF}/events.parquet')
+        ) TO '{out}'"""
+    )
+    con.close()
+    return _clone_lake(tmp, {"events": out})
+
+
+@pytest.mark.parametrize(
+    "name", ["quantile_summary_approx", "quantile_summary", "quantile_hash_sample"]
+)
+def test_null_event_type_group_holds_parity(spark, null_type_lake, name):
+    # a NULL event_type group is a legitimate production state: groupBy
+    # keeps it, and the rank-audit joins must not drop it (the r8 fix
+    # joins on a null-coalesced key; pre-fix the NULL group's flags came
+    # back NULL while the oracle said TRUE)
+    con = duck_connection(null_type_lake)
+    try:
+        result = compare_query(spark, con, REGISTRY[name], null_type_lake)
+        assert result.ok, f"{name}: {result.detail}"
+    finally:
+        con.close()
+
+
+def test_null_event_type_group_is_audited_not_dropped(spark, null_type_lake):
+    rows = REGISTRY["quantile_summary_approx"].spark(spark, null_type_lake).collect()
+    null_rows = [r for r in rows if r.event_type is None]
+    assert len(null_rows) == 1
+    r = null_rows[0]
+    assert r.p50_in_bound and r.p90_in_bound and r.p99_in_bound
+
+
+# ---------------------------------------------------------------------------
+# Session model-cache hygiene (r8 verdict task #7)
+# ---------------------------------------------------------------------------
+
+
+def test_release_session_models_frees_and_refits(spark, sf_dir):
+    from notion_timetracking_etl_spark.queries import kmeans as km
+
+    km.release_session_models()  # clean slate
+    asg, _cent = km.fitted_model(spark, sf_dir)
+    mem = km._refined_cells(spark, sf_dir)
+    n_asg, n_mem = asg.count(), mem.count()
+    assert km._MODEL_CACHE and km._CELLS_CACHE
+    km.release_session_models()
+    assert not km._MODEL_CACHE and not km._CELLS_CACHE
+    # a released model re-fits cleanly (no dangling checkpoint references)
+    asg2, _ = km.fitted_model(spark, sf_dir)
+    assert asg2.count() == n_asg
+    assert km._refined_cells(spark, sf_dir).count() == n_mem
+    km.release_session_models()
+
+
+def test_model_caches_are_lru_bounded():
+    from notion_timetracking_etl_spark.queries import kmeans as km
+
+    freed: list[str] = []
+    cache: dict = {}
+    for i in range(km._MODEL_MAX_ENTRIES + 3):
+        cache[("app", f"sf{i}")] = f"model{i}"
+        km._evict_lru(cache, freed.append)
+    assert len(cache) == km._MODEL_MAX_ENTRIES
+    assert freed == ["model0", "model1", "model2"]
+    # a read refreshes recency: the re-read entry survives the next insert
+    assert km._cache_get(cache, ("app", "sf3")) == "model3"
+    cache[("app", "new")] = "modelN"
+    km._evict_lru(cache, freed.append)
+    assert ("app", "sf3") in cache and freed[-1] == "model4"
+
+
+# ---------------------------------------------------------------------------
+# Persisted-sketch lake (r8 verdict task #3): incremental-append probe
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_lake_incremental_append_merges_to_whole(spark, sf_dir, tmp_path):
+    """The storage-seam contract: partials written in TWO separate appends
+    (an initial backfill + a later incremental batch of new dates) merge on
+    read to EXACTLY the single-pass whole-corpus sketch — the monoid
+    property carried through the parquet round-trip."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.queries.lake import (
+        kmv_dated_hashes,
+        kmv_merge_sketch,
+        kmv_partial_sketches,
+    )
+    from notion_timetracking_etl_spark.sinks.parquet import (
+        write_partitioned_lake,
+    )
+
+    hashed = kmv_dated_hashes(spark, sf_dir)
+    cutoff = "2024-01-15"
+    path = str(tmp_path / "kmv_lake")
+    write_partitioned_lake(
+        kmv_partial_sketches(hashed.filter(F.col("event_date") < cutoff)),
+        path,
+        ["event_date"],
+    )
+    write_partitioned_lake(
+        kmv_partial_sketches(hashed.filter(F.col("event_date") >= cutoff)),
+        path,
+        ["event_date"],
+        mode="append",
+    )
+    partials = spark.read.parquet(path)
+    merged = {
+        r.g: (r.kth_min, r.n_in_sketch)
+        for r in kmv_merge_sketch(partials).collect()
+    }
+    whole = {
+        r.g: (r.kth_min, r.n_in_sketch)
+        for r in kmv_merge_sketch(hashed).collect()
+    }
+    assert merged == whole and merged
+
+
+def test_kmv_sketch_lake_merge_flags_all_green(spark, sf_dir):
+    rows = REGISTRY["kmv_sketch_lake_merge"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merged_equals_whole for r in rows)
+    assert all(r.n_partials >= 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SemDeDup gate (r8 verdict task #8): forced-split equality
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_semdedup_gate_split_equals_batch(spark, sf_dir, tmp_path):
+    """The gate's verdicts under a FORCED 3-micro-batch arrival split must
+    equal the batch gate exactly (a verdict depends on (arrival, corpus)
+    alone, so any split unions to the same set)."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.queries import kmeans as km
+
+    # stage a lake whose embeddings table is a DIRECTORY of 3 files —
+    # maxFilesPerTrigger=1 then forces 3 micro-batches
+    d = tmp_path / "lake"
+    d.mkdir()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.withColumn(
+        "_split", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(3))
+    ).repartition(3, "_split").drop("_split").write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    for t in ALL_TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SRC_SF}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    lake = str(d)
+    km.release_session_models()  # fresh fit for the staged lake
+    try:
+        streamed = {
+            tuple(r)
+            for r in REGISTRY["streaming_semdedup_gate"].spark(spark, lake).collect()
+        }
+        release_scoped_caches()
+        batch = {
+            tuple(r)
+            for r in REGISTRY["semdedup_incremental"].spark(spark, lake).collect()
+        }
+        release_scoped_caches()
+    finally:
+        km.release_session_models()
+    assert streamed == batch and streamed
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup invariants (r8 verdict task #1)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_identical_payloads_hamming_zero(spark, tmp_path):
+    from notion_timetracking_etl_spark.queries.multimodal import (
+        multimodal_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    edit = base.replace("lazy", "hazy", 1)
+    docs = [
+        (0, base),  # image
+        (2, base),  # video — identical payload, cross-type match
+        (3, edit),  # video — near-identical payload
+        (6, "completely different text payload with other words " * 4),
+        (1, base),  # audio — must be excluded even though identical
+    ]
+    con = duckdb.connect()
+    out = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'en', 'src0', {len(t)})" for i, t in docs
+        )
+        + ") t(doc_id, text, lang, source, n_chars)) TO '" + out + "'"
+    )
+    con.close()
+    d = tmp_path / "lake"
+    d.mkdir()
+    os.replace(out, str(d / "documents.parquet"))
+    for t in ALL_TABLES:
+        if t != "documents":
+            os.symlink(f"{SRC_SF}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    rows = {(r.a, r.b): r for r in multimodal_near_dup(spark, str(d)).collect()}
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    release_scoped_caches()
+    # identical payloads: hamming 0, pixel distance 0 — across media types
+    assert (0, 2) in rows
+    assert rows[(0, 2)].hamming == 0 and rows[(0, 2)].px_l1 == 0
+    # one-word edit stays within the radius; the unrelated doc never pairs
+    assert (0, 3) in rows and (2, 3) in rows
+    assert all(6 not in pair for pair in rows)
+    # audio is excluded from the visual pair space entirely
+    assert all(1 not in pair for pair in rows)
+
+
+def test_stub_raster_contract():
+    from notion_timetracking_etl_spark.operators.multimodal import (
+        PHASH_GRID_CH,
+        PHASH_GRID_W,
+        PHASH_MIN_CHARS,
+        PHASH_SCALE,
+        _stub_raster,
+    )
+
+    s = "abcdefgh" * 9  # 72 chars
+    px = _stub_raster(s.encode(), "image")
+    assert len(px) == PHASH_GRID_CH * PHASH_GRID_W
+    assert all(0 <= v <= PHASH_SCALE for v in px)
+    # deterministic and length-normalized: a doubled payload pools to the
+    # same scaled grid (same distribution, same block boundaries)
+    assert px == _stub_raster((s + s).encode(), "image")
+    with pytest.raises(ValueError):
+        _stub_raster(b"x" * (PHASH_MIN_CHARS - 1), "image")
