@@ -95,32 +95,39 @@ def main() -> None:
         return dt
 
     baseline = load_baseline_minima()
+    # Two-tier protocol (r8 verdict task #6 — bound the bench's growth as
+    # the registry scales): queries whose implementation changed this round
+    # (named in $SPARK_GRAFT_BENCH_FOCUS, comma-separated) run min-of-3
+    # unconditionally — they are the ones whose numbers feed new BASELINE
+    # rows and must not be single-sample noise. Everything else runs ONCE
+    # and re-samples only on evidence of trouble (>1.5x its recorded
+    # baseline minimum; a query with no baseline row re-samples when
+    # non-trivial), so total wall grows ~linearly with registry size at
+    # ~1 run/query instead of ~2, and the end-of-run re-pass below remains
+    # the backstop against sustained contention windows.
+    focus = {
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_FOCUS", "").split(",") if q
+    }
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     total = 0.0
     for name in sorted(REGISTRY):
-        runs = [run_once(name)]
         base = baseline.get(name)
-        # Steady-state convention: repeat non-trivial queries and report the
-        # min — absorbs first-touch cache warming and host-noise spikes. A
-        # first run already at/under ~1.3x its recorded baseline minimum is
-        # demonstrably healthy and skips the repeat (keeps total bench wall
-        # sub-linear in registry size; the 2x gate below still re-samples
-        # anything that looks slow). ADVICE r7: the 0.5s floor no longer
-        # exempts a query that is ALREADY over 1.5x its baseline — the
-        # sub-second query most in need of a second sample was the one the
-        # floor used to skip.
-        if (runs[0] > 0.5 and (base is None or runs[0] > 1.3 * base)) or (
-            base is not None and runs[0] > 1.5 * base
-        ):
-            runs.append(run_once(name))
-        # Outlier retry: this host's wall-clock swings up to 3x under
-        # steal/driver-cycle contention (BASELINE.md protocol). If a query
-        # still reads >2x its recorded baseline minimum, take one more
-        # sample so a single contention spike doesn't masquerade as a
-        # regression. Bounded: at most one extra run, only for outliers.
-        if base is not None and min(runs) > 2 * base:
-            runs.append(run_once(name))
+        if name in focus:
+            runs = [run_once(name) for _ in range(3)]
+        else:
+            runs = [run_once(name)]
+            if (base is not None and runs[0] > 1.5 * base) or (
+                base is None and runs[0] > 0.5
+            ):
+                runs.append(run_once(name))
+            # Outlier retry: this host's wall-clock swings up to 3x under
+            # steal/driver-cycle contention (BASELINE.md protocol). If a
+            # query still reads >2x its recorded baseline minimum, take one
+            # more sample so a single contention spike doesn't masquerade
+            # as a regression. Bounded: at most one extra run.
+            if base is not None and min(runs) > 2 * base:
+                runs.append(run_once(name))
         dt = round(min(runs), 3)
         timings[name] = dt
         samples[name] = [round(r, 3) for r in runs]
@@ -173,10 +180,13 @@ def main() -> None:
                 "sf": sf,
                 "cpus": spark.sparkContext.defaultParallelism,
                 "protocol": (
-                    "per-query min; 2nd run if (>0.5s and >1.3x baseline min)"
-                    " or >1.5x baseline, 3rd if >2x; end-of-run re-pass for"
-                    " still->2x queries labeled in 'repass'"
+                    "two-tier per-query min: focus queries (changed this"
+                    " round, $SPARK_GRAFT_BENCH_FOCUS) min-of-3; rest"
+                    " min-of-1 with a 2nd run only if >1.5x baseline (or"
+                    " >0.5s with no baseline), 3rd if >2x; end-of-run"
+                    " re-pass for still->2x queries labeled in 'repass'"
                 ),
+                "focus": sorted(focus),
                 "total_sec": round(total, 3),
                 "queries": timings,
                 "samples": samples,

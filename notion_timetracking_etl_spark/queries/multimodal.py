@@ -275,13 +275,109 @@ _PHASH_CTES = f"""
     """,
 )
 def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _phash_pairs(spark, sf_dir)
+    # O(near-dup pairs) output on a dup-heavy corpus -> distributed orderBy
+    return pairs.orderBy("a", "b")
+
+
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified visual near-dup pairs (a, b, hamming, px_l1) — shared by the
+    pair query and the cluster assignment."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
     )
     media = attach_media_columns(docs, "doc_id", "text")
     sig = phash_media(media)  # audio filtered JVM-side inside the operator
-    pairs = phash_near_dup_pairs(
+    return phash_near_dup_pairs(
         sig, max_hamming=MM_MAX_HAMMING, px_l1_max=MM_PX_L1_MAX
     )
-    # O(near-dup pairs) output on a dup-heavy corpus -> distributed orderBy
-    return pairs.orderBy("a", "b")
+
+
+_PHASH_PAIRS_SQL = f"""
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM ph a
+          JOIN ph b ON a.doc_id < b.doc_id
+          JOIN pxv pa ON pa.doc_id = a.doc_id
+          JOIN pxv pb ON pb.doc_id = b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= {MM_MAX_HAMMING}
+            AND list_sum(list_transform(generate_series(1, 72),
+                 k -> abs(pa.pxl[k] - pb.pxl[k]))) <= {MM_PX_L1_MAX}
+        )"""
+
+
+@register(
+    "multimodal_dedup_clusters",
+    "A6-ext-phash,J8,F20-analog",
+    "Visual near-dup CLUSTER assignment — the keep/drop decision that "
+    "completes the perceptual-hash family end-to-end (hash -> verified "
+    "pairs -> min-label connected components -> canonical representative), "
+    "mirroring the text family's dedup_clusters: every visual media row "
+    "labeled with its cluster representative (smallest media id) and "
+    "cluster size; keep == (id == rep). Components run the pointer-"
+    "jumping CC operator (rounds flat at 10x — same machinery as the "
+    "MinHash clusters); the oracle replays raster, hash, pair verify, and "
+    "a recursive-CTE transitive closure end-to-end.",
+    oracle=f"""
+        WITH RECURSIVE {_PHASH_CTES},
+        {_PHASH_PAIRS_SQL},
+        edges AS (
+          SELECT a AS x, b AS y FROM pairs
+          UNION
+          SELECT b AS x, a AS y FROM pairs
+        ),
+        reach AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        ),
+        rep AS (
+          SELECT x, least(x, min(y)) AS component FROM reach GROUP BY x
+        ),
+        assign AS (
+          SELECT v.doc_id AS media_id,
+                 CAST(COALESCE(r.component, v.doc_id) AS BIGINT)
+                   AS cluster_rep
+          FROM vis v LEFT JOIN rep r ON r.x = v.doc_id
+        ),
+        csizes AS (
+          SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM assign GROUP BY cluster_rep
+        )
+        SELECT assign.media_id, assign.cluster_rep, csizes.cluster_size,
+               CAST(assign.media_id = assign.cluster_rep AS BOOLEAN) AS keep
+        FROM assign JOIN csizes USING (cluster_rep)
+        ORDER BY media_id
+    """,
+)
+def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
+    )
+    # visual media universe, derived JVM-side (no decode seam needed for
+    # the id spine — only the pair list runs the raster/hash pipeline)
+    vis = docs.filter(F.col("doc_id") % 3 != 1).select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+    pairs = _phash_pairs(spark, sf_dir).select("a", "b")
+    cc = connected_components(pairs, "a", "b")
+    assign = vis.join(cc, vis.media_id == cc.node, "left").select(
+        "media_id",
+        F.coalesce(F.col("component"), F.col("media_id")).alias("cluster_rep"),
+    )
+    sizes = assign.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    # O(corpus) output -> distributed orderBy
+    return (
+        assign.join(sizes, "cluster_rep")
+        .select(
+            "media_id",
+            "cluster_rep",
+            "cluster_size",
+            (F.col("media_id") == F.col("cluster_rep")).alias("keep"),
+        )
+        .orderBy("media_id")
+    )

@@ -925,13 +925,21 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"least(any_value(bits) + ({extra}), {KNN_MAX_BITS})"
         ).alias("blen")
     )
-    members = (
+    cw = Window.partitionBy("cell").orderBy("vec_id")
+    # Scoped persist: counted feeds THREE consumers (the pre-valve pop, and
+    # both self-join branches), and the upstream lineage — the 32-plane SRP
+    # signature fold plus the occupancy join — is the dominant per-row cost
+    # of this operator; without it each consumer recomputes the signatures.
+    # On a cluster this is the checkpoint of the routing table; in-memory
+    # persistence is the local[] equivalent (spills, scope-released).
+    from ..operators.dedup import _scoped_persist
+
+    counted = _scoped_persist(
         coarse.join(ref, "ccell")
         .withColumn("cell", F.expr("substring(sig, 1, blen)"))
         .drop("sig", "bits", "ccell", "blen")
+        .withColumn("crn", F.row_number().over(cw))
     )
-    cw = Window.partitionBy("cell").orderBy("vec_id")
-    counted = members.withColumn("crn", F.row_number().over(cw))
     # valve observability (ADVICE r7): per-cell pre-valve population, so
     # the output exposes exactly how many vectors the KNN_MAX_CELL valve
     # dropped from the graph (n_truncated = 0 everywhere until a skewed

@@ -293,6 +293,9 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
     load_table(spark, "/root/testdata/sf0.001", "documents").limit(0).write.mode(
         "overwrite"
     ).parquet(f"{out}/documents.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
     for name in (
         "lake_pruned_daily_profile",
         "lake_bucketed_cohort_activity",
@@ -309,6 +312,11 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "quantile_hash_sample",
         "streaming_quantile_sample",
         "streaming_source_cap",
+        # round-9 additions: empty media/sketch/arrival lakes
+        "multimodal_near_dup",
+        "multimodal_dedup_clusters",
+        "kmv_sketch_lake_merge",
+        "streaming_semdedup_gate",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()
