@@ -474,16 +474,29 @@ def test_knn_graph_invariants(spark, sf_dir):
     bits = sum(
         n_valid > KNN_TARGET_CELL * (1 << b) for b in range(KNN_MAX_BITS)
     )
-    planes = srp_planes(bits, dims=EMB_DIMS)
-    cells: Counter = Counter()
-    for vec in valid:
-        sig = "".join(
+    # r9: the model mirrors the TWO-LEVEL partition — global bits from the
+    # corpus count, then per-coarse-cell refinement bits from that cell's
+    # observed occupancy (the skew-adaptive scheme), clamped at MAX_BITS
+    planes = srp_planes(KNN_MAX_BITS, dims=EMB_DIMS)
+    sigs = [
+        "".join(
             "1"
             if sum(float(x) * p for x, p in zip(vec, plane)) >= 0.0
             else "0"
             for plane in planes
         )
-        cells[sig] += 1
+        for vec in valid
+    ]
+    coarse: Counter = Counter(s[:bits] for s in sigs)
+    blen = {
+        c: min(
+            bits
+            + sum(m > KNN_TARGET_CELL * (1 << e) for e in range(KNN_MAX_BITS)),
+            KNN_MAX_BITS,
+        )
+        for c, m in coarse.items()
+    }
+    cells: Counter = Counter(s[: blen[s[:bits]]] for s in sigs)
     # singleton cells (n_nodes == 1) produce no edges and drop from the
     # report via the inner join on edge stats
     expected = {
@@ -493,7 +506,7 @@ def test_knn_graph_invariants(spark, sf_dir):
     assert rows
     got = {r["cell"]: r for r in rows}
     assert set(got) == set(expected)
-    assert all(len(c) == bits for c in got)
+    assert all(len(c) == blen[c[:bits]] for c in got)
     for c, r in got.items():
         assert r["n_nodes"] == expected[c], r
         assert r["n_truncated"] == cells[c] - expected[c], r
