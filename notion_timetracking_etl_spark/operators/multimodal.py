@@ -379,26 +379,7 @@ def phash_near_dup_pairs(
     # pixel-verify joins); persist so the Python decode seam runs ONCE.
     sig = _scoped_persist(sig.select("media_id", "phash", "px"))
 
-    n_blocks = max_hamming + 1
-    base, rem = divmod(64, n_blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
-    shifts = [sum(widths[:i]) for i in range(n_blocks)]
-    block_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.shiftright("phash", shifts[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("bv"),
-            )
-            for i in range(n_blocks)
-        ]
-    )
-    buckets = sig.select(
-        "media_id", "phash", F.explode(block_arr).alias("b")
-    ).select(
-        "media_id", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
-    )
+    buckets = _phash_block_buckets(sig, max_hamming)
     left = buckets.select(
         F.col("media_id").alias("a"), F.col("phash").alias("ha"), "bi", "bv"
     )
@@ -419,6 +400,89 @@ def phash_near_dup_pairs(
     return (
         cands.join(sig.select(F.col("media_id").alias("a"), F.col("px").alias("pxa")), "a")
         .join(sig.select(F.col("media_id").alias("b"), F.col("px").alias("pxb")), "b")
+        .select(
+            "a",
+            "b",
+            "hamming",
+            F.expr(
+                "aggregate(zip_with(pxa, pxb, (x, y) -> abs(x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("px_l1"),
+        )
+        .filter(F.col("px_l1") <= px_l1_max)
+    )
+
+
+def _phash_blocks(n_bits: int, n_blocks: int):
+    """(widths, shifts) of the pigeonhole bit blocks."""
+    base, rem = divmod(n_bits, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    return widths, [sum(widths[:i]) for i in range(n_blocks)]
+
+
+def _phash_block_buckets(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(media_id, phash, bi, bv): one row per (media, pigeonhole block)."""
+    widths, shifts = _phash_blocks(64, max_hamming + 1)
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright("phash", shifts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("bv"),
+            )
+            for i in range(len(widths))
+        ]
+    )
+    return sig.select(
+        "media_id", "phash", F.explode(block_arr).alias("b")
+    ).select(
+        "media_id", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+
+
+def phash_cross_near_dups(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    max_hamming: int = 8,
+    px_l1_max: int = 262144,
+) -> DataFrame:
+    """Incremental-ingest visual near-dup pairs: NEW-batch media against
+    the EXISTING corpus only — ``(a=new, b=corpus)`` sharing any pigeonhole
+    hash block, then the same exact two-stage verify as
+    :func:`phash_near_dup_pairs`. The production shape for continuous
+    multimodal ingestion (the image twin of
+    ``operators/dedup.py::lsh_cross_candidates``): the corpus side's pair
+    space is never generated — block buckets join across sides only — so a
+    day's batch costs O(batch + shared buckets) regardless of corpus size.
+    A perceptual hash depends only on the media's own pixels, so the
+    candidate set equals the full-corpus blocking restricted to cross-side
+    pairs — which is what the SQL oracle replays."""
+    left = _phash_block_buckets(
+        sig_new.select("media_id", "phash", "px"), max_hamming
+    ).select(F.col("media_id").alias("a"), F.col("phash").alias("ha"), "bi", "bv")
+    right = _phash_block_buckets(
+        sig_corpus.select("media_id", "phash", "px"), max_hamming
+    ).select(F.col("media_id").alias("b"), F.col("phash").alias("hb"), "bi", "bv")
+    cands = (
+        left.join(right, ["bi", "bv"])
+        .select(
+            "a", "b", F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return (
+        cands.join(
+            sig_new.select(F.col("media_id").alias("a"), F.col("px").alias("pxa")),
+            "a",
+        )
+        .join(
+            sig_corpus.select(
+                F.col("media_id").alias("b"), F.col("px").alias("pxb")
+            ),
+            "b",
+        )
         .select(
             "a",
             "b",

@@ -435,6 +435,230 @@ def kmv_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HLL persisted-sketch lake: the same storage seam as the KMV lake above,
+# with a DIFFERENT merge operator (register-wise MAX instead of bottom-k) —
+# proving the seam is sketch-agnostic: any monoid-mergeable summary can be
+# maintained per partition and merged on read.
+# ---------------------------------------------------------------------------
+
+_HLL_LAKES: set[str] = set()
+
+
+def _hll_lake_path(sf_dir: str) -> str:
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_hll_by_date"
+    )
+
+
+def hll_dated_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, g, idx, rank): the HLL family's map-side register
+    fields (queries/sketches.py::hll_rank_fields — same key, same hash)
+    carrying the partition date; a user-day key embeds its day, so
+    per-date partials partition the key space exactly."""
+    from .sketches import hll_rank_fields, hll_user_day_key
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    keyed = ev.select(
+        F.to_date("ts").alias("event_date"),
+        F.col("event_type").alias("g"),
+        hll_user_day_key().alias("key"),
+    ).distinct()
+    return hll_rank_fields(keyed, "event_date", "g")
+
+
+def hll_partial_registers(fields: DataFrame) -> DataFrame:
+    """Per-(event_date, g) register rows — O(dates x types x m) stored."""
+    return fields.groupBy("event_date", "g", "idx").agg(
+        F.max("rank").alias("rank")
+    )
+
+
+def hll_merge_registers(partials: DataFrame) -> DataFrame:
+    """Merge partial registers into per-g registers: cell-wise MAX — the
+    HLL monoid (same algebra the streaming twin folds across batches)."""
+    return partials.groupBy("g", "idx").agg(F.max("rank").alias("rank"))
+
+
+def hll_sketch_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _hll_lake_path(sf_dir)
+    partials = hll_partial_registers(hll_dated_fields(spark, sf_dir))
+    if path not in _SKETCH_LAKES and path not in _HLL_LAKES:
+        write_partitioned_lake(
+            partials, path, ["event_date"], sort_cols=["g", "idx"]
+        )
+        _HLL_LAKES.add(path)
+    return spark.read.schema(partials.schema).parquet(path)
+
+
+def _hll_lake_oracle_sql() -> str:
+    from .sketches import (
+        _HLL_IDX_SHIFT,
+        _HLL_NUM,
+        _HLL_RANK_MAX,
+        _HLL_W_MASK,
+        HLL_M,
+    )
+
+    # qualified m.* — the final SELECT joins two relations that both
+    # carry (t, n_zero_registers)
+    est = (
+        f"CASE WHEN {_HLL_NUM} / m.t <= {2.5 * HLL_M}"
+        f" AND m.n_zero_registers > 0"
+        f" THEN {float(HLL_M)} * ln({float(HLL_M)} / m.n_zero_registers)"
+        f" ELSE {_HLL_NUM} / m.t END"
+    )
+    return f"""
+        WITH keyed AS (
+          SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+                 event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        fields AS (
+          SELECT d, g,
+                 h >> {_HLL_IDX_SHIFT} AS idx, h & {_HLL_W_MASK} AS w
+          FROM (
+            SELECT d, g,
+                   CAST(concat('0x', substr(sha256(concat('hll:', key)),
+                        1, 14)) AS BIGINT) AS h
+            FROM keyed
+          )
+        ),
+        part AS (
+          SELECT d, g, idx,
+                 MAX(CASE WHEN w = 0 THEN {_HLL_RANK_MAX}
+                     ELSE {_HLL_RANK_MAX} - length(bin(w)) END) AS rank
+          FROM fields GROUP BY 1, 2, 3
+        ),
+        merged AS (
+          SELECT g, idx, MAX(rank) AS rank FROM part GROUP BY 1, 2
+        ),
+        mstats AS (
+          SELECT g,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - rank))
+                      AS BIGINT)
+                 + ({HLL_M} - COUNT(*))
+                   * (CAST(1 AS BIGINT) << {_HLL_RANK_MAX}) AS t,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers
+          FROM merged GROUP BY g
+        ),
+        whole AS (
+          SELECT g, idx,
+                 MAX(CASE WHEN w = 0 THEN {_HLL_RANK_MAX}
+                     ELSE {_HLL_RANK_MAX} - length(bin(w)) END) AS rank
+          FROM fields GROUP BY 1, 2
+        ),
+        wstats AS (
+          SELECT g,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - rank))
+                      AS BIGINT)
+                 + ({HLL_M} - COUNT(*))
+                   * (CAST(1 AS BIGINT) << {_HLL_RANK_MAX}) AS t,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers
+          FROM whole GROUP BY g
+        ),
+        np AS (
+          SELECT g, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
+          FROM part GROUP BY g
+        ),
+        exact AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY g
+        )
+        SELECT m.g AS event_type,
+               np.n_partials,
+               m.t,
+               m.n_zero_registers,
+               {est} AS hll_est,
+               (m.t = w.t AND m.n_zero_registers = w.n_zero_registers)
+                 AS merged_equals_whole,
+               e.n_exact,
+               ({est} - e.n_exact) / e.n_exact AS rel_err
+        FROM mstats m
+        JOIN wstats w USING (g)
+        JOIN np USING (g)
+        JOIN exact e USING (g)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "hll_sketch_lake_merge",
+    "S6-analog,A1-analog,U2-analog",
+    "The persisted-sketch storage seam GENERALIZED to a second sketch "
+    "algebra: per-(event_date, event_type) HLL registers written to a "
+    "date-partitioned parquet lake (O(dates x types x m) rows, m=32), "
+    "merged on read by register-wise MAX — a different monoid than the "
+    "KMV lake's bottom-k, through the identical write/read machinery. "
+    "Merged(partials) must equal the single-pass whole-corpus registers; "
+    "the query hashes the equality flag plus the exact-integer harmonic "
+    "denominator, the estimate, and the exact-count audit. Together with "
+    "kmv_sketch_lake_merge this pins the seam as sketch-agnostic: any "
+    "mergeable summary maintains per partition, merges on read, and "
+    "never rescans raw events in production.",
+    oracle=_hll_lake_oracle_sql(),
+)
+def hll_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import (
+        hll_estimate_col,
+        hll_stats_from_registers,
+    )
+
+    partials = hll_sketch_lake(spark, sf_dir)
+    mstats = hll_stats_from_registers(hll_merge_registers(partials), "g")
+    np_ = partials.groupBy("g").agg(
+        F.countDistinct("event_date").cast("bigint").alias("n_partials")
+    )
+    fields = hll_dated_fields(spark, sf_dir)
+    wstats = hll_stats_from_registers(
+        fields.groupBy("g", "idx").agg(F.max("rank").alias("rank")), "g"
+    ).select(
+        "g",
+        F.col("t").alias("wt"),
+        F.col("n_zero_registers").alias("wz"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.date_format(F.to_date("ts"), DATE_FMT_SPARK),
+            ).alias("key"),
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    est = hll_estimate_col()
+    return ordered_small(
+        mstats.join(wstats, "g")
+        .join(np_, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_partials",
+            "t",
+            "n_zero_registers",
+            est.alias("hll_est"),
+            (
+                (F.col("t") == F.col("wt"))
+                & (F.col("n_zero_registers") == F.col("wz"))
+            ).alias("merged_equals_whole"),
+            "n_exact",
+            ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+        ),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # schema evolution: mergeSchema read over an evolving lake
 # ---------------------------------------------------------------------------
 

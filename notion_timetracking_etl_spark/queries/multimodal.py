@@ -293,6 +293,89 @@ def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_incremental_near_dup",
+    "A6-ext-phash,J8-analog",
+    "Incremental-ingest VISUAL near-dup gate — the image twin of "
+    "dedup_incremental_batch: the arriving batch (doc_id % 10 = 5; the "
+    "residue is arbitrary and chosen so the cross-side pair set is "
+    "non-empty at every tested scale factor — residue 9 has no visual "
+    "near-dup pair at sf0.01, which would leave the driver gate hashing "
+    "an empty result) "
+    "pigeonhole-block-joined against the EXISTING corpus only, so the "
+    "corpus pair space is never generated and a day's batch costs "
+    "O(batch + shared buckets) at any corpus size. Per new media row: its "
+    "best corpus match by (lowest Hamming, lowest exact pixel L1, "
+    "smallest corpus id) — the row an ingest pipeline uses to drop or "
+    "link an arriving image. A perceptual hash depends only on the "
+    "media's own pixels, so the oracle can replay the full blocking "
+    "restricted to cross-side pairs (complete within the radius).",
+    oracle=f"""
+        WITH {{ctes}},
+        cross_pairs AS (
+          SELECT a.doc_id AS media_id, b.doc_id AS matched_media,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+                 CAST(list_sum(list_transform(generate_series(1, 72),
+                      k -> abs(pa.pxl[k] - pb.pxl[k]))) AS BIGINT) AS px_l1
+          FROM ph a
+          JOIN ph b ON a.doc_id % 10 = 5 AND b.doc_id % 10 <> 5
+          JOIN pxv pa ON pa.doc_id = a.doc_id
+          JOIN pxv pb ON pb.doc_id = b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= {MM_MAX_HAMMING}
+            AND list_sum(list_transform(generate_series(1, 72),
+                 k -> abs(pa.pxl[k] - pb.pxl[k]))) <= {MM_PX_L1_MAX}
+        )
+        SELECT media_id, matched_media, hamming, px_l1
+        FROM (
+          SELECT media_id, matched_media, hamming, px_l1,
+                 row_number() OVER (
+                   PARTITION BY media_id
+                   ORDER BY hamming, px_l1, matched_media
+                 ) AS rn
+          FROM cross_pairs
+        )
+        WHERE rn = 1
+        ORDER BY media_id
+    """.format(ctes=_PHASH_CTES),
+)
+def multimodal_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _scoped_persist
+    from ..operators.multimodal import phash_cross_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    # ONE decode-seam pass for both sides: persist, then split by id
+    sig = _scoped_persist(phash_media(media))
+    is_new = F.col("media_id") % 10 == 5
+    pairs = phash_cross_near_dups(
+        sig.filter(is_new),
+        sig.filter(~is_new),
+        max_hamming=MM_MAX_HAMMING,
+        px_l1_max=MM_PX_L1_MAX,
+    )
+    # best corpus match per arrival via MIN over a comparison struct
+    # (map-side combine, no per-key window sort); all fields ascending
+    best = (
+        pairs.groupBy("a")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("hamming"), F.col("px_l1"), F.col("b").alias("m")
+                )
+            ).alias("w")
+        )
+        .select(
+            F.col("a").alias("media_id"),
+            F.col("w.m").alias("matched_media"),
+            F.col("w.hamming").alias("hamming"),
+            F.col("w.px_l1").alias("px_l1"),
+        )
+    )
+    return best.orderBy("media_id")
+
+
 _PHASH_PAIRS_SQL = f"""
         pairs AS (
           SELECT a.doc_id AS a, b.doc_id AS b

@@ -315,7 +315,9 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         # round-9 additions: empty media/sketch/arrival lakes
         "multimodal_near_dup",
         "multimodal_dedup_clusters",
+        "multimodal_incremental_near_dup",
         "kmv_sketch_lake_merge",
+        "hll_sketch_lake_merge",
         "streaming_semdedup_gate",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name

@@ -270,6 +270,55 @@ def test_kmv_sketch_lake_merge_flags_all_green(spark, sf_dir):
     assert all(r.n_partials >= 1 for r in rows)
 
 
+def test_hll_sketch_lake_incremental_append_merges_to_whole(spark, sf_dir, tmp_path):
+    """The seam generalizes: HLL registers (a register-MAX monoid, not
+    bottom-k) written in two appends merge on read to the single-pass
+    whole-corpus registers."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.queries.lake import (
+        hll_dated_fields,
+        hll_merge_registers,
+        hll_partial_registers,
+    )
+    from notion_timetracking_etl_spark.sinks.parquet import (
+        write_partitioned_lake,
+    )
+
+    fields = hll_dated_fields(spark, sf_dir)
+    cutoff = "2024-01-15"
+    path = str(tmp_path / "hll_lake")
+    write_partitioned_lake(
+        hll_partial_registers(fields.filter(F.col("event_date") < cutoff)),
+        path,
+        ["event_date"],
+    )
+    write_partitioned_lake(
+        hll_partial_registers(fields.filter(F.col("event_date") >= cutoff)),
+        path,
+        ["event_date"],
+        mode="append",
+    )
+    merged = {
+        (r.g, r.idx): r.rank
+        for r in hll_merge_registers(spark.read.parquet(path)).collect()
+    }
+    whole = {
+        (r.g, r.idx): r.rank
+        for r in fields.groupBy("g", "idx").agg(
+            F.max("rank").alias("rank")
+        ).collect()
+    }
+    assert merged == whole and merged
+
+
+def test_hll_sketch_lake_merge_flags_all_green(spark, sf_dir):
+    rows = REGISTRY["hll_sketch_lake_merge"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merged_equals_whole for r in rows)
+    assert all(abs(r.rel_err) < 0.5 for r in rows)  # m=32 HLL ~ +-18% 1sigma
+
+
 # ---------------------------------------------------------------------------
 # Streaming SemDeDup gate (r8 verdict task #8): forced-split equality
 # ---------------------------------------------------------------------------
