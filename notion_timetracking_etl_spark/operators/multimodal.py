@@ -496,6 +496,97 @@ def phash_cross_near_dups(
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint: energy-delta signature over framed "waveform" energy —
+# the temporal analog of the visual dHash (adjacent-FRAME energy ordering
+# instead of adjacent-BLOCK intensity ordering), so the audio modality gets
+# the same Hamming-blocked near-dup machinery as images/video.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAMES = 65  # energy frames -> 64 delta bits (one 64-bit BIGINT)
+AUDIO_FP_MIN_CHARS = AUDIO_FP_FRAMES  # stub waveform: >= one unit per frame
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("afp", LongType(), True),
+        StructField("energy", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _stub_waveform(payload: bytes, media_type: str) -> list[int]:
+    """Deterministic stub 'decoded waveform': per-frame codepoint-sum energy
+    of the utf-8 payload over ``AUDIO_FP_FRAMES`` equal time frames, scaled
+    to a length-invariant fixed point. Replace with a real decoder (ffmpeg:
+    decode -> mono PCM -> per-window RMS energy) — the fingerprint/blocking/
+    verify machinery downstream does not change.
+
+    Integer-exact and replayed in SQL by the query oracle: frame energy
+    e(f) = SUM(ord(s[i]) for i with i*F // len(s) == f), scaled
+    e(f) * 2^20 // SUM(all ord) — total-energy normalization makes the
+    vector invariant to loudness/length the way the raster's length
+    normalization makes the grid invariant to payload size.
+    """
+    s = (payload or b"").decode("utf-8")
+    n = len(s)
+    if n < AUDIO_FP_MIN_CHARS:
+        raise ValueError(
+            f"stub waveform needs >= {AUDIO_FP_MIN_CHARS} chars, got {n}"
+        )
+    raw = [0] * AUDIO_FP_FRAMES
+    for i, ch in enumerate(s):
+        raw[i * AUDIO_FP_FRAMES // n] += ord(ch)
+    # all-NUL payloads have zero total energy; clamp so the vector (all
+    # zeros) stays defined — the oracle mirrors with GREATEST(total, 1)
+    total = sum(raw) or 1
+    return [v * PHASH_SCALE // total for v in raw]
+
+
+def audio_fingerprint_media(
+    df: DataFrame,
+    waveform_fn: Callable[[bytes, str], list[int]] = _stub_waveform,
+) -> DataFrame:
+    """(media_id, afp, energy): 64-bit energy-delta fingerprint + the scaled
+    per-frame energy vector per AUDIO media row, via one Arrow-batched
+    ``mapInPandas`` stage (decode and fingerprint pipeline through the same
+    Python worker pass, like :func:`phash_media`).
+
+    Fingerprint bit k is set iff energy[k] < energy[k+1] — only the
+    ORDERING of adjacent frame energies matters, never absolute loudness,
+    so the signature survives re-encoding/volume changes the way dHash
+    survives resampling. Bit 63 rides the BIGINT sign (two's-complement),
+    portable to any engine's signed int64.
+    """
+    # JVM-side filter: only audio rows cross the Python boundary
+    df = df.filter(F.col("media_type") == "audio")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            energies, fps = [], []
+            for p, t in zip(pdf["payload"], pdf["media_type"]):
+                e = waveform_fn(p, t)
+                h = 0
+                for k in range(AUDIO_FP_FRAMES - 1):
+                    if e[k] < e[k + 1]:
+                        h |= 1 << k
+                if h >= 1 << 63:  # two's-complement signed int64
+                    h -= 1 << 64
+                energies.append(e)
+                fps.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": pd.array(fps, dtype="int64"),
+                    "energy": energies,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
 def decode_media(
     df: DataFrame,
     decode_fn: Callable[[bytes, str], tuple[int, int, int]] | None = _stub_decode,

@@ -659,6 +659,245 @@ def hll_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile-sample persisted-sketch lake: the THIRD monoid through the same
+# storage seam (KMV bottom-k distinct, HLL register-MAX, and now the bottom-k
+# hash sample whose merge is union + re-bottom-k) — order statistics over a
+# lake whose raw events are never rescanned.
+# ---------------------------------------------------------------------------
+
+_QS_LAKES: set[str] = set()
+
+
+def _qs_lake_path(sf_dir: str) -> str:
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_qs_by_date"
+    )
+
+
+def qs_dated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, g, value, h): the quantile family's sample-eligible rows
+    (queries/sketches.py::qs_keyed_values — same eligibility, same 56-bit
+    sha256('qs:'||event_id) membership hash) carrying the partition date. An
+    event row lives in exactly one date partition, so per-date partials
+    partition the value multiset exactly; NULL-ts rows ride the hive default
+    partition like the raw events lake."""
+    from .sketches import qs_hash_col
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    return ev.select(
+        F.to_date("ts").alias("event_date"),
+        F.col("event_type").alias("g"),
+        "value",
+        qs_hash_col(),
+    )
+
+
+def qs_partial_samples(vals: DataFrame) -> DataFrame:
+    """Per-(event_date, g) bottom-k hash-sample partials — O(dates x types
+    x k) stored rows; the map-side WindowGroupLimit prunes each task to k
+    rows per group before the exchange."""
+    from pyspark.sql import Window
+
+    from .sketches import QS_K
+
+    w = Window.partitionBy("event_date", "g").orderBy(F.col("h").asc())
+    return (
+        vals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QS_K)
+        .select("event_date", "g", "value", "h")
+    )
+
+
+def qs_merge_sample(partials: DataFrame) -> DataFrame:
+    """Merge partial samples into the per-g bottom-k sample: union +
+    re-bottom-k — the hash-sample monoid (identical algebra to the KMV
+    merge, but each surviving row carries its VALUE, so the merged sample
+    answers quantile questions)."""
+    from pyspark.sql import Window
+
+    from .sketches import QS_K
+
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    return (
+        partials.select("g", "value", "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QS_K)
+        .select("g", "value", "h")
+    )
+
+
+def qs_sketch_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _qs_lake_path(sf_dir)
+    partials = qs_partial_samples(qs_dated_values(spark, sf_dir))
+    if path not in _QS_LAKES:
+        write_partitioned_lake(partials, path, ["event_date"], sort_cols=["g", "h"])
+        _QS_LAKES.add(path)
+    return spark.read.schema(partials.schema).parquet(path)
+
+
+def _qs_lake_oracle_sql() -> str:
+    from .sketches import QS_K
+
+    return f"""
+        WITH vals AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+                 event_type AS g, value,
+                 CAST(concat('0x', substr(sha256(concat('qs:',
+                      CAST(event_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+          FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
+        ),
+        part AS (
+          SELECT d, g, value, h FROM (
+            SELECT d, g, value, h,
+                   ROW_NUMBER() OVER (PARTITION BY d, g ORDER BY h) AS rn
+            FROM vals
+          ) WHERE rn <= {QS_K}
+        ),
+        merged AS (
+          SELECT g, value, h FROM (
+            SELECT g, value, h,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM part
+          ) WHERE rn <= {QS_K}
+        ),
+        whole AS (
+          SELECT g, value, h FROM (
+            SELECT g, value, h,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM vals
+          ) WHERE rn <= {QS_K}
+        ),
+        mfp AS (
+          -- joins key on a null-coalesced group id: event_type is nullable
+          -- and a plain equi-join would drop the NULL group (the r8 ADVICE
+          -- NULL-key divergence class)
+          SELECT g, coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS n_sample,
+                 CAST(bit_xor(h) AS BIGINT) AS xh,
+                 CAST(MAX(h) AS BIGINT) AS mh,
+                 round(quantile_cont(value, 0.5), 6) AS est_p50,
+                 round(quantile_cont(value, 0.9), 6) AS est_p90,
+                 round(quantile_cont(value, 0.99), 6) AS est_p99
+          FROM merged GROUP BY g
+        ),
+        wfp AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS wn,
+                 CAST(bit_xor(h) AS BIGINT) AS wxh,
+                 CAST(MAX(h) AS BIGINT) AS wmh
+          FROM whole GROUP BY g
+        ),
+        np AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
+          FROM part GROUP BY g
+        ),
+        exact AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS n_total,
+                 round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                 round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                 round(quantile_cont(value, 0.99), 6) AS exact_p99
+          FROM vals GROUP BY g
+        )
+        SELECT m.g AS event_type,
+               np.n_partials,
+               m.n_sample,
+               m.est_p50, m.est_p90, m.est_p99,
+               (m.n_sample = w.wn AND m.xh = w.wxh AND m.mh = w.wmh)
+                 AS merged_equals_whole,
+               e.n_total,
+               e.exact_p50, e.exact_p90, e.exact_p99
+        FROM mfp m
+        JOIN wfp w USING (gk)
+        JOIN np USING (gk)
+        JOIN exact e USING (gk)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "quantile_sketch_lake_merge",
+    "S6-analog,A3-analog,U2-analog",
+    "The persisted-sketch storage seam under its THIRD monoid — order "
+    "statistics: per-(event_date, event_type) bottom-k hash-sample partials "
+    "(each surviving row carries its VALUE, so the stored sketch answers "
+    "quantile questions, not just cardinality) written to a date-"
+    "partitioned parquet lake, merged on read by union + re-bottom-k. "
+    "Merged(partials) must equal the single-pass whole-corpus sample as a "
+    "SET — the query fingerprints both sides (count, bit_xor of the "
+    "membership hashes, max hash) and hashes the equality flag, plus "
+    "interpolated p50/p90/p99 over the merged sample next to the full-data "
+    "truth. With the KMV (bottom-k distinct) and HLL (register-MAX) lakes "
+    "this completes the seam's generality claim: distinct counts, "
+    "cardinality registers, and quantiles all maintain per partition and "
+    "merge on read without rescanning raw events.",
+    oracle=_qs_lake_oracle_sql(),
+)
+def quantile_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import qs_percentile_aggs
+
+    # joins key on a null-coalesced group id (sketches.py convention):
+    # event_type is nullable and a plain equi-join would drop the NULL group
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
+    partials = qs_sketch_lake(spark, sf_dir)
+    merged = qs_merge_sample(partials)
+    mfp = merged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xh"),
+        F.max("h").cast("bigint").alias("mh"),
+        *qs_percentile_aggs("est"),
+    ).withColumn("gk", gk)
+    np_ = (
+        partials.groupBy("g")
+        .agg(F.countDistinct("event_date").cast("bigint").alias("n_partials"))
+        .select(gk, "n_partials")
+    )
+    vals = qs_dated_values(spark, sf_dir)
+    wfp = (
+        qs_merge_sample(vals)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("wn"),
+            F.expr("bit_xor(h)").cast("bigint").alias("wxh"),
+            F.max("h").cast("bigint").alias("wmh"),
+        )
+        .select(gk, "wn", "wxh", "wmh")
+    )
+    exact = vals.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        *qs_percentile_aggs("exact"),
+    ).select(gk, "n_total", "exact_p50", "exact_p90", "exact_p99")
+    return ordered_small(
+        mfp.join(wfp, "gk")
+        .join(np_, "gk")
+        .join(exact, "gk")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_partials",
+            "n_sample",
+            "est_p50",
+            "est_p90",
+            "est_p99",
+            (
+                (F.col("n_sample") == F.col("wn"))
+                & (F.col("xh") == F.col("wxh"))
+                & (F.col("mh") == F.col("wmh"))
+            ).alias("merged_equals_whole"),
+            "n_total",
+            "exact_p50",
+            "exact_p90",
+            "exact_p99",
+        ),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # schema evolution: mergeSchema read over an evolving lake
 # ---------------------------------------------------------------------------
 

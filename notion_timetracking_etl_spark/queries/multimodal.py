@@ -293,24 +293,11 @@ def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_incremental_near_dup",
-    "A6-ext-phash,J8-analog",
-    "Incremental-ingest VISUAL near-dup gate — the image twin of "
-    "dedup_incremental_batch: the arriving batch (doc_id % 10 = 5; the "
-    "residue is arbitrary and chosen so the cross-side pair set is "
-    "non-empty at every tested scale factor — residue 9 has no visual "
-    "near-dup pair at sf0.01, which would leave the driver gate hashing "
-    "an empty result) "
-    "pigeonhole-block-joined against the EXISTING corpus only, so the "
-    "corpus pair space is never generated and a day's batch costs "
-    "O(batch + shared buckets) at any corpus size. Per new media row: its "
-    "best corpus match by (lowest Hamming, lowest exact pixel L1, "
-    "smallest corpus id) — the row an ingest pipeline uses to drop or "
-    "link an arriving image. A perceptual hash depends only on the "
-    "media's own pixels, so the oracle can replay the full blocking "
-    "restricted to cross-side pairs (complete within the radius).",
-    oracle=f"""
+# Shared by multimodal_incremental_near_dup and its foreachBatch streaming
+# twin (queries/streaming.py::streaming_multimodal_gate): an arrival's best
+# corpus match depends on (arrival, corpus) alone, so the stream-merged gate
+# is verdict-identical to the batch gate and one oracle serves both.
+MM_INCR_ORACLE_SQL = f"""
         WITH {{ctes}},
         cross_pairs AS (
           SELECT a.doc_id AS media_id, b.doc_id AS matched_media,
@@ -336,7 +323,27 @@ def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         WHERE rn = 1
         ORDER BY media_id
-    """.format(ctes=_PHASH_CTES),
+    """.format(ctes=_PHASH_CTES)
+
+
+@register(
+    "multimodal_incremental_near_dup",
+    "A6-ext-phash,J8-analog",
+    "Incremental-ingest VISUAL near-dup gate — the image twin of "
+    "dedup_incremental_batch: the arriving batch (doc_id % 10 = 5; the "
+    "residue is arbitrary and chosen so the cross-side pair set is "
+    "non-empty at every tested scale factor — residue 9 has no visual "
+    "near-dup pair at sf0.01, which would leave the driver gate hashing "
+    "an empty result) "
+    "pigeonhole-block-joined against the EXISTING corpus only, so the "
+    "corpus pair space is never generated and a day's batch costs "
+    "O(batch + shared buckets) at any corpus size. Per new media row: its "
+    "best corpus match by (lowest Hamming, lowest exact pixel L1, "
+    "smallest corpus id) — the row an ingest pipeline uses to drop or "
+    "link an arriving image. A perceptual hash depends only on the "
+    "media's own pixels, so the oracle can replay the full blocking "
+    "restricted to cross-side pairs (complete within the radius).",
+    oracle=MM_INCR_ORACLE_SQL,
 )
 def multimodal_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _scoped_persist
@@ -374,6 +381,123 @@ def multimodal_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return best.orderBy("media_id")
+
+
+MM_AUDIO_MAX_HAMMING = 8  # near-dup radius over the 64-bit energy-delta fp
+MM_AUDIO_L1_MAX = 262144  # exact energy-L1 verify cap (2^18 fixed-point)
+
+# DuckDB twin of operators.multimodal._stub_waveform + the energy-delta
+# fold: aud (audio media >= AUDIO_FP_MIN_CHARS chars), framesum (per-frame
+# codepoint-sum energy), energy (total-normalized fixed point), afp (the
+# signed-64 fingerprint), ev (the 65-frame energy list).
+_AUDIO_FP_CTES = """
+        aud AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+          FROM documents
+          WHERE text IS NOT NULL
+            AND length(text) >= 65
+            AND doc_id % 3 = 1  -- only audio rows carry a waveform
+        ),
+        achars AS (
+          SELECT doc_id, n,
+                 generate_subscripts(string_split(text, ''), 1) AS i,
+                 unnest(string_split(text, '')) AS ch
+          FROM aud
+        ),
+        framesum AS (
+          SELECT doc_id, n, ((i - 1) * 65) // n AS f,
+                 CAST(SUM(unicode(ch)) AS BIGINT) AS raw
+          FROM achars GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(raw) AS BIGINT) AS total
+          FROM framesum GROUP BY 1
+        ),
+        energy AS (
+          SELECT fs.doc_id, fs.f,
+                 (fs.raw * 1048576) // GREATEST(t.total, 1) AS e
+          FROM framesum fs JOIN tot t ON t.doc_id = fs.doc_id
+        ),
+        afp AS (
+          SELECT e1.doc_id,
+                 CAST(SUM(CASE WHEN e1.e < e2.e THEN
+                      CASE WHEN e1.f = 63
+                           THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << e1.f) END
+                      ELSE 0 END) AS BIGINT) AS afp
+          FROM energy e1 JOIN energy e2
+            ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+          GROUP BY 1
+        ),
+        ev AS (
+          SELECT doc_id, list(e ORDER BY f) AS el FROM energy GROUP BY 1
+        )"""
+
+
+@register(
+    "multimodal_audio_near_dup",
+    "A6-ext-afp,J8-analog",
+    "Energy-delta fingerprint near-dup over AUDIO media — the modality the "
+    "visual dHash family excludes (audio has no raster): a 64-bit "
+    "fingerprint whose bit k compares adjacent FRAME energies (e[k] < "
+    "e[k+1]) over 65 equal time frames of the decoded waveform — the "
+    "temporal analog of dHash's adjacent-block intensity ordering, and the "
+    "shape behind production audio fingerprints (only the ordering of "
+    "frame energies matters, so it survives re-encoding/volume changes). "
+    "The stub waveform (per-frame codepoint-sum energy, total-normalized "
+    "fixed point) is deterministic and SQL-replayable; an ffmpeg "
+    "PCM/RMS decode drops into waveform_fn without touching fingerprint, "
+    "blocking, or verify. Candidates ride the SAME pigeonhole Hamming "
+    f"block machinery as the visual family (radius {MM_AUDIO_MAX_HAMMING}, "
+    "9 disjoint bit blocks; the shuffle carries (media, block) rows, "
+    "never O(n^2) pairs), then exact two-stage verify: bit_count(xor) on "
+    f"the fingerprints, exact energy-L1 (<= {MM_AUDIO_L1_MAX}) over the "
+    "65-frame vectors on survivors. With this, EVERY media modality "
+    "deduplicates: text (MinHash/SimHash), embeddings (SemDeDup), visual "
+    "(dHash), audio (energy-delta). The oracle replays waveform, "
+    "fingerprint (signed-64 two's-complement), and both verifies "
+    "end-to-end; the pigeonhole cover is complete within the radius, so "
+    "the blocked output provably equals the oracle's full-join filter.",
+    oracle=f"""
+        WITH {_AUDIO_FP_CTES}
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming,
+               CAST(list_sum(list_transform(generate_series(1, 65),
+                    k -> abs(ea.el[k] - eb.el[k]))) AS BIGINT) AS energy_l1
+        FROM afp a
+        JOIN afp b ON a.doc_id < b.doc_id
+        JOIN ev ea ON ea.doc_id = a.doc_id
+        JOIN ev eb ON eb.doc_id = b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {MM_AUDIO_MAX_HAMMING}
+          AND list_sum(list_transform(generate_series(1, 65),
+               k -> abs(ea.el[k] - eb.el[k]))) <= {MM_AUDIO_L1_MAX}
+        ORDER BY a, b
+    """,
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        AUDIO_FP_MIN_CHARS,
+        audio_fingerprint_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= AUDIO_FP_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    # the fingerprint is a 64-bit signature + long-array payload — exactly
+    # the shape phash_near_dup_pairs blocks and verifies, so the audio
+    # family reuses the operator verbatim under renamed columns
+    sig = audio_fingerprint_media(media).select(
+        "media_id",
+        F.col("afp").alias("phash"),
+        F.col("energy").alias("px"),
+    )
+    pairs = phash_near_dup_pairs(
+        sig, max_hamming=MM_AUDIO_MAX_HAMMING, px_l1_max=MM_AUDIO_L1_MAX
+    )
+    return pairs.select(
+        "a", "b", "hamming", F.col("px_l1").alias("energy_l1")
+    ).orderBy("a", "b")
 
 
 _PHASH_PAIRS_SQL = f"""

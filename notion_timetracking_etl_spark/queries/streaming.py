@@ -955,3 +955,90 @@ def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.orderBy("vec_id")
 
 
+def _mm_gate_oracle_sql() -> str:
+    """The streaming visual gate is verdict-identical to the batch gate
+    (an arrival's best corpus match depends on (arrival, corpus) alone), so
+    it reuses multimodal_incremental_near_dup's oracle verbatim — the same
+    convention as the semantic/quantile/source-cap streaming twins."""
+    from .multimodal import MM_INCR_ORACLE_SQL
+
+    return MM_INCR_ORACLE_SQL
+
+
+@register(
+    "streaming_multimodal_gate",
+    "A6-ext-phash-stream,UDF-stream",
+    "Streaming twin of multimodal_incremental_near_dup — the VISUAL ingest "
+    "gate run INCREMENTALLY as media arrive (foreachBatch): each micro-"
+    "batch runs the Arrow decode seam (stub raster -> 64-bit dHash -> "
+    "pixel grid) and pigeonhole-block-joins ONLY the persisted corpus "
+    "signature table (the state a production multimodal ingest holds "
+    "between batches — the corpus pair space is never generated), emitting "
+    "each matched arrival's best corpus row by (lowest Hamming, lowest "
+    "exact pixel L1, smallest corpus id). A verdict depends on (arrival, "
+    "corpus) alone and each arrival lives in exactly one micro-batch, so "
+    "ANY split unions to the identical verdict set — stream-merged == "
+    "batch gate under forced splits (pinned in tests), and the batch "
+    "oracle serves unchanged. Extends the streaming-twin guarantee to the "
+    "multimodal family: every dedup modality (text LSH, semantic, visual) "
+    "now has an incremental ingest form.",
+    oracle=_mm_gate_oracle_sql(),
+)
+def streaming_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import _scoped_persist
+    from ..operators.multimodal import (
+        PHASH_MIN_CHARS,
+        attach_media_columns,
+        phash_media,
+    )
+    from ..sources.tpch import load_table
+    from ..streaming.rollup import _is_directory
+    from ..streaming.visualgate import phash_gate_drain
+    from .multimodal import MM_MAX_HAMMING, MM_PX_L1_MAX
+
+    visual = F.col("text").isNotNull() & (
+        F.length("text") >= PHASH_MIN_CHARS
+    )
+    is_new = F.col("doc_id") % 10 == 5
+    # the persisted ingest state: corpus-side signatures, decoded ONCE
+    docs = load_table(spark, sf_dir, "documents").filter(visual & ~is_new)
+    corpus_sig = _scoped_persist(
+        phash_media(attach_media_columns(docs, "doc_id", "text"))
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if _is_directory(spark, path):
+        # a real multi-file lake: one micro-batch per file — the forced
+        # split that makes the stream==batch claim non-vacuous
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    arrivals = stream.filter(visual & is_new).select("doc_id", "text")
+    verdicts, _n = phash_gate_drain(
+        spark,
+        arrivals,
+        corpus_sig,
+        max_hamming=MM_MAX_HAMMING,
+        px_l1_max=MM_PX_L1_MAX,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sg_mmgate_ckpt_"),
+    )
+    if verdicts is None:  # zero micro-batches: an empty arrival backlog
+        return spark.createDataFrame(
+            [], "media_id long, matched_media long, hamming long, px_l1 long"
+        )
+    return verdicts.orderBy("media_id")
+
+

@@ -468,3 +468,42 @@ def test_no_single_partition_funnel_on_growing_outputs(spark, sf_dir):
         if "SinglePartition, REPARTITION_BY_NUM" in plan:
             offenders.append((name, n))
     assert offenders == []
+
+
+def test_qs_sketch_lake_partial_build_prunes_map_side(spark, sf_dir):
+    # The quantile lake's one corpus-sized stage is the partial-sample
+    # build; its per-(date, type) bottom-k must ride WindowGroupLimit's
+    # partial rewrite so each map task forwards <= k rows per group and the
+    # exchange carries O(dates x types x k), never the corpus. The
+    # merge-on-read side then only ever touches sketch rows.
+    from notion_timetracking_etl_spark.queries.lake import (
+        qs_dated_values,
+        qs_partial_samples,
+    )
+
+    plan = (
+        qs_partial_samples(qs_dated_values(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    limits = re.findall(r"WindowGroupLimit \[event_date[^\n]*", plan)
+    assert len(limits) == 2, limits  # partial (map-side) + final
+    exch = plan.index("Exchange hashpartitioning(event_date")
+    assert plan.rindex("WindowGroupLimit") > exch
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_near_dup_blocks_never_cartesian(spark, sf_dir):
+    # The audio fingerprint family inherits the visual family's scale
+    # contract: candidates come from the pigeonhole block equi-join (an
+    # Exchange on the block key), never a cartesian/broadcast-nested-loop
+    # over the corpus, and Python appears only as the Arrow seam.
+    plan = plan_of(spark, sf_dir, "multimodal_audio_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates come from an EQUI-join keyed on the pigeonhole block
+    # (hash-join at any scale: broadcast at fixture sf, SMJ/AQE at 100 TB)
+    assert re.search(r"Join.*\[bi#\d+", plan) or "hashpartitioning(bi" in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan

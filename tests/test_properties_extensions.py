@@ -319,6 +319,9 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "kmv_sketch_lake_merge",
         "hll_sketch_lake_merge",
         "streaming_semdedup_gate",
+        "quantile_sketch_lake_merge",
+        "streaming_multimodal_gate",
+        "multimodal_audio_near_dup",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()

@@ -154,7 +154,13 @@ def null_type_lake(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["quantile_summary_approx", "quantile_summary", "quantile_hash_sample"]
+    "name",
+    [
+        "quantile_summary_approx",
+        "quantile_summary",
+        "quantile_hash_sample",
+        "quantile_sketch_lake_merge",
+    ],
 )
 def test_null_event_type_group_holds_parity(spark, null_type_lake, name):
     # a NULL event_type group is a legitimate production state: groupBy
@@ -437,3 +443,192 @@ def test_stub_raster_contract():
     assert px == _stub_raster((s + s).encode(), "image")
     with pytest.raises(ValueError):
         _stub_raster(b"x" * (PHASH_MIN_CHARS - 1), "image")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sample persisted-sketch lake: the third monoid through the seam
+# ---------------------------------------------------------------------------
+
+
+def test_qs_sketch_lake_incremental_append_merges_to_whole(spark, sf_dir, tmp_path):
+    """Bottom-k hash-sample partials written in TWO separate appends (an
+    initial backfill + a later incremental batch of new dates) merge on
+    read to EXACTLY the single-pass whole-corpus sample — the hash-sample
+    monoid carried through the parquet round-trip, values included."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.queries.lake import (
+        qs_dated_values,
+        qs_merge_sample,
+        qs_partial_samples,
+    )
+    from notion_timetracking_etl_spark.sinks.parquet import (
+        write_partitioned_lake,
+    )
+
+    vals = qs_dated_values(spark, sf_dir)
+    cutoff = "2024-01-15"
+    path = str(tmp_path / "qs_lake")
+    write_partitioned_lake(
+        qs_partial_samples(vals.filter(F.col("event_date") < cutoff)),
+        path,
+        ["event_date"],
+    )
+    write_partitioned_lake(
+        qs_partial_samples(vals.filter(F.col("event_date") >= cutoff)),
+        path,
+        ["event_date"],
+        mode="append",
+    )
+    merged = {
+        (r.g, r.h): r.value
+        for r in qs_merge_sample(spark.read.parquet(path)).collect()
+    }
+    whole = {
+        (r.g, r.h): r.value for r in qs_merge_sample(vals).collect()
+    }
+    assert merged == whole and merged
+
+
+def test_qs_sketch_lake_merge_flags_all_green(spark, sf_dir):
+    rows = REGISTRY["quantile_sketch_lake_merge"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merged_equals_whole for r in rows)
+    assert all(r.n_partials >= 1 for r in rows)
+    # under-filled groups: the sample IS the data, so estimates are exact
+    for r in rows:
+        if r.n_sample == r.n_total:
+            assert (r.est_p50, r.est_p90, r.est_p99) == (
+                r.exact_p50,
+                r.exact_p90,
+                r.exact_p99,
+            )
+
+
+# ---------------------------------------------------------------------------
+# Streaming visual near-dup gate: forced-split equality
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_multimodal_gate_split_equals_batch(spark, sf_dir, tmp_path):
+    """The visual gate's verdicts under a FORCED 3-micro-batch arrival
+    split must equal the batch incremental gate exactly (a verdict depends
+    on (arrival, corpus) alone, so any split unions to the same set)."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    # stage a lake whose documents table is a DIRECTORY of 3 files —
+    # maxFilesPerTrigger=1 then forces 3 micro-batches
+    d = tmp_path / "lake"
+    d.mkdir()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.withColumn(
+        "_split", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(3))
+    ).repartition(3, "_split").drop("_split").write.parquet(
+        str(d / "documents.parquet")
+    )
+    for t in ALL_TABLES:
+        if t != "documents":
+            os.symlink(f"{SRC_SF}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    lake = str(d)
+    try:
+        streamed = {
+            tuple(r)
+            for r in REGISTRY["streaming_multimodal_gate"]
+            .spark(spark, lake)
+            .collect()
+        }
+        release_scoped_caches()
+        batch = {
+            tuple(r)
+            for r in REGISTRY["multimodal_incremental_near_dup"]
+            .spark(spark, lake)
+            .collect()
+        }
+    finally:
+        release_scoped_caches()
+    assert streamed == batch and streamed
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-delta fingerprint invariants
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fp_identical_payloads_hamming_zero(spark, tmp_path):
+    from notion_timetracking_etl_spark.queries.multimodal import (
+        multimodal_audio_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    edit = base.replace("lazy", "hazy", 1)
+    docs = [
+        (1, base),  # audio
+        (4, base),  # audio — identical payload
+        (7, edit),  # audio — near-identical payload
+        (10, "completely different text payload with other words " * 4),
+        (0, base),  # image — must be excluded even though identical
+        (2, base),  # video — must be excluded
+    ]
+    con = duckdb.connect()
+    out = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', 'en', 'src0', {len(t)})" for i, t in docs)
+        + ") t(doc_id, text, lang, source, n_chars)) TO '" + out + "'"
+    )
+    con.close()
+    lake = _clone_lake(tmp_path, {"documents": out})
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    try:
+        rows = {
+            (r.a, r.b): r
+            for r in multimodal_audio_near_dup(spark, lake).collect()
+        }
+    finally:
+        release_scoped_caches()
+    # identical payloads: hamming 0, energy distance 0
+    assert (1, 4) in rows
+    assert rows[(1, 4)].hamming == 0 and rows[(1, 4)].energy_l1 == 0
+    # one-word edit stays within the radius; the unrelated doc never pairs
+    assert (1, 7) in rows and (4, 7) in rows
+    assert all(10 not in pair for pair in rows)
+    # visual media are excluded from the audio pair space entirely
+    assert all(0 not in pair and 2 not in pair for pair in rows)
+    # parity on the fixture lake too
+    con = duck_connection(lake)
+    try:
+        result = compare_query(
+            spark, con, REGISTRY["multimodal_audio_near_dup"], lake
+        )
+        assert result.ok, result.detail
+    finally:
+        con.close()
+
+
+def test_stub_waveform_contract():
+    from notion_timetracking_etl_spark.operators.multimodal import (
+        AUDIO_FP_FRAMES,
+        AUDIO_FP_MIN_CHARS,
+        PHASH_SCALE,
+        _stub_waveform,
+    )
+
+    e = _stub_waveform(("ab" * 40).encode(), "audio")  # 80 chars
+    assert len(e) == AUDIO_FP_FRAMES
+    assert all(0 <= v <= PHASH_SCALE for v in e)
+    # constant payload: every frame holds the same energy -> fingerprint 0
+    flat = _stub_waveform(b"x" * 130, "audio")
+    assert len(set(flat)) <= 2  # frame sizes differ by at most one char
+    # all-NUL payload: zero total energy is clamped, vector defined
+    assert _stub_waveform(b"\x00" * 70, "audio") == [0] * AUDIO_FP_FRAMES
+    with pytest.raises(ValueError):
+        _stub_waveform(b"x" * (AUDIO_FP_MIN_CHARS - 1), "audio")
