@@ -632,3 +632,61 @@ def test_stub_waveform_contract():
     assert _stub_waveform(b"\x00" * 70, "audio") == [0] * AUDIO_FP_FRAMES
     with pytest.raises(ValueError):
         _stub_waveform(b"x" * (AUDIO_FP_MIN_CHARS - 1), "audio")
+
+
+def test_multimodal_fingerprints_unicode_hostile_parity(spark, tmp_path):
+    """The raster/waveform stubs iterate PYTHON codepoints while the oracle
+    iterates DuckDB string_split('') units and Spark's length() counts
+    UTF8String chars — three engines that must agree on astral emoji, ZWJ
+    sequences, combining accents, and CJK. A divergence here would shift
+    frame/grid assignment and silently break hash parity at the first
+    non-ASCII corpus."""
+    uni = (
+        "café combining é \U0001F600\U0001F680 zwj "
+        "\U0001F468‍\U0001F469‍\U0001F467 中文 "
+    )  # 41 codepoints
+    base = uni * 3  # 123 codepoints >= both family minimums
+    edit = base.replace("caf", "kaf", 1)
+    docs = [
+        (0, base),  # image
+        (3, base),  # video — identical unicode payload, cross-type pair
+        (6, edit),  # video — near-identical
+        (1, base),  # audio — identical payload pair vs 4
+        (4, base),  # audio
+        (7, edit),  # audio — near-identical
+    ]
+    con = duckdb.connect()
+    out = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', 'xx', 'src0', {len(t)})" for i, t in docs)
+        + ") t(doc_id, text, lang, source, n_chars)) TO '" + out + "'"
+    )
+    con.close()
+    lake = _clone_lake(tmp_path, {"documents": out})
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+
+    con = duck_connection(lake)
+    try:
+        for name in ("multimodal_near_dup", "multimodal_audio_near_dup"):
+            result = compare_query(spark, con, REGISTRY[name], lake)
+            assert result.ok, f"{name}: {result.detail}"
+            release_scoped_caches()
+        # and the pairs actually exist — the parity above is not vacuous
+        vis = {
+            (r.a, r.b)
+            for r in REGISTRY["multimodal_near_dup"].spark(spark, lake).collect()
+        }
+        aud = {
+            (r.a, r.b)
+            for r in REGISTRY["multimodal_audio_near_dup"]
+            .spark(spark, lake)
+            .collect()
+        }
+        assert (0, 3) in vis and (1, 4) in aud
+    finally:
+        release_scoped_caches()
+        con.close()
