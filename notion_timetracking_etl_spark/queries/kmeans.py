@@ -610,3 +610,105 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index staleness monitoring: per-cell occupancy drift between the
+# corpus the quantizer serves and the arriving cohort — the retrain trigger.
+# ---------------------------------------------------------------------------
+
+
+def _ann_drift_oracle_sql(k: int, iters: int) -> str:
+    ctes, a_last, _cd = kmeans_ctes(k, iters)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        , coh AS (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_arrivals
+          FROM {a_last} GROUP BY cid
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_members) AS BIGINT) AS t_members,
+                 CAST(SUM(n_arrivals) AS BIGINT) AS t_arrivals
+          FROM coh
+        )
+        SELECT cid AS cluster_id,
+               n_members,
+               n_arrivals,
+               CAST((n_arrivals * 1000000) // n_members AS BIGINT)
+                 AS arrival_rate_micro,
+               CAST((t_arrivals * 1000000) // t_members AS BIGINT)
+                 AS global_rate_micro,
+               (n_arrivals * t_members > 2 * n_members * t_arrivals)
+                 AS drift_hot,
+               (2 * n_arrivals * t_members < n_members * t_arrivals)
+                 AS drift_cold
+        FROM coh CROSS JOIN tot
+        ORDER BY cluster_id
+    """
+    )
+
+
+@register(
+    "ann_index_drift",
+    "ext:similarity,A7-analog,V3-analog",
+    f"ANN index STALENESS audit — the retrain trigger a production vector "
+    "index runs as batches arrive: every vector routes through the frozen "
+    f"k={K} quantizer (the session-cached fitted model — production loads "
+    "it via model_store), and per cell the report compares the arriving "
+    "cohort's occupancy (vec_id % 10 = 9, the established ingest split) "
+    "against the cell's total. A cell whose arrival rate runs hot (> 2x "
+    "the global rate, exact integer cross-multiplication — no FP boundary) "
+    "is where the index is growing stalest; a cold cell (< 0.5x) is dead "
+    "weight. Complements embedding_drift_report: that audits the "
+    "DISTRIBUTION (centroid/norm drift), this audits the INDEX (where the "
+    "new mass lands). All integer-exact and oracle-replayed through the "
+    "full Lloyd's iteration CTEs; output is k rows off one grouped "
+    "aggregate over the cached assignment table.",
+    oracle=_ann_drift_oracle_sql(K, ITERS),
+)
+def ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asg, _cent = fitted_model(spark, sf_dir)
+    coh = asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(
+            F.when(F.col("vec_id") % 10 == 9, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_arrivals"),
+    )
+    tot = coh.agg(
+        F.sum("n_members").cast("bigint").alias("t_members"),
+        F.sum("n_arrivals").cast("bigint").alias("t_arrivals"),
+    )
+    return ordered_small(
+        coh.crossJoin(F.broadcast(tot)).select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "n_arrivals",
+            F.floor(
+                (F.col("n_arrivals") * F.lit(1000000)).cast("double")
+                / F.col("n_members")
+            )
+            .cast("bigint")
+            .alias("arrival_rate_micro"),
+            F.floor(
+                (F.col("t_arrivals") * F.lit(1000000)).cast("double")
+                / F.col("t_members")
+            )
+            .cast("bigint")
+            .alias("global_rate_micro"),
+            (
+                F.col("n_arrivals") * F.col("t_members")
+                > F.lit(2) * F.col("n_members") * F.col("t_arrivals")
+            ).alias("drift_hot"),
+            (
+                F.lit(2) * F.col("n_arrivals") * F.col("t_members")
+                < F.col("n_members") * F.col("t_arrivals")
+            ).alias("drift_cold"),
+        ),
+        "cluster_id",
+    )

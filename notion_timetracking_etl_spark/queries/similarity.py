@@ -1008,3 +1008,167 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cell",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitoring: the audit a production vector ingest runs
+# BEFORE admitting a new batch — has the arriving distribution moved?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_drift_report",
+    "ext:similarity,A3-ext,V3-analog",
+    "Embedding-space DRIFT audit between the arriving cohort (vec_id % 10 "
+    "= 9 — the ingest split the semdedup/streaming gates established) and "
+    "the existing corpus — the monitoring gate a vector pipeline runs "
+    "before admitting a batch (an embedding-model version bump or a "
+    "domain shift moves the distribution; ANN recall and SemDeDup "
+    "thresholds silently degrade). Per cohort: count, mean norm "
+    "(floor-micro convention), interpolated median norm over exact micro "
+    "units; across cohorts: the cosine between the two centroid vectors, "
+    "computed ENTIRELY in exact integer fixed point (per-dimension "
+    "floor-micro sums -> floor-divided mean vectors bounded ~1e7, so the "
+    "64-dim dot and both norms stay inside int64 and the only floating "
+    "steps are two sqrt/divide ops on exact integers — deterministic on "
+    "both engines, no float reduction over nondeterministic partition "
+    "order anywhere). Everything is one scan: a 2-key grouped aggregate "
+    "plus a 2x64-row dimension-sum table; no vector bytes shuffle. "
+    "Output is a single row; either cohort empty -> empty report (the "
+    "no-arrivals case is not drift).",
+    oracle=f"""
+        WITH b AS (
+          SELECT CASE WHEN vec_id % 10 = 9 THEN 'arrivals' ELSE 'corpus' END
+                   AS cohort,
+                 embedding,
+                 CAST(floor(sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                      * 1000000.0) AS BIGINT) AS nrm_micro
+          FROM embeddings
+          WHERE {VALID_EMB_PRED_SQL}
+        ),
+        stats AS (
+          SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(nrm_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+                   AS avg_norm,
+                 round(quantile_cont(CAST(nrm_micro AS DOUBLE), 0.5), 6)
+                   AS p50_norm
+          FROM b GROUP BY 1
+        ),
+        dims AS (
+          SELECT cohort,
+                 generate_subscripts(embedding, 1) AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS v
+          FROM b
+        ),
+        means AS (
+          SELECT cohort, pos,
+                 CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+          FROM dims GROUP BY 1, 2
+        ),
+        cc AS (
+          SELECT CAST(SUM(a.m * c.m) AS BIGINT) AS dot,
+                 CAST(SUM(a.m * a.m) AS BIGINT) AS qa,
+                 CAST(SUM(c.m * c.m) AS BIGINT) AS qc
+          FROM means a JOIN means c ON a.pos = c.pos
+          WHERE a.cohort = 'arrivals' AND c.cohort = 'corpus'
+        )
+        SELECT sc.n AS n_corpus, sa.n AS n_arrivals,
+               sc.avg_norm AS avg_norm_corpus,
+               sa.avg_norm AS avg_norm_arrivals,
+               sc.p50_norm AS p50_norm_corpus,
+               sa.p50_norm AS p50_norm_arrivals,
+               CAST(floor(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qc AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS centroid_cos_micro
+        FROM stats sa
+        JOIN stats sc ON sa.cohort = 'arrivals' AND sc.cohort = 'corpus'
+        CROSS JOIN cc
+        WHERE qa > 0 AND qc > 0
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import norm_sq
+
+    emb = load_embeddings(spark, sf_dir)
+    cohort = F.when(F.col("vec_id") % 10 == 9, F.lit("arrivals")).otherwise(
+        F.lit("corpus")
+    )
+    base = emb.select(
+        cohort.alias("cohort"),
+        "embedding",
+        F.floor(F.sqrt(norm_sq(F.col("embedding"))) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("nrm_micro"),
+    )
+    stats = base.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("nrm_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_norm"),
+        F.round(
+            F.percentile(F.col("nrm_micro").cast("double"), F.lit(0.5)), 6
+        ).alias("p50_norm"),
+    )
+    # per-dimension floor-micro sums -> floor-divided micro MEAN vectors:
+    # |mean| <= ~1e7, so the 64-term dot/norm sums below stay exact int64
+    means = (
+        base.select("cohort", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "cohort",
+            "pos",
+            F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .groupBy("cohort", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    ma = means.filter(F.col("cohort") == "arrivals").select(
+        "pos", F.col("m").alias("ma")
+    )
+    mc = means.filter(F.col("cohort") == "corpus").select(
+        "pos", F.col("m").alias("mc")
+    )
+    cc = (
+        ma.join(mc, "pos")
+        .agg(
+            F.sum(F.col("ma") * F.col("mc")).cast("bigint").alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).cast("bigint").alias("qa"),
+            F.sum(F.col("mc") * F.col("mc")).cast("bigint").alias("qc"),
+        )
+    )
+    sa = stats.filter(F.col("cohort") == "arrivals").select(
+        F.col("n").alias("n_arrivals"),
+        F.col("avg_norm").alias("avg_norm_arrivals"),
+        F.col("p50_norm").alias("p50_norm_arrivals"),
+    )
+    sc_ = stats.filter(F.col("cohort") == "corpus").select(
+        F.col("n").alias("n_corpus"),
+        F.col("avg_norm").alias("avg_norm_corpus"),
+        F.col("p50_norm").alias("p50_norm_corpus"),
+    )
+    cos_micro = F.floor(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qa").cast("double")) * F.sqrt(F.col("qc").cast("double")))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        sc_.crossJoin(sa)
+        .crossJoin(cc.filter((F.col("qa") > 0) & (F.col("qc") > 0)))
+        .select(
+            "n_corpus",
+            "n_arrivals",
+            "avg_norm_corpus",
+            "avg_norm_arrivals",
+            "p50_norm_corpus",
+            "p50_norm_arrivals",
+            cos_micro.alias("centroid_cos_micro"),
+        )
+    )

@@ -322,6 +322,8 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "quantile_sketch_lake_merge",
         "streaming_multimodal_gate",
         "multimodal_audio_near_dup",
+        "embedding_drift_report",
+        "ann_index_drift",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()

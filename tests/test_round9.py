@@ -690,3 +690,111 @@ def test_multimodal_fingerprints_unicode_hostile_parity(spark, tmp_path):
     finally:
         release_scoped_caches()
         con.close()
+
+
+def test_embedding_drift_identical_cohorts_cosine_one(spark, tmp_path):
+    """Arrivals that exactly mirror the corpus must report (near-)unit
+    centroid cosine: identical micro mean vectors give dot == qa == qc, so
+    the only deviation from exactly 1.0 is the sqrt(q)^2 ulp — floor-micro
+    therefore reads 999999 or 1000000, never lower. Also pins parity on
+    the fixture lake."""
+    import random
+
+    from notion_timetracking_etl_spark.queries.similarity import EMB_DIMS
+
+    rng = random.Random(20260816)
+    base = [[rng.gauss(0.0, 1.0) for _ in range(EMB_DIMS)] for _ in range(10)]
+    rows = []
+    for i, vec in enumerate(base):
+        rows.append((i * 10, vec, 0))      # corpus (residue 0)
+        rows.append((i * 10 + 9, vec, 0))  # arrival mirror (residue 9)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v}::FLOAT[], {l})" for i, v, l in rows)
+        + ") t(vec_id, embedding, label)"
+    )
+    out = str(tmp_path / "embeddings_mirror.parquet")
+    con.execute(f"COPY (SELECT * FROM emb) TO '{out}'")
+    con.close()
+    lake = _clone_lake(tmp_path, {"embeddings": out})
+
+    got = REGISTRY["embedding_drift_report"].spark(spark, lake).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_corpus == 10 and r.n_arrivals == 10
+    assert r.centroid_cos_micro >= 999999
+    assert r.avg_norm_corpus == r.avg_norm_arrivals
+    assert r.p50_norm_corpus == r.p50_norm_arrivals
+    con = duck_connection(lake)
+    try:
+        result = compare_query(
+            spark, con, REGISTRY["embedding_drift_report"], lake
+        )
+        assert result.ok, result.detail
+    finally:
+        con.close()
+
+
+def test_ann_index_drift_flags_hot_and_cold_cells(spark, tmp_path):
+    """Arrivals concentrated in one geometric region must flag hot cells
+    there and cold cells elsewhere — the retrain trigger firing. Fixture:
+    two well-separated clusters; the 8 k-means seeds (smallest vec_ids)
+    cover both; every arrival (vec_id % 10 = 9) lands in cluster B."""
+    import random
+
+    from notion_timetracking_etl_spark.queries import kmeans as km
+    from notion_timetracking_etl_spark.queries.similarity import EMB_DIMS
+
+    rng = random.Random(20260817)
+
+    def around(center, n):
+        return [
+            [center + rng.gauss(0.0, 0.05) for _ in range(EMB_DIMS)]
+            for _ in range(n)
+        ]
+
+    rows = []
+    # seeds 0-3 in cluster A (-1.0), seeds 4-7 in cluster B (+1.0)
+    for i, v in enumerate(around(-1.0, 4)):
+        rows.append((i, v))
+    for i, v in enumerate(around(1.0, 4)):
+        rows.append((4 + i, v))
+    # corpus bulk in A (ids != 9 mod 10), all arrivals in B (ids = 9 mod 10)
+    a_ids = (i for i in range(10, 1000) if i % 10 != 9)
+    for v in around(-1.0, 26):
+        rows.append((next(a_ids), v))
+    for i, v in enumerate(around(1.0, 10)):
+        rows.append((109 + 10 * i, v))
+    assert len({i for i, _ in rows}) == len(rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v}::FLOAT[], 0)" for i, v in rows)
+        + ") t(vec_id, embedding, label)"
+    )
+    out = str(tmp_path / "embeddings_drift.parquet")
+    con.execute(f"COPY (SELECT * FROM emb) TO '{out}'")
+    con.close()
+    lake = _clone_lake(tmp_path, {"embeddings": out})
+
+    km.release_session_models()  # fresh fit for the staged lake
+    try:
+        got = REGISTRY["ann_index_drift"].spark(spark, lake).collect()
+        assert sum(r.n_members for r in got) == len(rows)
+        assert sum(r.n_arrivals for r in got) == 10
+        assert any(r.drift_hot for r in got)
+        assert any(r.drift_cold for r in got)
+        # no cell is both, and hot cells actually hold arrival mass
+        assert all(not (r.drift_hot and r.drift_cold) for r in got)
+        assert all(r.n_arrivals > 0 for r in got if r.drift_hot)
+        con = duck_connection(lake)
+        try:
+            result = compare_query(
+                spark, con, REGISTRY["ann_index_drift"], lake
+            )
+            assert result.ok, result.detail
+        finally:
+            con.close()
+    finally:
+        km.release_session_models()
