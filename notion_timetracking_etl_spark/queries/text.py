@@ -446,3 +446,140 @@ def docs_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "tok_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Text drift monitoring: token-distribution shift between the arriving
+# document cohort and the corpus — completes the drift-audit triple
+# (embedding_drift_report: distribution; ann_index_drift: index; this:
+# the raw text itself).
+# ---------------------------------------------------------------------------
+
+TEXT_DRIFT_TOP = 40  # corpus head tokens audited per report
+
+
+@register(
+    "text_drift_report",
+    "ext:text,A7-analog,V3-analog",
+    "Token-distribution DRIFT audit between the arriving document cohort "
+    "(doc_id % 10 = 5 — the ingest split the visual/cap gates established) "
+    f"and the corpus: for the top-{TEXT_DRIFT_TOP} corpus tokens (by exact "
+    "count, token tie-break), each cohort's occurrence rate in integer "
+    "micro units (count * 1e6 // cohort token total — scale-safe: rates "
+    "are bounded by 1e6 regardless of corpus size, so the 2x hot / 0.5x "
+    "cold comparisons never leave int64), plus the counts themselves. A "
+    "head token running hot in arrivals is a topic/source shift; a dead "
+    "head token is template/boilerplate rotation — the text-side signal "
+    "that quality filters and contamination screens tuned on the old "
+    "distribution need re-validation. One token-explode scan with "
+    "map-side partial aggregation; the audited head is a bounded "
+    f"{TEXT_DRIFT_TOP}-row table. Tokenization is the family's shared "
+    "whitespace-lowercase convention (operators/dedup.py::words), "
+    "replayed by the oracle.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT CASE WHEN doc_id % 10 = 5 THEN 'arrivals' ELSE 'corpus' END
+                   AS cohort,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+          FROM documents
+          WHERE text IS NOT NULL
+        ),
+        counts AS (
+          SELECT cohort, token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT cohort, CAST(COUNT(*) AS BIGINT) AS t FROM toks GROUP BY 1
+        ),
+        head AS (
+          SELECT token, cnt AS n_corpus FROM (
+            SELECT token, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token) AS rn
+            FROM counts WHERE cohort = 'corpus'
+          ) WHERE rn <= {TEXT_DRIFT_TOP}
+        ),
+        joined AS (
+          SELECT h.token, h.n_corpus,
+                 COALESCE(a.cnt, 0) AS n_arrivals,
+                 (h.n_corpus * 1000000) // tc.t AS rate_corpus_micro,
+                 (COALESCE(a.cnt, 0) * 1000000) // ta.t
+                   AS rate_arrivals_micro
+          FROM head h
+          LEFT JOIN counts a ON a.cohort = 'arrivals' AND a.token = h.token
+          JOIN tot tc ON tc.cohort = 'corpus'
+          JOIN tot ta ON ta.cohort = 'arrivals'
+        )
+        SELECT token, n_corpus, n_arrivals,
+               rate_corpus_micro, rate_arrivals_micro,
+               (rate_arrivals_micro > 2 * rate_corpus_micro) AS drift_hot,
+               (2 * rate_arrivals_micro < rate_corpus_micro) AS drift_cold
+        FROM joined
+        ORDER BY token
+    """,
+)
+def text_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import words
+    from ..operators.sampling import topk_per_group
+    from ..sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cohort = F.when(F.col("doc_id") % 10 == 5, F.lit("arrivals")).otherwise(
+        F.lit("corpus")
+    )
+    toks = docs.select(
+        cohort.alias("cohort"), F.explode(words(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("cohort", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = toks.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    # global head via the salted two-phase top-k (operators/sampling.py):
+    # a plain global row_number window would funnel the whole vocabulary
+    # through one partition — at 100 TB the vocab is 1e8+ distinct tokens
+    head = topk_per_group(
+        counts.filter(F.col("cohort") == "corpus").select("token", "cnt"),
+        [],
+        [(-F.col("cnt")), F.col("token")],
+        TEXT_DRIFT_TOP,
+    ).select("token", F.col("cnt").alias("n_corpus"))
+    arr = counts.filter(F.col("cohort") == "arrivals").select(
+        "token", F.col("cnt").alias("a_cnt")
+    )
+    tc = tot.filter(F.col("cohort") == "corpus").select(
+        F.col("t").alias("tc")
+    )
+    ta = tot.filter(F.col("cohort") == "arrivals").select(
+        F.col("t").alias("ta")
+    )
+    rate_c = F.floor(
+        (F.col("n_corpus") * F.lit(1000000)).cast("double") / F.col("tc")
+    ).cast("bigint")
+    rate_a = F.floor(
+        (F.col("n_arrivals") * F.lit(1000000)).cast("double") / F.col("ta")
+    ).cast("bigint")
+    return ordered_small(
+        head.join(arr, "token", "left")
+        .withColumn("n_arrivals", F.coalesce(F.col("a_cnt"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "token",
+            "n_corpus",
+            "n_arrivals",
+            rate_c.alias("rate_corpus_micro"),
+            rate_a.alias("rate_arrivals_micro"),
+        )
+        .select(
+            "*",
+            (F.col("rate_arrivals_micro") > 2 * F.col("rate_corpus_micro"))
+            .alias("drift_hot"),
+            (2 * F.col("rate_arrivals_micro") < F.col("rate_corpus_micro"))
+            .alias("drift_cold"),
+        ),
+        "token",
+    )

@@ -137,7 +137,12 @@ def test_topk_per_group_queries_get_window_group_limit_pushdown(spark, sf_dir):
     # the salted two-phase top-k must keep Catalyst's WindowGroupLimit
     # optimization (per-partition top-k pruning BEFORE the rank filter) on
     # both window phases — losing it would sort full strata per task
-    for name in ("sample_stratified", "text_tfidf_terms", "quantile_hash_sample"):
+    for name in (
+        "sample_stratified",
+        "text_tfidf_terms",
+        "quantile_hash_sample",
+        "text_drift_report",
+    ):
         plan = plan_of(spark, sf_dir, name)
         assert "WindowGroupLimit" in plan, name
 

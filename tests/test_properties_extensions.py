@@ -324,6 +324,7 @@ def test_registry_tolerates_empty_inputs(spark, tmp_path):
         "multimodal_audio_near_dup",
         "embedding_drift_report",
         "ann_index_drift",
+        "text_drift_report",
     ):
         assert REGISTRY[name].spark(spark, out).count() == 0, name
         release_scoped_caches()

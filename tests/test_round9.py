@@ -798,3 +798,39 @@ def test_ann_index_drift_flags_hot_and_cold_cells(spark, tmp_path):
             con.close()
     finally:
         km.release_session_models()
+
+
+def test_text_drift_flags_shifted_vocabulary(spark, tmp_path):
+    """Arrivals whose vocabulary rotates away from a head token must flag
+    it cold, and a token arriving at a much higher rate flags hot. Also
+    pins fixture-lake hash parity."""
+    docs = []
+    did = (i for i in range(1000) if i % 10 != 5)
+    for _ in range(20):  # corpus: 'alpha beta' everywhere, a little gamma
+        docs.append((next(did), "alpha beta alpha beta"))
+    docs.append((next(did), "gamma alpha beta"))
+    aid = (i for i in range(5, 1000, 10))
+    for _ in range(10):  # arrivals: beta gone, gamma dominant
+        docs.append((next(aid), "alpha gamma gamma gamma"))
+    con = duckdb.connect()
+    out = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', 'en', 'src0', {len(t)})" for i, t in docs)
+        + ") t(doc_id, text, lang, source, n_chars)) TO '" + out + "'"
+    )
+    con.close()
+    lake = _clone_lake(tmp_path, {"documents": out})
+
+    rows = {r.token: r for r in REGISTRY["text_drift_report"].spark(spark, lake).collect()}
+    assert set(rows) == {"alpha", "beta", "gamma"}
+    assert rows["beta"].drift_cold and not rows["beta"].drift_hot
+    assert rows["gamma"].drift_hot and not rows["gamma"].drift_cold
+    assert not rows["alpha"].drift_cold
+    assert rows["beta"].n_arrivals == 0
+    con = duck_connection(lake)
+    try:
+        result = compare_query(spark, con, REGISTRY["text_drift_report"], lake)
+        assert result.ok, result.detail
+    finally:
+        con.close()
