@@ -105,8 +105,14 @@ def main() -> None:
     # non-trivial), so total wall grows ~linearly with registry size at
     # ~1 run/query instead of ~2, and the end-of-run re-pass below remains
     # the backstop against sustained contention windows.
+    # strip each token: a space after a comma must not silently demote a
+    # focus query to the 1-sample tier (its new BASELINE row would then be
+    # single-sample noise — the exact failure the two-tier protocol exists
+    # to prevent)
     focus = {
-        q for q in os.environ.get("SPARK_GRAFT_BENCH_FOCUS", "").split(",") if q
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_FOCUS", "").split(",")
+        if q.strip()
     }
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}

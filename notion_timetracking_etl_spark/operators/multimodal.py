@@ -386,20 +386,46 @@ def phash_near_dup_pairs(
     right = buckets.select(
         F.col("media_id").alias("b"), F.col("phash").alias("hb"), "bi", "bv"
     )
-    cands = (
-        left.join(right, ["bi", "bv"])
-        .filter(F.col("a") < F.col("b"))
-        # hamming verify BEFORE distinct: failed candidates never enter the
-        # dedup shuffle (same ordering as simhash_hamming_pairs)
-        .select(
+    cands = _hamming_candidates(left, right, max_hamming, self_join=True)
+    return _pixel_l1_verify(cands, sig, sig, px_l1_max)
+
+
+def _hamming_candidates(
+    left: DataFrame, right: DataFrame, max_hamming: int, self_join: bool
+) -> DataFrame:
+    """Stage-1 verify shared by the self-join and cross-side gates:
+    equality join on (block idx, block bits), ``a < b`` dedup for the
+    self-join case, bit_count(xor) in the join projection — hamming verify
+    BEFORE distinct so failed candidates never enter the dedup shuffle
+    (same ordering as simhash_hamming_pairs)."""
+    cands = left.join(right, ["bi", "bv"])
+    if self_join:
+        cands = cands.filter(F.col("a") < F.col("b"))
+    return (
+        cands.select(
             "a", "b", F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming")
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a surviving pair can collide in several blocks
     )
+
+
+def _pixel_l1_verify(
+    cands: DataFrame, sig_a: DataFrame, sig_b: DataFrame, px_l1_max: int
+) -> DataFrame:
+    """Stage-2 exact verify shared by every perceptual-hash gate: join the
+    candidates back to both sides' pixel/energy grids and keep pairs whose
+    exact element-wise L1 distance is within the cap (zip_with + aggregate,
+    JVM-side)."""
     return (
-        cands.join(sig.select(F.col("media_id").alias("a"), F.col("px").alias("pxa")), "a")
-        .join(sig.select(F.col("media_id").alias("b"), F.col("px").alias("pxb")), "b")
+        cands.join(
+            sig_a.select(F.col("media_id").alias("a"), F.col("px").alias("pxa")),
+            "a",
+        )
+        .join(
+            sig_b.select(F.col("media_id").alias("b"), F.col("px").alias("pxb")),
+            "b",
+        )
         .select(
             "a",
             "b",
@@ -464,36 +490,8 @@ def phash_cross_near_dups(
     right = _phash_block_buckets(
         sig_corpus.select("media_id", "phash", "px"), max_hamming
     ).select(F.col("media_id").alias("b"), F.col("phash").alias("hb"), "bi", "bv")
-    cands = (
-        left.join(right, ["bi", "bv"])
-        .select(
-            "a", "b", F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
-    return (
-        cands.join(
-            sig_new.select(F.col("media_id").alias("a"), F.col("px").alias("pxa")),
-            "a",
-        )
-        .join(
-            sig_corpus.select(
-                F.col("media_id").alias("b"), F.col("px").alias("pxb")
-            ),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            "hamming",
-            F.expr(
-                "aggregate(zip_with(pxa, pxb, (x, y) -> abs(x - y)), "
-                "0L, (acc, v) -> acc + v)"
-            ).alias("px_l1"),
-        )
-        .filter(F.col("px_l1") <= px_l1_max)
-    )
+    cands = _hamming_candidates(left, right, max_hamming, self_join=False)
+    return _pixel_l1_verify(cands, sig_new, sig_corpus, px_l1_max)
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,17 @@ def _cache_get(cache: dict, key):
 
 
 def _evict_lru(cache: dict, free) -> None:
+    """Bound the cache, freeing the evicted entry's checkpoint blocks.
+
+    Lifetime contract: eviction frees the blocks that physically BACK any
+    DataFrame previously handed out for that (app, sf_dir) — a lazy plan
+    built on an evicted model must be executed before touching
+    ``_MODEL_MAX_ENTRIES`` further corpora in the same session, or its
+    collect fails with a missing-checkpoint-block error instead of
+    recomputing (localCheckpoint forfeits lineage by design; see the
+    ADVICE r8 resolution note). Bench/driver/test sessions touch <= 3
+    sf_dirs and execute eagerly, so they never hit this; a user-facing
+    session API would need refcounting here first."""
     while len(cache) > _MODEL_MAX_ENTRIES:
         oldest = next(iter(cache))
         free(cache.pop(oldest))

@@ -40,11 +40,15 @@ from .registry import register
 _MATERIALIZED: set[str] = set()
 
 
-def events_lake_path(sf_dir: str) -> str:
+def _lake_path(sf_dir: str, leaf: str) -> str:
+    """Scratch path for a derived lake of ``sf_dir``: one sanitize rule,
+    one scratch root, shared by every lake in this module."""
     tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_by_date"
-    )
+    return os.path.join(tempfile.gettempdir(), "spark_graft_lakes", tag, leaf)
+
+
+def events_lake_path(sf_dir: str) -> str:
+    return _lake_path(sf_dir, "events_by_date")
 
 
 def events_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,10 +213,7 @@ _SKETCH_LAKES: set[str] = set()
 
 
 def _sketch_lake_path(sf_dir: str) -> str:
-    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_kmv_by_date"
-    )
+    return _lake_path(sf_dir, "events_kmv_by_date")
 
 
 def kmv_dated_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,7 +323,11 @@ def _kmv_lake_oracle_sql() -> str:
           ) WHERE rn <= {KMV_K}
         ),
         merged AS (
-          SELECT g, CAST(MAX(h) AS BIGINT) AS kth_min,
+          -- joins key on a null-coalesced group id: event_type is nullable
+          -- and a plain equi-join would silently drop the NULL group from
+          -- the audit (the NULL-key class the qs lake fixed first)
+          SELECT g, coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(MAX(h) AS BIGINT) AS kth_min,
                  CAST(COUNT(*) AS BIGINT) AS n_in_sketch
           FROM (
             SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -331,11 +336,13 @@ def _kmv_lake_oracle_sql() -> str:
           GROUP BY g
         ),
         np AS (
-          SELECT g, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
           FROM part GROUP BY g
         ),
         whole AS (
-          SELECT g, CAST(MAX(h) AS BIGINT) AS kth_w,
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(MAX(h) AS BIGINT) AS kth_w,
                  CAST(COUNT(*) AS BIGINT) AS n_w
           FROM (
             SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -344,7 +351,8 @@ def _kmv_lake_oracle_sql() -> str:
           GROUP BY g
         ),
         exact AS (
-          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM hashed GROUP BY g
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact FROM hashed GROUP BY g
         )
         SELECT m.g AS event_type,
                np.n_partials,
@@ -362,9 +370,9 @@ def _kmv_lake_oracle_sql() -> str:
                       ELSE {float(KMV_K - 1)} * {_KMV_SPACE} / m.kth_min END)
                 - e.n_exact) / e.n_exact AS rel_err
         FROM merged m
-        JOIN np USING (g)
-        JOIN whole w USING (g)
-        JOIN exact e USING (g)
+        JOIN np USING (gk)
+        JOIN whole w USING (gk)
+        JOIN exact e USING (gk)
         ORDER BY event_type
     """
 
@@ -391,21 +399,29 @@ def _kmv_lake_oracle_sql() -> str:
 def kmv_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketches import _KMV_SPACE, KMV_K
 
+    # joins key on a null-coalesced group id (sketches.py convention):
+    # event_type is nullable and a plain equi-join would silently drop the
+    # NULL group from the audit
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
     partials = kmv_sketch_lake(spark, sf_dir)
-    merged = kmv_merge_sketch(partials)
-    np_ = partials.groupBy("g").agg(
-        F.countDistinct("event_date").cast("bigint").alias("n_partials")
+    merged = kmv_merge_sketch(partials).withColumn("gk", gk)
+    np_ = (
+        partials.groupBy("g")
+        .agg(F.countDistinct("event_date").cast("bigint").alias("n_partials"))
+        .select(gk, "n_partials")
     )
     hashed = kmv_dated_hashes(spark, sf_dir)
     whole = kmv_merge_sketch(
         hashed.withColumn("event_date", F.lit(None).cast("date"))
     ).select(
-        "g",
+        gk,
         F.col("kth_min").alias("kth_w"),
         F.col("n_in_sketch").alias("n_w"),
     )
-    exact = hashed.groupBy("g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    exact = (
+        hashed.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .select(gk, "n_exact")
     )
     est = F.when(
         F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
@@ -414,9 +430,9 @@ def kmv_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("kth_min").cast("double")
     )
     return ordered_small(
-        merged.join(np_, "g")
-        .join(whole, "g")
-        .join(exact, "g")
+        merged.join(np_, "gk")
+        .join(whole, "gk")
+        .join(exact, "gk")
         .select(
             F.col("g").alias("event_type"),
             "n_partials",
@@ -445,10 +461,7 @@ _HLL_LAKES: set[str] = set()
 
 
 def _hll_lake_path(sf_dir: str) -> str:
-    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_hll_by_date"
-    )
+    return _lake_path(sf_dir, "events_hll_by_date")
 
 
 def hll_dated_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,7 +498,7 @@ def hll_merge_registers(partials: DataFrame) -> DataFrame:
 def hll_sketch_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _hll_lake_path(sf_dir)
     partials = hll_partial_registers(hll_dated_fields(spark, sf_dir))
-    if path not in _SKETCH_LAKES and path not in _HLL_LAKES:
+    if path not in _HLL_LAKES:
         write_partitioned_lake(
             partials, path, ["event_date"], sort_cols=["g", "idx"]
         )
@@ -539,7 +552,9 @@ def _hll_lake_oracle_sql() -> str:
           SELECT g, idx, MAX(rank) AS rank FROM part GROUP BY 1, 2
         ),
         mstats AS (
-          SELECT g,
+          -- joins key on a null-coalesced group id (same NULL-key fix as
+          -- the KMV/qs lakes: a NULL event_type group must stay audited)
+          SELECT g, coalesce(g, chr(0) || '<null>') AS gk,
                  CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - rank))
                       AS BIGINT)
                  + ({HLL_M} - COUNT(*))
@@ -554,7 +569,7 @@ def _hll_lake_oracle_sql() -> str:
           FROM fields GROUP BY 1, 2
         ),
         wstats AS (
-          SELECT g,
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
                  CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - rank))
                       AS BIGINT)
                  + ({HLL_M} - COUNT(*))
@@ -563,11 +578,13 @@ def _hll_lake_oracle_sql() -> str:
           FROM whole GROUP BY g
         ),
         np AS (
-          SELECT g, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT d) AS BIGINT) AS n_partials
           FROM part GROUP BY g
         ),
         exact AS (
-          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY g
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY g
         )
         SELECT m.g AS event_type,
                np.n_partials,
@@ -579,9 +596,9 @@ def _hll_lake_oracle_sql() -> str:
                e.n_exact,
                ({est} - e.n_exact) / e.n_exact AS rel_err
         FROM mstats m
-        JOIN wstats w USING (g)
-        JOIN np USING (g)
-        JOIN exact e USING (g)
+        JOIN wstats w USING (gk)
+        JOIN np USING (gk)
+        JOIN exact e USING (gk)
         ORDER BY event_type
     """
 
@@ -608,16 +625,23 @@ def hll_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_stats_from_registers,
     )
 
+    # null-coalesced join key: a NULL event_type group must stay audited
+    # (same fix as the KMV/qs lakes)
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
     partials = hll_sketch_lake(spark, sf_dir)
-    mstats = hll_stats_from_registers(hll_merge_registers(partials), "g")
-    np_ = partials.groupBy("g").agg(
-        F.countDistinct("event_date").cast("bigint").alias("n_partials")
+    mstats = hll_stats_from_registers(
+        hll_merge_registers(partials), "g"
+    ).withColumn("gk", gk)
+    np_ = (
+        partials.groupBy("g")
+        .agg(F.countDistinct("event_date").cast("bigint").alias("n_partials"))
+        .select(gk, "n_partials")
     )
     fields = hll_dated_fields(spark, sf_dir)
     wstats = hll_stats_from_registers(
         fields.groupBy("g", "idx").agg(F.max("rank").alias("rank")), "g"
     ).select(
-        "g",
+        gk,
         F.col("t").alias("wt"),
         F.col("n_zero_registers").alias("wz"),
     )
@@ -635,12 +659,13 @@ def hll_sketch_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .select(gk, "n_exact")
     )
     est = hll_estimate_col()
     return ordered_small(
-        mstats.join(wstats, "g")
-        .join(np_, "g")
-        .join(exact, "g")
+        mstats.join(wstats, "gk")
+        .join(np_, "gk")
+        .join(exact, "gk")
         .select(
             F.col("g").alias("event_type"),
             "n_partials",
@@ -669,10 +694,7 @@ _QS_LAKES: set[str] = set()
 
 
 def _qs_lake_path(sf_dir: str) -> str:
-    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_lakes", tag, "events_qs_by_date"
-    )
+    return _lake_path(sf_dir, "events_qs_by_date")
 
 
 def qs_dated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,10 +927,7 @@ _DRIFT_LAKES: set[str] = set()
 
 
 def _drift_lake_path(sf_dir: str) -> str:
-    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_lakes", tag, "orders_evolving"
-    )
+    return _lake_path(sf_dir, "orders_evolving")
 
 
 @register(

@@ -1088,6 +1088,7 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _scoped_persist
     from ..operators.similarity import norm_sq
 
     emb = load_embeddings(spark, sf_dir)
@@ -1112,9 +1113,13 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("nrm_micro").cast("double"), F.lit(0.5)), 6
         ).alias("p50_norm"),
     )
+    # stats feeds two consumers (sa/sc_) and means feeds two (ma/mc) —
+    # persist both tiny tables (2 and 2x64 rows) so the corpus scan and
+    # the per-dimension explode run ONCE, not once per consumer
+    stats = _scoped_persist(stats)
     # per-dimension floor-micro sums -> floor-divided micro MEAN vectors:
     # |mean| <= ~1e7, so the 64-term dot/norm sums below stay exact int64
-    means = (
+    means = _scoped_persist(
         base.select("cohort", F.posexplode("embedding").alias("pos", "val"))
         .select(
             "cohort",

@@ -160,6 +160,8 @@ def null_type_lake(tmp_path_factory):
         "quantile_summary",
         "quantile_hash_sample",
         "quantile_sketch_lake_merge",
+        "kmv_sketch_lake_merge",
+        "hll_sketch_lake_merge",
     ],
 )
 def test_null_event_type_group_holds_parity(spark, null_type_lake, name):
