@@ -700,16 +700,13 @@ def ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("cluster_id"),
             "n_members",
             "n_arrivals",
-            F.floor(
-                (F.col("n_arrivals") * F.lit(1000000)).cast("double")
-                / F.col("n_members")
-            )
+            # exact long division (Spark `div`) matching the oracle's BIGINT
+            # `//`: floor(double division) rounds once the numerator exceeds
+            # 2^53 and can land 1 off the oracle (ADVICE r9)
+            F.expr("(n_arrivals * 1000000) div n_members")
             .cast("bigint")
             .alias("arrival_rate_micro"),
-            F.floor(
-                (F.col("t_arrivals") * F.lit(1000000)).cast("double")
-                / F.col("t_members")
-            )
+            F.expr("(t_arrivals * 1000000) div t_members")
             .cast("bigint")
             .alias("global_rate_micro"),
             (

@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..operators.multimodal import (
+    AUDIO_FP_FRAMES,
+    AUDIO_FP_MIN_CHARS,
     PHASH_MIN_CHARS,
+    PHASH_SCALE,
     attach_media_columns,
     decode_media,
     phash_media,
@@ -216,7 +219,7 @@ _PHASH_CTES = f"""
         ),
         grid AS (
           SELECT s.doc_id, s.r, s.c,
-                 (COALESCE(k.cnt, 0) * 1048576) // s.n AS px
+                 (COALESCE(k.cnt, 0) * {PHASH_SCALE}) // s.n AS px
           FROM spine s LEFT JOIN cellcnt k
             ON k.doc_id = s.doc_id AND k.r = s.r AND k.c = s.c
         ),
@@ -390,13 +393,16 @@ MM_AUDIO_L1_MAX = 262144  # exact energy-L1 verify cap (2^18 fixed-point)
 # fold: aud (audio media >= AUDIO_FP_MIN_CHARS chars), framesum (per-frame
 # codepoint-sum energy), energy (total-normalized fixed point), afp (the
 # signed-64 fingerprint), ev (the 65-frame energy list).
-_AUDIO_FP_CTES = """
+_AUDIO_FP_CTES = f"""
         aud AS (
           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
           FROM documents
           WHERE text IS NOT NULL
-            AND length(text) >= 65
-            AND doc_id % 3 = 1  -- only audio rows carry a waveform
+            AND length(text) >= {AUDIO_FP_MIN_CHARS}
+            -- doc_id % 3 = 1 is attach_media_columns' media_type mapping
+            -- (element_at(['image','audio','video'], id % 3 + 1)): only
+            -- audio rows carry a waveform
+            AND doc_id % 3 = 1
         ),
         achars AS (
           SELECT doc_id, n,
@@ -405,7 +411,7 @@ _AUDIO_FP_CTES = """
           FROM aud
         ),
         framesum AS (
-          SELECT doc_id, n, ((i - 1) * 65) // n AS f,
+          SELECT doc_id, n, ((i - 1) * {AUDIO_FP_FRAMES}) // n AS f,
                  CAST(SUM(unicode(ch)) AS BIGINT) AS raw
           FROM achars GROUP BY 1, 2, 3
         ),
@@ -415,13 +421,13 @@ _AUDIO_FP_CTES = """
         ),
         energy AS (
           SELECT fs.doc_id, fs.f,
-                 (fs.raw * 1048576) // GREATEST(t.total, 1) AS e
+                 (fs.raw * {PHASH_SCALE}) // GREATEST(t.total, 1) AS e
           FROM framesum fs JOIN tot t ON t.doc_id = fs.doc_id
         ),
         afp AS (
           SELECT e1.doc_id,
                  CAST(SUM(CASE WHEN e1.e < e2.e THEN
-                      CASE WHEN e1.f = 63
+                      CASE WHEN e1.f = {AUDIO_FP_FRAMES - 2}
                            THEN CAST(-9223372036854775808 AS BIGINT)
                            ELSE (CAST(1 AS BIGINT) << e1.f) END
                       ELSE 0 END) AS BIGINT) AS afp
@@ -462,23 +468,20 @@ _AUDIO_FP_CTES = """
         WITH {_AUDIO_FP_CTES}
         SELECT a.doc_id AS a, b.doc_id AS b,
                CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming,
-               CAST(list_sum(list_transform(generate_series(1, 65),
+               CAST(list_sum(list_transform(generate_series(1, {AUDIO_FP_FRAMES}),
                     k -> abs(ea.el[k] - eb.el[k]))) AS BIGINT) AS energy_l1
         FROM afp a
         JOIN afp b ON a.doc_id < b.doc_id
         JOIN ev ea ON ea.doc_id = a.doc_id
         JOIN ev eb ON eb.doc_id = b.doc_id
         WHERE bit_count(xor(a.afp, b.afp)) <= {MM_AUDIO_MAX_HAMMING}
-          AND list_sum(list_transform(generate_series(1, 65),
+          AND list_sum(list_transform(generate_series(1, {AUDIO_FP_FRAMES}),
                k -> abs(ea.el[k] - eb.el[k]))) <= {MM_AUDIO_L1_MAX}
         ORDER BY a, b
     """,
 )
 def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import (
-        AUDIO_FP_MIN_CHARS,
-        audio_fingerprint_media,
-    )
+    from ..operators.multimodal import audio_fingerprint_media
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= AUDIO_FP_MIN_CHARS)

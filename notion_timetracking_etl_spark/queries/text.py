@@ -563,12 +563,11 @@ def text_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = tot.filter(F.col("cohort") == "arrivals").select(
         F.col("t").alias("ta")
     )
-    rate_c = F.floor(
-        (F.col("n_corpus") * F.lit(1000000)).cast("double") / F.col("tc")
-    ).cast("bigint")
-    rate_a = F.floor(
-        (F.col("n_arrivals") * F.lit(1000000)).cast("double") / F.col("ta")
-    ).cast("bigint")
+    # exact long division (Spark `div`), matching the oracle's BIGINT `//`:
+    # floor(double division) rounds once count*1e6 exceeds 2^53 (counts
+    # ~9e9+, expected at 100 TB) and can land 1 off the oracle (ADVICE r9)
+    rate_c = F.expr("(n_corpus * 1000000) div tc").cast("bigint")
+    rate_a = F.expr("(n_arrivals * 1000000) div ta").cast("bigint")
     return ordered_small(
         head.join(arr, "token", "left")
         .withColumn("n_arrivals", F.coalesce(F.col("a_cnt"), F.lit(0)).cast("bigint"))
