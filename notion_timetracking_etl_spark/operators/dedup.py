@@ -339,23 +339,129 @@ def simhash16(text: Column) -> Column:
     return simhash_from_hashes(word_hashes(text))
 
 
+# ---------------------------------------------------------------------------
+# Adaptive pigeonhole Hamming blocking (r9 verdict task #1) — shared by the
+# SimHash family here and the perceptual-hash family in
+# operators/multimodal.py.
+#
+# Classic pigeonhole (agreement level 1): split an n_bits signature into
+# max_hamming + 1 disjoint blocks; a pair within the radius agrees EXACTLY on
+# >= 1 block, so an equality join on (block_idx, block_bits) finds every
+# pair. Its scale blind spot: block width is n_bits/(h+1) REGARDLESS of
+# corpus size, so uniform-hash chance candidates grow ~ C * n^2 / 2^width —
+# fine at 10^4 signatures, saturating at 10^6+ (the last corpus-size-blind
+# blocking parameter after r9 made kNN/SemDeDup cells occupancy-adaptive).
+#
+# The adaptive generalization (multi-index Hamming search, Norouzi et al.
+# 2012): at agreement level c, split into m = max_hamming + c blocks and join
+# on every C(m, c) combination of c blocks. Completeness is the same
+# pigeonhole argument: a pair within radius h differs in at most h of the m
+# blocks, hence agrees fully on >= m - h = c blocks, hence at least one
+# c-combination agrees on ALL its blocks — the join finds every pair at ANY
+# level, so the result set is level-invariant (test-pinned) and the all-pairs
+# SQL oracles need no replay of the blocking. What the level buys: join-key
+# width grows ~ c * n_bits / m bits, so chance candidates shrink by ~2^width
+# while key rows per signature grow only polynomially (C(m, c)); the level is
+# chosen from the observed corpus size so expected chance candidates per
+# signature stay within a fixed budget at any scale. Beyond
+# PIGEONHOLE_MAX_LEVEL the scheme stays CORRECT (it degrades in candidate
+# volume, never in recall) — the documented lever past that point is a wider
+# signature (256-bit pHash / 64-bit SimHash), which raises every level's
+# block width at the same blocking machinery.
+# ---------------------------------------------------------------------------
+
+# Budget: expected UNIFORM-hash chance candidates per signature. Level c is
+# the smallest with n * C(m, c) <= PIGEONHOLE_TARGET * 2^(min combined key
+# width). For 64-bit signatures at radius 8 the ladder steps near n = 14.5k /
+# 93k / 406k; for 32-bit SimHash at radius 2 near n = 350k / 11M.
+PIGEONHOLE_TARGET = 1024
+PIGEONHOLE_MAX_LEVEL = 4
+
+
+def _pigeonhole_widths(n_bits: int, n_blocks: int) -> tuple[list[int], list[int]]:
+    """(widths, shifts) of ``n_blocks`` disjoint blocks covering ``n_bits``."""
+    base, rem = divmod(n_bits, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    return widths, [sum(widths[:i]) for i in range(n_blocks)]
+
+
+def pigeonhole_level(
+    n: int,
+    n_bits: int,
+    max_hamming: int,
+    target: int = PIGEONHOLE_TARGET,
+    max_level: int = PIGEONHOLE_MAX_LEVEL,
+) -> int:
+    """Smallest agreement level whose worst-case expected chance-candidate
+    count per signature (``n * C(m, c) / 2^w_min``, uniform-hash model, w_min
+    = the narrowest c-combination's combined width) stays within ``target``;
+    capped at ``max_level`` (correct but wider buckets beyond — see module
+    comment)."""
+    from math import comb
+
+    for c in range(1, max_level):
+        m = max_hamming + c
+        widths, _ = _pigeonhole_widths(n_bits, m)
+        w_min = sum(sorted(widths)[:c])
+        if n * comb(m, c) <= target * (1 << w_min):
+            return c
+    return max_level
+
+
+def pigeonhole_buckets(
+    df: DataFrame, hash_col: str, n_bits: int, max_hamming: int, level: int
+) -> DataFrame:
+    """One row per (input row, c-block combination): the input columns plus
+    ``bi`` (combination index) and ``bv`` (the combination's block values
+    packed into one non-negative long — the equality-join key). All
+    extraction is JVM-side bit arithmetic (arithmetic shift + mask, so the
+    signed-64 top block packs correctly)."""
+    from itertools import combinations
+
+    m = max_hamming + level
+    widths, shifts = _pigeonhole_widths(n_bits, m)
+
+    def block(i: int) -> Column:
+        return F.shiftright(hash_col, shifts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    structs = []
+    for j, combo in enumerate(combinations(range(m), level)):
+        bv = block(combo[0])
+        for i in combo[1:]:
+            bv = F.shiftleft(bv, widths[i]).bitwiseOR(block(i))
+        structs.append(
+            F.struct(F.lit(j).alias("bi"), bv.cast("long").alias("bv"))
+        )
+    cols = df.columns
+    return df.select("*", F.explode(F.array(*structs)).alias("_b")).select(
+        *cols, F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_bits: int = 32,
     max_hamming: int = 2,
+    level: int | None = None,
+    target: int = PIGEONHOLE_TARGET,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of an
     ``n_bits``-wide SimHash, without ever touching the O(n²) pair space.
 
-    Candidate generation uses the pigeonhole block trick: split the signature
-    into ``max_hamming + 1`` disjoint bit blocks — any pair within distance k
-    differs in at most k blocks, so it agrees EXACTLY on at least one of the
-    k+1, and an equality self-join on (block_idx, block_bits) finds every
-    such pair. Verification is exact: ``bit_count(xor)`` on the full
-    signatures. At 100 TB the shuffle carries (doc, block) rows — linear in
-    the corpus — and each join bucket holds only block-collisions.
+    Candidate generation uses size-adaptive pigeonhole blocking (see the
+    block comment above :func:`pigeonhole_level`): ``level=None`` derives the
+    agreement level from the observed signature count — one O(1)-result
+    count on the already-persisted signature table — so block-key width
+    grows with the corpus and expected chance candidates per signature stay
+    within ``target`` at any scale. The result set is level-invariant
+    (completeness holds at every level), so the all-pairs oracle needs no
+    blocking replay. Verification is exact: ``bit_count(xor)`` on the full
+    signatures. At 100 TB the shuffle carries (doc, combo) rows — linear in
+    the corpus — and each join bucket holds only combo-collisions.
 
     Default 32-bit signatures keep chance collisions negligible
     (P[hamming<=2] ~ 1.2e-7 per random pair), so candidates ≈ true near-dups.
@@ -363,32 +469,18 @@ def simhash_hamming_pairs(
     # Scoped persist: the self-join below consumes the signature table twice
     # (left/right branches), and without it each branch recomputes the
     # sha256-per-word signature chain — the dominant cost of this operator.
-    # The persisted table is tiny: (doc, 64-bit signature) per document.
+    # The persisted table is tiny: (doc, signature) per document.
     sig = _scoped_persist(
         df.select(
             F.col(id_col).alias("doc"),
             word_hashes(F.col(text_col)).alias("_hl"),
         ).select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
     )
+    if level is None:
+        # the count also warms the persist exactly once before the self-join
+        level = pigeonhole_level(sig.count(), n_bits, max_hamming, target)
 
-    n_blocks = max_hamming + 1
-    base, rem = divmod(n_bits, n_blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
-    shifts = [sum(widths[:i]) for i in range(n_blocks)]
-    block_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.shiftright("s", shifts[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("bv"),
-            )
-            for i in range(n_blocks)
-        ]
-    )
-    buckets = sig.select("doc", "s", F.explode(block_arr).alias("b")).select(
-        "doc", "s", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
-    )
+    buckets = pigeonhole_buckets(sig, "s", n_bits, max_hamming, level)
     left = buckets.select(
         F.col("doc").alias("a"), F.col("s").alias("sa"), "bi", "bv"
     )
@@ -407,7 +499,7 @@ def simhash_hamming_pairs(
             F.expr("bit_count(sa ^ sb)").cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a surviving pair can collide in several blocks
+        .distinct()  # a surviving pair can collide in several combinations
     )
 
 

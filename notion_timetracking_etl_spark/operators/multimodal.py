@@ -353,33 +353,47 @@ def phash_media(
 
 
 def phash_near_dup_pairs(
-    sig: DataFrame, max_hamming: int = 8, px_l1_max: int = 262144
+    sig: DataFrame,
+    max_hamming: int = 8,
+    px_l1_max: int = 262144,
+    level: int | None = None,
+    target: int | None = None,
 ) -> DataFrame:
     """Near-dup visual pairs within ``max_hamming`` bits of the 64-bit
     perceptual hash, verified by exact pixel distance — without the O(n²)
     pair space.
 
-    Candidates come from the pigeonhole block trick shared with
-    :func:`..operators.dedup.simhash_hamming_pairs`: the hash splits into
-    ``max_hamming + 1`` disjoint bit blocks, any pair within the radius
-    agrees exactly on >= 1 block, and an equality self-join on
-    (block_idx, block_bits) finds every such pair — the shuffle carries
-    (media, block) rows, linear in the corpus. Verification is exact and
-    two-stage: ``bit_count(xor)`` on the full hashes (cheap, in the join
-    projection) then the L1 distance over the actual 72-cell pixel grids
-    (``zip_with`` + ``aggregate``, JVM-side) for candidates only — the
-    pixel re-check a production image pipeline runs before merging a dup
-    cluster. Scale lever: bits-per-block = 64/(r+1); a corpus where
-    7-bit blocks bucket too coarsely moves to a wider hash (256-bit pHash
-    -> 28-bit blocks), not to a different algorithm.
+    Candidates come from SIZE-ADAPTIVE pigeonhole blocking shared with
+    :func:`..operators.dedup.simhash_hamming_pairs` (see the block comment
+    above ``dedup.pigeonhole_level`` for the completeness argument and the
+    level budget): ``level=None`` derives the agreement level from the
+    observed signature count — one O(1)-result count on the already-
+    persisted signature table — so the equality-join key widens with the
+    corpus (~7 bits at 10^4 media, ~13 at 10^5, ~17 at 4*10^5) and expected
+    chance candidates per signature stay within the budget instead of
+    growing ~n/128 the way the fixed 7-bit blocks did (r9 verdict task #1).
+    The result set is level-invariant, so the all-pairs oracle needs no
+    blocking replay. The shuffle carries (media, combo) rows, linear in the
+    corpus. Verification is exact and two-stage: ``bit_count(xor)`` on the
+    full hashes (cheap, in the join projection) then the L1 distance over
+    the actual 72-cell pixel grids (``zip_with`` + ``aggregate``, JVM-side)
+    for candidates only — the pixel re-check a production image pipeline
+    runs before merging a dup cluster. Beyond PIGEONHOLE_MAX_LEVEL the
+    blocking stays correct but buckets coarsen; that regime's lever is a
+    wider signature (256-bit pHash) through the same machinery.
     """
-    from .dedup import _scoped_persist
+    from .dedup import PIGEONHOLE_TARGET, _scoped_persist, pigeonhole_level
 
     # the signature table feeds 4 consumers (both self-join branches, both
     # pixel-verify joins); persist so the Python decode seam runs ONCE.
     sig = _scoped_persist(sig.select("media_id", "phash", "px"))
+    if level is None:
+        # the count also warms the persist exactly once before the self-join
+        level = pigeonhole_level(
+            sig.count(), 64, max_hamming, target or PIGEONHOLE_TARGET
+        )
 
-    buckets = _phash_block_buckets(sig, max_hamming)
+    buckets = _phash_block_buckets(sig, max_hamming, level)
     left = buckets.select(
         F.col("media_id").alias("a"), F.col("phash").alias("ha"), "bi", "bv"
     )
@@ -439,31 +453,15 @@ def _pixel_l1_verify(
     )
 
 
-def _phash_blocks(n_bits: int, n_blocks: int):
-    """(widths, shifts) of the pigeonhole bit blocks."""
-    base, rem = divmod(n_bits, n_blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
-    return widths, [sum(widths[:i]) for i in range(n_blocks)]
+def _phash_block_buckets(sig: DataFrame, max_hamming: int, level: int) -> DataFrame:
+    """(media_id, phash, bi, bv): one row per (media, c-block combination)
+    of the size-adaptive pigeonhole scheme — the machinery shared with the
+    SimHash family (``operators/dedup.py::pigeonhole_buckets``, which holds
+    the completeness argument and the level budget)."""
+    from .dedup import pigeonhole_buckets
 
-
-def _phash_block_buckets(sig: DataFrame, max_hamming: int) -> DataFrame:
-    """(media_id, phash, bi, bv): one row per (media, pigeonhole block)."""
-    widths, shifts = _phash_blocks(64, max_hamming + 1)
-    block_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.shiftright("phash", shifts[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("bv"),
-            )
-            for i in range(len(widths))
-        ]
-    )
-    return sig.select(
-        "media_id", "phash", F.explode(block_arr).alias("b")
-    ).select(
-        "media_id", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    return pigeonhole_buckets(
+        sig.select("media_id", "phash"), "phash", 64, max_hamming, level
     )
 
 
@@ -472,6 +470,7 @@ def phash_cross_near_dups(
     sig_corpus: DataFrame,
     max_hamming: int = 8,
     px_l1_max: int = 262144,
+    level: int | None = None,
 ) -> DataFrame:
     """Incremental-ingest visual near-dup pairs: NEW-batch media against
     the EXISTING corpus only — ``(a=new, b=corpus)`` sharing any pigeonhole
@@ -483,12 +482,21 @@ def phash_cross_near_dups(
     day's batch costs O(batch + shared buckets) regardless of corpus size.
     A perceptual hash depends only on the media's own pixels, so the
     candidate set equals the full-corpus blocking restricted to cross-side
-    pairs — which is what the SQL oracle replays."""
+    pairs — which is what the SQL oracle replays.
+
+    ``level=None`` derives the adaptive agreement level from the CORPUS
+    side's observed count (both sides must block identically); a streaming
+    caller that drains many batches against one persisted corpus computes
+    the level once and passes it explicitly (streaming/visualgate.py)."""
+    from .dedup import pigeonhole_level
+
+    if level is None:
+        level = pigeonhole_level(sig_corpus.count(), 64, max_hamming)
     left = _phash_block_buckets(
-        sig_new.select("media_id", "phash", "px"), max_hamming
+        sig_new.select("media_id", "phash", "px"), max_hamming, level
     ).select(F.col("media_id").alias("a"), F.col("phash").alias("ha"), "bi", "bv")
     right = _phash_block_buckets(
-        sig_corpus.select("media_id", "phash", "px"), max_hamming
+        sig_corpus.select("media_id", "phash", "px"), max_hamming, level
     ).select(F.col("media_id").alias("b"), F.col("phash").alias("hb"), "bi", "bv")
     cands = _hamming_candidates(left, right, max_hamming, self_join=False)
     return _pixel_l1_verify(cands, sig_new, sig_corpus, px_l1_max)

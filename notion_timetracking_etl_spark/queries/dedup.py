@@ -296,11 +296,15 @@ def _sig_cte(n_bits: int) -> str:
     "dedup_simhash_hamming",
     "A6,J8,F20",
     "SimHash Hamming-distance near-dup pairs: 32-bit bit-voting signatures, "
-    "pigeonhole block candidate join (a pair within Hamming<=2 agrees exactly "
-    "on one of 3 signature blocks — candidates via equality join, never the "
-    "O(n^2) pair space), exact bit_count(xor) verification. The oracle is the "
-    "naive all-pairs ground truth, so hash-equality proves the blocking "
-    "scheme loses no pair.",
+    "SIZE-ADAPTIVE pigeonhole candidate join (multi-index Hamming, r9 "
+    "verdict task #1: at agreement level c the signature splits into "
+    "radius+c disjoint blocks joined on every c-block combination — a pair "
+    "within Hamming<=2 agrees fully on >= 1 combination at any level, and "
+    "the level derives from the observed corpus count so join-key width "
+    "grows with the corpus: ~10 key bits to 350k docs, ~16 to 11M — never "
+    "the O(n^2) pair space), exact bit_count(xor) verification. The oracle "
+    "is the naive all-pairs ground truth, so hash-equality proves the "
+    "blocking scheme loses no pair at whatever level the corpus picks.",
     oracle=f"""
         WITH {_sig_cte(32)}
         SELECT l.doc_id AS a, r.doc_id AS b,

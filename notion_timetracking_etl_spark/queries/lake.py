@@ -994,3 +994,269 @@ def lake_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "gen",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-lake lifecycle beyond append (r9 verdict task #2): compaction of old
+# per-date partials into coarser grains, plus partition retirement — the
+# operations a year-old 100 TB sketch lake actually runs. The bottom-k monoid
+# makes both provable: re-merging partials at ANY grain yields the same
+# sketch (merge is associative/commutative/idempotent on the hash set), so
+# compacted == daily-direct is a hashed equality, not a tolerance.
+# ---------------------------------------------------------------------------
+
+_COMPACT_LAKES: set[str] = set()
+
+# Grain pivot: daily partials strictly BEFORE this date compact to ISO-week
+# grain; later dates stay daily (the hot tail an ingest keeps fine-grained).
+KMV_COMPACT_PIVOT = "2024-01-15"
+# Retention: grain partitions strictly BEFORE this date are retired. Aligned
+# to an ISO-week boundary so retained-compacted == retained-daily exactly.
+KMV_RETAIN_CUTOFF = "2024-01-08"
+
+
+def _compact_lake_path(sf_dir: str) -> str:
+    return _lake_path(sf_dir, "events_kmv_compacted")
+
+
+def kmv_compact_partials(
+    partials: DataFrame, pivot: str = KMV_COMPACT_PIVOT
+) -> DataFrame:
+    """(grain_date, g, h): daily partials re-merged to their compaction
+    grain — ISO week for dates before ``pivot``, the date itself after.
+    Bottom-k of a union of bottom-ks is the bottom-k of the union (the
+    monoid property the sketch algebra tests pin), so this LOSES NOTHING:
+    the compacted lake merges to the identical whole-corpus sketch while
+    holding ~7x fewer partition directories for the cold range."""
+    from pyspark.sql import Window
+
+    from .sketches import KMV_K
+
+    grain = F.when(
+        F.col("event_date") < F.lit(pivot).cast("date"),
+        F.date_trunc("week", F.col("event_date")).cast("date"),
+    ).otherwise(F.col("event_date"))
+    w = Window.partitionBy("grain_date", "g").orderBy(F.col("h").asc())
+    return (
+        partials.withColumn("grain_date", grain)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("grain_date", "g", "h")
+    )
+
+
+def kmv_compacted_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted KMV lake as a ``grain_date=``-partitioned parquet lake
+    (the physical rewrite a lake compaction job performs), written once per
+    process from the daily lake and read back with an explicit schema."""
+    path = _compact_lake_path(sf_dir)
+    compacted = kmv_compact_partials(kmv_sketch_lake(spark, sf_dir))
+    if path not in _COMPACT_LAKES:
+        write_partitioned_lake(
+            compacted, path, ["grain_date"], sort_cols=["g", "h"]
+        )
+        _COMPACT_LAKES.add(path)
+    return spark.read.schema(compacted.schema).parquet(path)
+
+
+def _kmv_compaction_oracle_sql() -> str:
+    from .sketches import KMV_K
+
+    return f"""
+        WITH keyed AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d,
+                 event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        hashed AS (
+          SELECT d, g,
+                 CAST(concat('0x', substr(sha256(concat('kmv:', key)),
+                      1, 14)) AS BIGINT) AS h
+          FROM keyed
+        ),
+        part AS (
+          SELECT d, g, h FROM (
+            SELECT d, g, h,
+                   ROW_NUMBER() OVER (PARTITION BY d, g ORDER BY h) AS rn
+            FROM hashed
+          ) WHERE rn <= {KMV_K}
+        ),
+        comp AS (
+          SELECT grain, g, h FROM (
+            SELECT CASE WHEN d < DATE '{KMV_COMPACT_PIVOT}'
+                        THEN date_trunc('week', d) ELSE d END AS grain,
+                   g, h,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY CASE WHEN d < DATE '{KMV_COMPACT_PIVOT}'
+                                  THEN date_trunc('week', d) ELSE d END, g
+                     ORDER BY h) AS rn
+            FROM part
+          ) WHERE rn <= {KMV_K}
+        ),
+        mc AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk, g,
+                 CAST(MAX(h) AS BIGINT) AS kth_min,
+                 CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn FROM comp)
+          WHERE rn <= {KMV_K} GROUP BY g
+        ),
+        md AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(MAX(h) AS BIGINT) AS kth_d,
+                 CAST(COUNT(*) AS BIGINT) AS n_d
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn FROM part)
+          WHERE rn <= {KMV_K} GROUP BY g
+        ),
+        rc AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(MAX(h) AS BIGINT) AS r_kth,
+                 CAST(COUNT(*) AS BIGINT) AS r_n
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn
+                FROM comp WHERE grain >= DATE '{KMV_RETAIN_CUTOFF}')
+          WHERE rn <= {KMV_K} GROUP BY g
+        ),
+        rd AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(MAX(h) AS BIGINT) AS rd_kth,
+                 CAST(COUNT(*) AS BIGINT) AS rd_n
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn
+                FROM part WHERE d >= DATE '{KMV_RETAIN_CUTOFF}')
+          WHERE rn <= {KMV_K} GROUP BY g
+        ),
+        counts AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT d) AS BIGINT) AS n_daily_partials
+          FROM part GROUP BY g
+        ),
+        ccounts AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT grain) AS BIGINT)
+                   AS n_compacted_partials,
+                 CAST(COUNT(DISTINCT grain) FILTER (
+                      WHERE grain < DATE '{KMV_RETAIN_CUTOFF}') AS BIGINT)
+                   AS n_retired_partials
+          FROM comp GROUP BY g
+        )
+        SELECT mc.g AS event_type,
+               counts.n_daily_partials,
+               ccounts.n_compacted_partials,
+               ccounts.n_retired_partials,
+               mc.kth_min,
+               mc.n_in_sketch,
+               (mc.kth_min = md.kth_d AND mc.n_in_sketch = md.n_d)
+                 AS compacted_equals_daily,
+               rc.r_kth AS retained_kth_min,
+               (rc.r_kth IS NOT DISTINCT FROM rd.rd_kth
+                AND rc.r_n IS NOT DISTINCT FROM rd.rd_n)
+                 AS retained_equals_daily_retained
+        FROM mc
+        JOIN md USING (gk)
+        JOIN counts USING (gk)
+        JOIN ccounts USING (gk)
+        LEFT JOIN rc USING (gk)
+        LEFT JOIN rd USING (gk)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "kmv_sketch_lake_compaction",
+    "S6-analog,A10-ext,U2-analog",
+    "Sketch-lake LIFECYCLE beyond append (r9 verdict task #2) — the "
+    "operations a year-old 100 TB sketch lake runs: (1) COMPACTION — daily "
+    f"KMV partials older than {KMV_COMPACT_PIVOT} re-merge in place to "
+    "ISO-week grain partitions (bottom-k of a union of bottom-ks IS the "
+    "bottom-k of the union, so the rewrite provably loses nothing — the "
+    "compacted lake's whole-corpus merge is hash-flagged EQUAL to the "
+    "daily lake's, per event_type, NULL group included); (2) RETIREMENT — "
+    f"grain partitions before {KMV_RETAIN_CUTOFF} (week-aligned) are "
+    "dropped, and the retained compacted merge is hash-flagged equal to "
+    "the retained daily merge (null-safe: a type living only in retired "
+    "partitions compares absent-to-absent). The compacted lake is "
+    "physically rewritten as a grain_date=-partitioned parquet lake; "
+    "partition counts before/after/retired quantify the directory "
+    "reduction. The oracle replays partials, week re-merge, retirement "
+    "and every equality from the raw events view end-to-end; the "
+    "two-level re-compaction probe (daily->weekly->monthly == "
+    "daily-direct) is pinned in tests/test_round10.py.",
+    oracle=_kmv_compaction_oracle_sql(),
+)
+def kmv_sketch_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import KMV_K
+
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
+    cutoff = F.lit(KMV_RETAIN_CUTOFF).cast("date")
+    daily = kmv_sketch_lake(spark, sf_dir)
+    compacted = kmv_compacted_lake(spark, sf_dir)
+
+    mc = kmv_merge_sketch(compacted.select("g", "h")).withColumn("gk", gk)
+    md = kmv_merge_sketch(daily).select(
+        gk, F.col("kth_min").alias("kth_d"), F.col("n_in_sketch").alias("n_d")
+    )
+    rc = kmv_merge_sketch(
+        compacted.filter(F.col("grain_date") >= cutoff).select("g", "h")
+    ).select(
+        gk, F.col("kth_min").alias("r_kth"), F.col("n_in_sketch").alias("r_n")
+    )
+    rd = kmv_merge_sketch(
+        daily.filter(F.col("event_date") >= cutoff).select("g", "h")
+    ).select(
+        gk,
+        F.col("kth_min").alias("rd_kth"),
+        F.col("n_in_sketch").alias("rd_n"),
+    )
+    counts = (
+        daily.groupBy("g")
+        .agg(
+            F.countDistinct("event_date").cast("bigint").alias(
+                "n_daily_partials"
+            )
+        )
+        .select(gk, "n_daily_partials")
+    )
+    ccounts = (
+        compacted.groupBy("g")
+        .agg(
+            F.countDistinct("grain_date")
+            .cast("bigint")
+            .alias("n_compacted_partials"),
+            F.countDistinct(
+                F.when(F.col("grain_date") < cutoff, F.col("grain_date"))
+            )
+            .cast("bigint")
+            .alias("n_retired_partials"),
+        )
+        .select(gk, "n_compacted_partials", "n_retired_partials")
+    )
+    return ordered_small(
+        mc.join(md, "gk")
+        .join(counts, "gk")
+        .join(ccounts, "gk")
+        .join(rc, "gk", "left")
+        .join(rd, "gk", "left")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_daily_partials",
+            "n_compacted_partials",
+            "n_retired_partials",
+            "kth_min",
+            "n_in_sketch",
+            (
+                (F.col("kth_min") == F.col("kth_d"))
+                & (F.col("n_in_sketch") == F.col("n_d"))
+            ).alias("compacted_equals_daily"),
+            F.col("r_kth").alias("retained_kth_min"),
+            (
+                F.col("r_kth").eqNullSafe(F.col("rd_kth"))
+                & F.col("r_n").eqNullSafe(F.col("rd_n"))
+            ).alias("retained_equals_daily_retained"),
+        ),
+        "event_type",
+    )

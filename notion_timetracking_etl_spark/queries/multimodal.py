@@ -250,10 +250,17 @@ _PHASH_CTES = f"""
     "scaled codepoint histogram, deterministic and SQL-replayable; a PIL "
     "grayscale-resize drops into raster_fn without touching the hash, "
     f"blocking, or verify). Pairs within Hamming {MM_MAX_HAMMING} surface "
-    "via the pigeonhole block self-join (9 disjoint bit blocks — the "
-    "machinery shared with dedup_simhash_hamming: any pair in radius "
-    "agrees exactly on >= 1 block; the shuffle carries (media, block) "
-    "rows, never the O(n^2) pair space), then exact two-stage verify: "
+    "via the SIZE-ADAPTIVE pigeonhole self-join shared with "
+    "dedup_simhash_hamming (r9 verdict task #1 — multi-index Hamming: at "
+    "agreement level c the hash splits into radius+c disjoint blocks and "
+    "the join key is every c-block combination, so a pair in radius "
+    "agrees fully on >= 1 combination at ANY level; the level derives "
+    "from the observed corpus count so the join key widens as the corpus "
+    "grows — ~7 key bits at 10^4 media, ~13 at 10^5, ~17 at 4*10^5 — and "
+    "expected chance candidates per signature stay within a fixed budget "
+    "instead of growing ~n/128 as the old fixed 7-bit blocks did; the "
+    "shuffle carries (media, combo) rows, never the O(n^2) pair space), "
+    "then exact two-stage verify: "
     "bit_count(xor) on the full hashes in the join projection, and the "
     f"exact pixel L1 distance (<= {MM_PX_L1_MAX}) over the 72-cell grids "
     "for survivors only. The oracle replays raster, hash (signed-64 "
@@ -453,10 +460,12 @@ _AUDIO_FP_CTES = f"""
     "The stub waveform (per-frame codepoint-sum energy, total-normalized "
     "fixed point) is deterministic and SQL-replayable; an ffmpeg "
     "PCM/RMS decode drops into waveform_fn without touching fingerprint, "
-    "blocking, or verify. Candidates ride the SAME pigeonhole Hamming "
-    f"block machinery as the visual family (radius {MM_AUDIO_MAX_HAMMING}, "
-    "9 disjoint bit blocks; the shuffle carries (media, block) rows, "
-    "never O(n^2) pairs), then exact two-stage verify: bit_count(xor) on "
+    "blocking, or verify. Candidates ride the SAME size-adaptive "
+    "pigeonhole machinery as the visual family (radius "
+    f"{MM_AUDIO_MAX_HAMMING}; agreement level from the observed corpus "
+    "count — see multimodal_near_dup; the shuffle carries (media, combo) "
+    "rows, never O(n^2) pairs), then exact two-stage verify: "
+    "bit_count(xor) on "
     f"the fingerprints, exact energy-L1 (<= {MM_AUDIO_L1_MAX}) over the "
     "65-frame vectors on survivors. With this, EVERY media modality "
     "deduplicates: text (MinHash/SimHash), embeddings (SemDeDup), visual "

@@ -43,19 +43,27 @@ def phash_gate_drain(
     the accumulator is a plain union; ``localCheckpoint`` per generation
     keeps plan depth O(1) like the CDC merge loop (streaming/cdc.py).
     """
+    from ..operators.dedup import pigeonhole_level
     from ..operators.multimodal import (
         attach_media_columns,
         phash_cross_near_dups,
         phash_media,
     )
 
+    # the adaptive blocking level depends on the CORPUS side only — compute
+    # it once per drain, not per micro-batch (the corpus is fixed state here)
+    level = pigeonhole_level(corpus_sig.count(), 64, max_hamming)
     state: dict = {"acc": None, "batches": 0}
 
     def step(batch: DataFrame, _bid: int) -> None:
         state["batches"] += 1
         sig_new = phash_media(attach_media_columns(batch, "doc_id", "text"))
         pairs = phash_cross_near_dups(
-            sig_new, corpus_sig, max_hamming=max_hamming, px_l1_max=px_l1_max
+            sig_new,
+            corpus_sig,
+            max_hamming=max_hamming,
+            px_l1_max=px_l1_max,
+            level=level,
         )
         best = (
             pairs.groupBy("a")
