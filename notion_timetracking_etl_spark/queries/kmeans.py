@@ -100,19 +100,24 @@ def fitted_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return cached
 
 
-def kmeans_ctes(k: int, iters: int) -> tuple[list[str], str, str]:
+def kmeans_ctes(
+    k: int, iters: int, train_pred: str | None = None
+) -> tuple[list[str], str, str]:
     """The k-means iterations as DuckDB CTEs. Returns (cte_list,
     final_assignment_cte, final_centroid_dims_cte) — the last two name the
     CTEs holding (vec_id, cid, dist) and (cid, pos, val) after ``iters``
-    iterations, for oracles that consume the fitted model (e.g. IVF)."""
+    iterations, for oracles that consume the fitted model (e.g. IVF).
+    ``train_pred`` restricts TRAINING to a sub-corpus (the stale-index
+    replay in ann_index_refresh trains on pre-arrival vectors only)."""
     from .similarity import VALID_EMB_PRED_SQL
 
+    extra = f" AND ({train_pred})" if train_pred else ""
     ctes = [
         # the validity ingest contract gates training exactly like the
         # Spark side's load_embeddings (ADVICE r7 class: a NULL/ragged
         # vector must not poison centroid means differently per engine)
         f"ve AS (SELECT vec_id, embedding FROM embeddings"
-        f" WHERE {VALID_EMB_PRED_SQL})",
+        f" WHERE {VALID_EMB_PRED_SQL}{extra})",
         f"cd0 AS (SELECT vec_id AS cid, generate_subscripts(embedding,1) AS pos,"
         f" CAST(unnest(embedding) AS DOUBLE) AS val FROM"
         f" (SELECT vec_id, embedding FROM ve ORDER BY vec_id LIMIT {k}))",
@@ -720,3 +725,283 @@ def ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cluster_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift -> ACTION (r9 verdict task #4): incremental ANN index maintenance.
+# ann_index_drift flags hot cells; this operator CONSUMES the flags — re-fit
+# ONLY the flagged cells' centroids from their current members and re-route
+# only those cells' vectors, leaving the rest of the index frozen. Cost is
+# O(flagged mass), never a full refit, and the query measures what the
+# maintenance bought: IVF recall@k for arrival queries under the stale vs
+# the refreshed index against brute-force truth.
+# ---------------------------------------------------------------------------
+
+ANN_REFRESH_TOPK = 5
+# the established ingest split: arrivals are vec_id % 10 = 9; the query set
+# is its 10 smallest ids — deterministic at every scale factor
+ANN_ARRIVAL_PRED = "vec_id % 10 = 9"
+ANN_REFRESH_QUERY_PRED = "vec_id % 10 = 9 AND vec_id < 100"
+
+
+def ann_refresh_frames(
+    emb: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    n_probe: int = N_PROBE,
+    topk: int = ANN_REFRESH_TOPK,
+    arrival_pred: str = ANN_ARRIVAL_PRED,
+    query_pred: str = ANN_REFRESH_QUERY_PRED,
+) -> DataFrame:
+    """One-row summary of an incremental ANN index refresh.
+
+    Pipeline (every stage deterministic and oracle-replayable):
+
+    1. STALE index: quantizer trained on the pre-arrival corpus only
+       (``NOT arrival_pred``) — the state a production index is in when a
+       drifted cohort lands; all vectors (arrivals included) are assigned
+       through it.
+    2. Drift flags: per stale cell, arrival occupancy vs the global rate —
+       the exact hot-cell predicate of ``ann_index_drift`` (integer
+       cross-multiplication).
+    3. Incremental refresh: HOT cells re-center to the mean of their
+       CURRENT members (the same fixed-point m-step as training), cold
+       cells stay frozen; only hot-cell members re-route against the
+       updated centroid set — O(flagged mass) total work.
+    4. Evidence: recall@``topk`` of the arrival query set under the stale
+       vs refreshed index (IVF multi-probe search, exact-cosine re-rank)
+       against brute-force truth; ``recovered`` = refreshed >= stale.
+
+    Separated from the registered query so tests can drive it over a
+    synthetic drifted corpus where the stale index measurably loses recall.
+    """
+    from ..operators.dedup import _scoped_persist
+    from ..operators.kmeans import _as_double_vec, _assign, _update, kmeans_fit
+    from ..operators.similarity import topk_bruteforce, topk_ivf_kmeans
+
+    old = emb.filter(~F.expr(arrival_pred))
+    _asg_tr, cent_stale = kmeans_fit(old, "vec_id", "embedding", k, iters)
+    vec_all = _as_double_vec(emb, "vec_id", "embedding")
+    # consumed by flags, refresh filter, re-route anti-join and both
+    # searches — persist once (O(n) two-column rows)
+    asg_all = _scoped_persist(_assign(vec_all, cent_stale))
+
+    coh = asg_all.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.expr(arrival_pred), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_arrivals"),
+    )
+    tot = coh.agg(
+        F.sum("n_members").cast("bigint").alias("t_m"),
+        F.sum("n_arrivals").cast("bigint").alias("t_a"),
+    )
+    hot = _scoped_persist(
+        coh.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_arrivals") * F.col("t_m")
+            > F.lit(2) * F.col("n_members") * F.col("t_a")
+        )
+        .select("cid")
+    )
+
+    # m-step over hot-cell members only; cold centroids carry via coalesce
+    asg_hot = asg_all.join(F.broadcast(hot), "cid")
+    cent_fresh = _update(vec_all, asg_hot, cent_stale)
+    hot_members = asg_hot.select("vec_id")
+    re_routed = _assign(vec_all.join(hot_members, "vec_id"), cent_fresh)
+    asg_fresh = asg_all.select("vec_id", "cid").join(
+        hot_members, "vec_id", "left_anti"
+    ).unionByName(re_routed.select("vec_id", "cid"))
+
+    queries = emb.filter(F.expr(query_pred)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.select("vec_id", "embedding")
+    truth = topk_bruteforce(corpus, queries, k=topk).select(
+        "query_id", "vec_id"
+    )
+    stale_k = topk_ivf_kmeans(
+        corpus, queries, k=topk, n_probe=n_probe, model=(asg_all, cent_stale)
+    ).select("query_id", "vec_id")
+    fresh_k = topk_ivf_kmeans(
+        corpus,
+        queries,
+        k=topk,
+        n_probe=n_probe,
+        model=(asg_fresh.withColumn("dist", F.lit(None)), cent_fresh),
+    ).select("query_id", "vec_id")
+
+    nq = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    nh = hot.agg(F.count(F.lit(1)).cast("bigint").alias("n_hot_cells"))
+    nr = hot_members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refit_vectors")
+    )
+    hs = truth.join(stale_k, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits_stale")
+    )
+    hf = truth.join(fresh_k, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits_fresh")
+    )
+    rate = "CASE WHEN n_queries = 0 THEN NULL ELSE ({h} * 1000000) div (n_queries * {t}) END"
+    return (
+        nq.crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hf))
+        .select(
+            "n_queries",
+            "n_hot_cells",
+            "n_refit_vectors",
+            "hits_stale",
+            "hits_fresh",
+            F.expr(rate.format(h="hits_stale", t=topk))
+            .cast("bigint")
+            .alias("recall_stale_micro"),
+            F.expr(rate.format(h="hits_fresh", t=topk))
+            .cast("bigint")
+            .alias("recall_fresh_micro"),
+            (F.col("hits_fresh") >= F.col("hits_stale")).alias("recovered"),
+        )
+    )
+
+
+def _ann_refresh_oracle_sql(
+    k: int, iters: int, n_probe: int, topk: int
+) -> str:
+    from .similarity import VALID_EMB_PRED_SQL, _cosine_sql
+
+    sq = (
+        "SUM(CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5)"
+        " AS DECIMAL(38,0)))"
+    )
+    ctes, a_last, cd_last = kmeans_ctes(
+        k, iters, train_pred=f"NOT ({ANN_ARRIVAL_PRED})"
+    )
+    ctes = ctes + [
+        # the FULL corpus (arrivals included) and its dims
+        f"vea AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE {VALID_EMB_PRED_SQL})",
+        "vadims AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS val FROM vea)",
+        # stale assignment of every vector
+        f"da AS (SELECT v.vec_id, c.cid, {sq} AS dist"
+        f" FROM vadims v JOIN {cd_last} c USING (pos) GROUP BY 1, 2)",
+        "aall AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+        " FROM da) WHERE rn = 1)",
+        # drift flags (the ann_index_drift hot predicate)
+        f"coh AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,"
+        f" CAST(SUM(CASE WHEN {ANN_ARRIVAL_PRED} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_arrivals FROM aall GROUP BY 1)",
+        "tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS t_m,"
+        " CAST(SUM(n_arrivals) AS BIGINT) AS t_a FROM coh)",
+        "hot AS (SELECT cid FROM coh, tot"
+        " WHERE n_arrivals * t_m > 2 * n_members * t_a)",
+        # incremental m-step: hot cells re-center from CURRENT members
+        "mh AS (SELECT a.cid, v.pos,"
+        " CAST(SUM(CAST(floor(v.val * 1e12 + 0.5) AS DECIMAL(38,0)))"
+        " AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS val"
+        " FROM vadims v JOIN aall a USING (vec_id)"
+        " WHERE a.cid IN (SELECT cid FROM hot) GROUP BY 1, 2)",
+        f"cdf AS (SELECT cd.cid, cd.pos, COALESCE(m.val, cd.val) AS val"
+        f" FROM {cd_last} cd LEFT JOIN mh m"
+        f" ON m.cid = cd.cid AND m.pos = cd.pos)",
+        # re-route ONLY hot-cell members against the refreshed centroids
+        "hm AS (SELECT vec_id FROM aall"
+        " WHERE cid IN (SELECT cid FROM hot))",
+        f"dref AS (SELECT v.vec_id, c.cid, {sq} AS dist"
+        f" FROM vadims v JOIN cdf c USING (pos)"
+        f" WHERE v.vec_id IN (SELECT vec_id FROM hm) GROUP BY 1, 2)",
+        "aref AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+        " FROM dref) WHERE rn = 1)",
+        "afresh AS (SELECT vec_id, cid FROM aall"
+        " WHERE vec_id NOT IN (SELECT vec_id FROM hm)"
+        " UNION ALL SELECT vec_id, cid FROM aref)",
+        # arrival query set + stale/fresh probes + truth
+        f"q AS (SELECT vec_id AS query_id, embedding AS query_vec"
+        f" FROM vea WHERE {ANN_REFRESH_QUERY_PRED})",
+        f"dqs AS (SELECT v.vec_id AS query_id, c.cid, {sq} AS dist"
+        f" FROM vadims v JOIN {cd_last} c USING (pos)"
+        f" WHERE v.vec_id IN (SELECT query_id FROM q) GROUP BY 1, 2)",
+        f"ps AS (SELECT query_id, cid FROM (SELECT query_id, cid,"
+        f" row_number() OVER (PARTITION BY query_id ORDER BY dist, cid)"
+        f" AS rn FROM dqs) WHERE rn <= {n_probe})",
+        f"dqf AS (SELECT v.vec_id AS query_id, c.cid, {sq} AS dist"
+        f" FROM vadims v JOIN cdf c USING (pos)"
+        f" WHERE v.vec_id IN (SELECT query_id FROM q) GROUP BY 1, 2)",
+        f"pf AS (SELECT query_id, cid FROM (SELECT query_id, cid,"
+        f" row_number() OVER (PARTITION BY query_id ORDER BY dist, cid)"
+        f" AS rn FROM dqf) WHERE rn <= {n_probe})",
+        f"s5 AS (SELECT query_id, vec_id FROM (SELECT p.query_id,"
+        f" a.vec_id, row_number() OVER (PARTITION BY p.query_id ORDER BY"
+        f" {_cosine_sql('q.query_vec', 'e.embedding')} DESC, a.vec_id ASC)"
+        f" AS rank FROM ps p JOIN q USING (query_id)"
+        f" JOIN aall a ON a.cid = p.cid JOIN vea e ON e.vec_id = a.vec_id)"
+        f" WHERE rank <= {topk})",
+        f"f5 AS (SELECT query_id, vec_id FROM (SELECT p.query_id,"
+        f" a.vec_id, row_number() OVER (PARTITION BY p.query_id ORDER BY"
+        f" {_cosine_sql('q.query_vec', 'e.embedding')} DESC, a.vec_id ASC)"
+        f" AS rank FROM pf p JOIN q USING (query_id)"
+        f" JOIN afresh a ON a.cid = p.cid JOIN vea e ON e.vec_id = a.vec_id)"
+        f" WHERE rank <= {topk})",
+        f"t5 AS (SELECT query_id, vec_id FROM (SELECT q.query_id,"
+        f" e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY"
+        f" {_cosine_sql('q.query_vec', 'e.embedding')} DESC, e.vec_id ASC)"
+        f" AS rank FROM q, vea e) WHERE rank <= {topk})",
+        "hs AS (SELECT CAST(COUNT(*) AS BIGINT) AS h"
+        " FROM s5 JOIN t5 USING (query_id, vec_id))",
+        "hf AS (SELECT CAST(COUNT(*) AS BIGINT) AS h"
+        " FROM f5 JOIN t5 USING (query_id, vec_id))",
+        "nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)",
+        "nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hot)",
+        "nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hm)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT nq.n AS n_queries,
+               nh.n AS n_hot_cells,
+               nr.n AS n_refit_vectors,
+               hs.h AS hits_stale,
+               hf.h AS hits_fresh,
+               CASE WHEN nq.n = 0 THEN NULL
+                    ELSE (hs.h * 1000000) // (nq.n * {topk})
+               END AS recall_stale_micro,
+               CASE WHEN nq.n = 0 THEN NULL
+                    ELSE (hf.h * 1000000) // (nq.n * {topk})
+               END AS recall_fresh_micro,
+               (hf.h >= hs.h) AS recovered
+        FROM nq, nh, nr, hs, hf
+    """
+    )
+
+
+@register(
+    "ann_index_refresh",
+    "ext:similarity,A3-ext,V3-analog",
+    "Drift -> ACTION: incremental ANN index maintenance consuming the "
+    "ann_index_drift flags (r9 verdict task #4). The stale state is a "
+    f"k={K} quantizer trained on the PRE-ARRIVAL corpus only; arrivals "
+    "(vec_id % 10 = 9) route through it, hot cells surface by the exact "
+    "integer drift predicate, and the refresh re-fits ONLY the hot cells "
+    "(centroid := fixed-point mean of current members) and re-routes only "
+    "their members — O(flagged mass), never a full refit; cold cells stay "
+    "frozen, matching the model_store serve-many pattern. Evidence: "
+    f"recall@{ANN_REFRESH_TOPK} of the arrival query set under stale vs "
+    "refreshed IVF (multi-probe routing + exact-cosine re-rank) against "
+    "brute-force truth, with integer-exact micro rates and a recovered "
+    "flag. The oracle replays stale training, full-corpus assignment, "
+    "drift flags, partial m-step, incremental re-route, both searches and "
+    "the truth ranking end-to-end; the drifted-fixture recall recovery "
+    "(stale measurably loses, refreshed recovers) is pinned in "
+    "tests/test_round10.py over ann_refresh_frames.",
+    oracle=_ann_refresh_oracle_sql(K, ITERS, N_PROBE, ANN_REFRESH_TOPK),
+)
+def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    # single-row output — ordered_small for the driver's stable collect
+    return ordered_small(ann_refresh_frames(emb), "n_queries")

@@ -237,3 +237,92 @@ class TestSketchLakeCompaction:
         for r in retired.select("grain_date").distinct().collect():
             assert r.grain_date.isoweekday() == 1
             assert str(r.grain_date) < KMV_RETAIN_CUTOFF
+
+
+class TestAnnIndexRefresh:
+    """Drift -> action (r9 verdict task #4): a drifted fixture where the
+    STALE index measurably loses recall and the incremental refresh
+    (hot cells only) recovers it."""
+
+    DIMS = 64
+
+    @staticmethod
+    def _vec(*components):
+        v = [0.0] * TestAnnIndexRefresh.DIMS
+        for idx, val in components:
+            v[idx] = val
+        return v
+
+    @pytest.fixture(scope="class")
+    def drifted_emb(self, spark):
+        """Old corpus: a big far blob (cell 0) plus three seed cells around
+        mu = 4*e10. Arrivals: a tight blob at mu fragmented across the
+        three seed cells by small jitters — 8 route to cell 1, one each to
+        cells 2/3 — while the two singleton arrivals (B, C) are the
+        angularly CLOSEST neighbors of every other arrival (their jitter
+        keeps a large shared e1 component), so every stale query's truth
+        contains a vector in a cell its 2 probes never reach."""
+        V = self._vec
+        mu = (10, 4.0)
+        rows = []
+        # init seeds = the 4 smallest old ids -> with iters=1 these ARE the
+        # stale centroids (k-means init is deterministic min-id)
+        rows.append((0, V((0, 20.0))))                      # far-blob seed
+        rows.append((1, V(mu, (1, 3.0))))                   # seed cell 1
+        rows.append((2, V(mu, (2, 3.0))))                   # seed cell 2
+        rows.append((3, V(mu, (3, 3.0))))                   # seed cell 3
+        for i in range(60):                                  # the far blob
+            rows.append((100 + i, V((0, 20.0))))
+        # arrivals (ids >= 1000): mu + 0.5 * jitter
+        for i in range(8):                                   # A-group
+            rows.append(
+                (1000 + i, V(mu, (1, 0.3), (20 + i, 0.4)))
+            )
+        rows.append((1008, V(mu, (1, 0.35), (2, 0.357))))    # B -> cell 2
+        rows.append((1009, V(mu, (1, 0.35), (3, 0.357))))    # C -> cell 3
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_stale_loses_fresh_recovers(self, spark, drifted_emb):
+        from notion_timetracking_etl_spark.queries.kmeans import (
+            ann_refresh_frames,
+        )
+
+        row = ann_refresh_frames(
+            drifted_emb,
+            k=4,
+            iters=1,
+            n_probe=2,
+            topk=5,
+            arrival_pred="vec_id >= 1000",
+            query_pred="vec_id >= 1000",
+        ).collect()[0]
+        assert row.n_queries == 10
+        assert row.n_hot_cells == 3          # all three fragmented cells
+        assert row.n_refit_vectors == 13     # 10 arrivals + 3 seeds
+        # the stale index misses the cross-cell neighbor for EVERY query
+        assert row.hits_stale == 40
+        # the refresh consolidates the arrival blob into one re-centered
+        # cell; every query then finds its full truth set
+        assert row.hits_fresh == 50
+        assert row.recall_stale_micro == 800000
+        assert row.recall_fresh_micro == 1000000
+        assert bool(row.recovered) is True
+
+    def test_no_drift_is_a_no_op(self, spark, sf_dir):
+        """On the undrifted driver corpus no cell runs hot, the refresh
+        refits nothing, and stale == fresh exactly — the maintenance never
+        perturbs a healthy index."""
+        from notion_timetracking_etl_spark.queries.kmeans import (
+            ann_refresh_frames,
+        )
+        from notion_timetracking_etl_spark.queries.similarity import (
+            load_embeddings,
+        )
+
+        row = ann_refresh_frames(load_embeddings(spark, sf_dir)).collect()[0]
+        assert row.n_hot_cells == 0
+        assert row.n_refit_vectors == 0
+        assert row.hits_fresh == row.hits_stale
+        assert bool(row.recovered) is True
