@@ -38,6 +38,7 @@ from . import decontam  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
 from . import versioning  # noqa: E402,F401
+from . import forget  # noqa: E402,F401
 from . import selection  # noqa: E402,F401
 from . import docfilter  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401

@@ -326,3 +326,34 @@ class TestAnnIndexRefresh:
         assert row.n_refit_vectors == 0
         assert row.hits_fresh == row.hits_stale
         assert bool(row.recovered) is True
+
+
+class TestDeletionPropagation:
+    def test_docs_sweep_invariants(self, spark, sf_dir):
+        from notion_timetracking_etl_spark.queries import REGISTRY
+
+        row = REGISTRY["deletion_propagation_docs"].spark(
+            spark, sf_dir
+        ).collect()[0]
+        assert row.n_tombstones > 0
+        # the propagation proofs: no surviving doc references a dead
+        # cluster rep, no tombstone holds a shard slot
+        assert row.n_orphan_refs_after == 0
+        assert row.n_tombstones_in_shards_after == 0
+        # the sweep actually had to re-canonicalize something on this
+        # corpus (dead docs were cluster reps) and re-route shards
+        assert row.n_reps_deleted > 0
+        assert row.n_clusters_after <= row.n_clusters_before
+
+    def test_sketch_lake_sweep_partition_bound(self, spark, sf_dir):
+        from notion_timetracking_etl_spark.queries import REGISTRY
+
+        rows = REGISTRY["deletion_propagation_sketch_lake"].spark(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            # rebuilt-partition bound: the user's dates only, never all
+            assert r.n_partials_touched < r.n_partials_total
+            # stitched (reused + rebuilt) == from-scratch post-delete sketch
+            assert bool(r.stitched_equals_scratch) is True
