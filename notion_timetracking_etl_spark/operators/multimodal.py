@@ -82,16 +82,9 @@ def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return (n % 320 + 1, n % 240 + 1, n % 100 + 1)
 
 
-def ppm_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """A REAL (non-stub) decoder through the same ``decode_fn`` seam: binary
-    Netpbm images (P6 color / P5 grayscale), parsed pure-Python with zero
-    external libraries. Exists to prove the codec-injection interface with
-    an actual format: header tokenization with ``#`` comments, geometry
-    extraction, and payload-length validation against the advertised
-    dimensions — exactly the work a libjpeg binding would do, minus the
-    entropy coding. Returns ``(width, height, 1)``; raises ``ValueError``
-    on malformed bytes (a production pipeline wraps this in a quarantine
-    branch, see tests/test_extensions.py)."""
+def _ppm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a binary Netpbm header → (magic, width, height, maxval,
+    raster_offset); raises ``ValueError`` on malformed bytes."""
     if payload is None or len(payload) < 2 or payload[:1] != b"P":
         raise ValueError("not a Netpbm payload")
     magic = payload[:2].decode("ascii", "replace")
@@ -121,7 +114,64 @@ def ppm_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     per_px = (3 if magic == "P6" else 1) * (2 if maxval > 255 else 1)
     if len(payload) - pos < width * height * per_px:
         raise ValueError("raster shorter than advertised geometry")
+    return magic, width, height, maxval, pos
+
+
+def ppm_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """A REAL (non-stub) decoder through the same ``decode_fn`` seam: binary
+    Netpbm images (P6 color / P5 grayscale), parsed pure-Python with zero
+    external libraries. Exists to prove the codec-injection interface with
+    an actual format: header tokenization with ``#`` comments, geometry
+    extraction, and payload-length validation against the advertised
+    dimensions — exactly the work a libjpeg binding would do, minus the
+    entropy coding. Returns ``(width, height, 1)``; raises ``ValueError``
+    on malformed bytes (a production pipeline wraps this in a quarantine
+    branch, see tests/test_extensions.py)."""
+    _magic, width, height, _maxval, _pos = _ppm_header(payload)
     return (width, height, 1)
+
+
+def ppm_raster(payload: bytes, media_type: str) -> list[int]:
+    """A REAL (non-stub) raster through the ``raster_fn`` seam of
+    :func:`phash_media` — the r9 verdict's codec-independence proof: decode
+    actual Netpbm pixels (P5 grayscale / P6 color, 8- or 16-bit), box-mean
+    them onto the same 8x9 grid as ``_stub_raster``, and scale to the same
+    PHASH_SCALE fixed point. Everything downstream (dHash fold, adaptive
+    pigeonhole blocking, two-stage verify) is untouched, so tests pinning
+    stub-vs-ppm pair-set agreement on byte-identical images prove the
+    perceptual machinery is codec-independent.
+
+    Integer-exact: gray = (r + g + b) // 3 (P5 passes v through as
+    (3v)//3), cell value = sum(gray) * PHASH_SCALE // (n_px * maxval) —
+    invariant under lossless re-encodes (P6 with r=g=b == P5; maxval
+    rescaling by an integer factor; header comments), which is the dHash
+    invariance a real perceptual pipeline relies on."""
+    magic, width, height, maxval, pos = _ppm_header(payload)
+    wide = maxval > 255
+    n_ch = 3 if magic == "P6" else 1
+    step = n_ch * (2 if wide else 1)
+    sums = [0] * (PHASH_GRID_CH * PHASH_GRID_W)
+    counts = [0] * (PHASH_GRID_CH * PHASH_GRID_W)
+    for r in range(height):
+        gr = r * PHASH_GRID_CH // height
+        row_off = pos + r * width * step
+        for c in range(width):
+            o = row_off + c * step
+            if wide:
+                gray = sum(
+                    (payload[o + 2 * i] << 8) | payload[o + 2 * i + 1]
+                    for i in range(n_ch)
+                )
+            else:
+                gray = sum(payload[o + i] for i in range(n_ch))
+            cell = gr * PHASH_GRID_W + c * PHASH_GRID_W // width
+            sums[cell] += gray // n_ch
+            counts[cell] += 1
+        # cells with no pixels (image narrower/shorter than the grid) stay 0
+    return [
+        (s * PHASH_SCALE // (n * maxval)) if n else 0
+        for s, n in zip(sums, counts)
+    ]
 
 
 RESIZED_SCHEMA = StructType(

@@ -357,3 +357,100 @@ class TestDeletionPropagation:
             assert r.n_partials_touched < r.n_partials_total
             # stitched (reused + rebuilt) == from-scratch post-delete sketch
             assert bool(r.stitched_equals_scratch) is True
+
+
+def _p5(w, h, px, maxval=255, comment=None):
+    """Binary Netpbm P5 payload from row-major gray values."""
+    hdr = f"P5 {'#' + comment + chr(10) if comment else ''}{w} {h} {maxval}\n"
+    if maxval > 255:
+        body = b"".join(v.to_bytes(2, "big") for v in px)
+    else:
+        body = bytes(px)
+    return hdr.encode("ascii") + body
+
+
+def _p6(w, h, px, maxval=255):
+    """Binary Netpbm P6 payload with r = g = b = the gray value."""
+    body = bytes(b for v in px for b in (v, v, v))
+    return f"P6 {w} {h} {maxval}\n".encode("ascii") + body
+
+
+class TestNetpbmPerceptualParity:
+    """r9 verdict task #6: the perceptual-hash machinery is codec-
+    independent — real decoded Netpbm pixels ride the same raster_fn seam
+    as the stub, and the pair set / dHash survive lossless re-encodes."""
+
+    W, H = 12, 10  # 120 px >= the 72-cell grid, ASCII-safe values
+
+    def _images(self, n, seed=11):
+        rnd = random.Random(seed)
+        return [
+            [rnd.randint(32, 126) for _ in range(self.W * self.H)]
+            for _ in range(n)
+        ]
+
+    def _media_df(self, spark, payloads):
+        rows = [
+            (i, "image", bytearray(p), len(p)) for i, p in enumerate(payloads)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, media_type string, payload binary,"
+            " byte_length long",
+        )
+
+    def test_stub_and_ppm_agree_on_identical_images(self, spark):
+        from notion_timetracking_etl_spark.operators.multimodal import (
+            phash_media,
+            phash_near_dup_pairs,
+            ppm_raster,
+        )
+
+        imgs = self._images(40)
+        payloads = [_p5(self.W, self.H, px) for px in imgs]
+        # plant byte-identical duplicates of the first 10 images
+        payloads += payloads[:10]
+        df = self._media_df(spark, payloads)
+        expected = {(i, 40 + i) for i in range(10)}
+        for raster_fn in (None, ppm_raster):  # None = stub
+            sig = (
+                phash_media(df) if raster_fn is None
+                else phash_media(df, raster_fn=raster_fn)
+            )
+            pairs = phash_near_dup_pairs(sig, max_hamming=8, px_l1_max=0)
+            got = {(r.a, r.b) for r in pairs.collect()}
+            # identical bytes -> identical raster -> hamming 0, px_l1 0 in
+            # BOTH paths; random distinct images produce no chance pair
+            assert got == expected, raster_fn
+
+    def test_dhash_invariant_under_reencode(self, spark):
+        from notion_timetracking_etl_spark.operators.multimodal import (
+            phash_media,
+            ppm_raster,
+        )
+
+        px = self._images(1, seed=5)[0]
+        encodings = [
+            _p5(self.W, self.H, px),                          # canonical
+            _p5(self.W, self.H, px, comment="re-encoded"),     # header noise
+            _p6(self.W, self.H, px),                           # RGB, r=g=b
+            _p5(self.W, self.H, [v * 2 for v in px], maxval=510),  # 16-bit
+        ]
+        df = self._media_df(spark, encodings)
+        sig = phash_media(df, raster_fn=ppm_raster).collect()
+        assert len(sig) == 4
+        hashes = {r.phash for r in sig}
+        grids = {tuple(r.px) for r in sig}
+        # every lossless re-encode yields the IDENTICAL grid and dHash
+        assert len(hashes) == 1 and len(grids) == 1
+
+    def test_ppm_raster_integer_exactness(self):
+        from notion_timetracking_etl_spark.operators.multimodal import (
+            PHASH_SCALE,
+            ppm_raster,
+        )
+
+        px = [100] * (self.W * self.H)
+        grid = ppm_raster(_p5(self.W, self.H, px), "image")
+        assert len(grid) == 72
+        assert all(v == 100 * PHASH_SCALE // 255 for v in grid)
