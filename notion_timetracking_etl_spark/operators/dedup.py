@@ -372,9 +372,15 @@ def simhash16(text: Column) -> Column:
 
 # Budget: expected UNIFORM-hash chance candidates per signature. Level c is
 # the smallest with n * C(m, c) <= PIGEONHOLE_TARGET * 2^(min combined key
-# width). For 64-bit signatures at radius 8 the ladder steps near n = 14.5k /
-# 93k / 406k; for 32-bit SimHash at radius 2 near n = 350k / 11M.
-PIGEONHOLE_TARGET = 1024
+# width). For 64-bit signatures at radius 8 the ladder steps near n = 58k /
+# 373k / 1.6M; for 32-bit SimHash at radius 2 near n = 1.4M / 45M. The
+# budget is MEASURED, not guessed: on the sf1 replica (33k visual
+# signatures, 74M level-1 raw candidates) level 1 still wins wall-clock
+# (2.2s vs 3.4s for the candidate join — codegen chews cheap candidates at
+# ~35M rows/s while level 2 pays 5x bucket rows through the shuffle), so
+# the first step sits just past the measured local[32] crossover; at n =
+# 100k the level-1 candidate term alone is ~10x that and level 2 wins.
+PIGEONHOLE_TARGET = 4096
 PIGEONHOLE_MAX_LEVEL = 4
 
 

@@ -419,7 +419,7 @@ def phash_near_dup_pairs(
     level budget): ``level=None`` derives the agreement level from the
     observed signature count — one O(1)-result count on the already-
     persisted signature table — so the equality-join key widens with the
-    corpus (~7 bits at 10^4 media, ~13 at 10^5, ~17 at 4*10^5) and expected
+    corpus (~7 bits to ~58k media, ~13 to ~373k, ~17 to ~1.6M) and expected
     chance candidates per signature stay within the budget instead of
     growing ~n/128 the way the fixed 7-bit blocks did (r9 verdict task #1).
     The result set is level-invariant, so the all-pairs oracle needs no

@@ -301,7 +301,7 @@ def _sig_cte(n_bits: int) -> str:
     "radius+c disjoint blocks joined on every c-block combination — a pair "
     "within Hamming<=2 agrees fully on >= 1 combination at any level, and "
     "the level derives from the observed corpus count so join-key width "
-    "grows with the corpus: ~10 key bits to 350k docs, ~16 to 11M — never "
+    "grows with the corpus: ~10 key bits to 1.4M docs, ~16 to 45M — never "
     "the O(n^2) pair space), exact bit_count(xor) verification. The oracle "
     "is the naive all-pairs ground truth, so hash-equality proves the "
     "blocking scheme loses no pair at whatever level the corpus picks.",

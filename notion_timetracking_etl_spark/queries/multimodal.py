@@ -256,7 +256,7 @@ _PHASH_CTES = f"""
     "the join key is every c-block combination, so a pair in radius "
     "agrees fully on >= 1 combination at ANY level; the level derives "
     "from the observed corpus count so the join key widens as the corpus "
-    "grows — ~7 key bits at 10^4 media, ~13 at 10^5, ~17 at 4*10^5 — and "
+    "grows — ~7 key bits to ~58k media, ~13 to ~373k, ~17 to ~1.6M — and "
     "expected chance candidates per signature stay within a fixed budget "
     "instead of growing ~n/128 as the old fixed 7-bit blocks did; the "
     "shuffle carries (media, combo) rows, never the O(n^2) pair space), "

@@ -71,10 +71,12 @@ class TestPigeonholeLevel:
 
     def test_known_steps_64_8(self):
         # documented ladder for the visual/audio family (64-bit, radius 8):
-        # level 2 from ~14.6k signatures, 3 from ~93k, 4 (cap) from ~1.6M
-        assert pigeonhole_level(14_000, 64, 8) == 1
-        assert pigeonhole_level(20_000, 64, 8) == 2
-        assert pigeonhole_level(100_000, 64, 8) == 3
+        # level 2 from ~58k signatures (just past the MEASURED local[32]
+        # crossover where level-1 candidate volume starts losing to level
+        # 2's 5x bucket rows), 3 from ~373k, 4 (cap) from ~1.6M
+        assert pigeonhole_level(50_000, 64, 8) == 1
+        assert pigeonhole_level(60_000, 64, 8) == 2
+        assert pigeonhole_level(400_000, 64, 8) == 3
         assert pigeonhole_level(2_000_000, 64, 8) == 4
 
 
@@ -127,13 +129,14 @@ class TestPigeonholeLevelInvariance:
 class TestPigeonholeDenseCorpusBudget:
     # The r9 verdict's "done" fixture: a corpus dense enough that the old
     # fixed-width blocking (level 1: 9 blocks of ~7 bits) blows past a
-    # pinned candidate budget while the adaptive level does not. 20k
-    # uniform 64-bit hashes have ZERO true near-dups, so every candidate
-    # below is pure chance collision — exactly the volume the adaptive
-    # level exists to bound. Measured: level 1 ~13.3M raw candidates,
-    # level 2 (what pigeonhole_level picks for n=20k) ~1.39M.
-    N = 20_000
-    BUDGET = 5_000_000
+    # pinned candidate budget while the adaptive level does not. 60k
+    # uniform 64-bit hashes (past the measured ~58k level-2 step) have
+    # ZERO true near-dups, so every candidate below is pure chance
+    # collision — exactly the volume the adaptive level exists to bound.
+    # Uniform model: level 1 ~126M raw candidates, level 2 (what
+    # pigeonhole_level picks for n=60k) ~11M.
+    N = 60_000
+    BUDGET = 50_000_000
 
     @pytest.fixture(scope="class")
     def dense_sig(self, spark):
