@@ -535,3 +535,226 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# Integer micro-weights for the drift-adjusted plan twin below — the same
+# mixture as _MIX_WEIGHTS, in exact BIGINT micro units so every step of the
+# adjusted plan (reweight, budget, targets, rates) is integer arithmetic
+# with zero cross-engine float risk (the ADVICE-r9 class).
+_MIX_WEIGHT_MICRO: dict[str, int] = {
+    "en": 400000,
+    "zh": 150000,
+    "de": 150000,
+    "es": 150000,
+    "fr": 150000,
+}
+_ARRIVAL_DOC_PRED = "doc_id % 10 = 9"  # the established ingest split
+
+
+def _weight_micro_sql(col: str = "lang") -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN CAST({w} AS BIGINT)"
+        for k, w in _MIX_WEIGHT_MICRO.items()
+    )
+    return f"CASE {col} {whens} ELSE CAST(0 AS BIGINT) END"
+
+
+@register(
+    "mixture_plan_drift_adjustment",
+    "ext:curation,A3-ext,V3-analog",
+    "Drift -> ACTION for the data mixture (the text_drift_report consumer, "
+    "r9 verdict next-round item #4's second half): per language, the "
+    "arriving cohort's token share is compared against the corpus share "
+    "(exact integer micro rates via `div` — overflow-safe where raw "
+    "cross-multiplication of 100 TB token counts would not be), and the "
+    "mixture weight REWEIGHTS in response — a drift-hot language (arrivals "
+    "over-represent it >2x) upweights 5/4, a drift-cold one downweights "
+    "4/5, integer-exact in micro units. The adjusted plan then recomputes "
+    "the no-upsampling epoch budget and per-language targets with the SAME "
+    "integer machinery as the base plan, and `retargeted` marks languages "
+    "whose target actually moved — the row a dataloader config regenerates "
+    "from. Unmixed languages keep weight 0 and never enter either budget; "
+    "an empty arrival cohort yields NULL shares and a no-op adjustment. "
+    "All arithmetic BIGINT end-to-end: weights*budget products stay under "
+    "2^63 up to ~10^13 tokens per language.",
+    oracle=f"""
+        WITH avail AS (
+          SELECT lang,
+                 CAST(COALESCE(SUM(CAST({_WORD_COUNT_SQL} AS BIGINT)), 0)
+                      AS BIGINT) AS available_tokens,
+                 CAST(COALESCE(SUM(CASE WHEN {_ARRIVAL_DOC_PRED}
+                      THEN CAST({_WORD_COUNT_SQL} AS BIGINT) END), 0)
+                      AS BIGINT) AS arrival_tokens,
+                 {_weight_micro_sql()} AS base_weight_micro
+          FROM documents
+          WHERE text IS NOT NULL
+          GROUP BY lang
+        ),
+        tot AS (
+          SELECT CAST(SUM(available_tokens) AS BIGINT) AS t_all,
+                 CAST(SUM(arrival_tokens) AS BIGINT) AS t_arr
+          FROM avail
+        ),
+        flagged AS (
+          SELECT a.*,
+                 CASE WHEN t.t_all = 0 THEN NULL
+                      ELSE (a.available_tokens * 1000000) // t.t_all
+                 END AS share_corpus_micro,
+                 CASE WHEN t.t_arr = 0 THEN NULL
+                      ELSE (a.arrival_tokens * 1000000) // t.t_arr
+                 END AS share_arrivals_micro
+          FROM avail a CROSS JOIN tot t
+        ),
+        adj AS (
+          SELECT *,
+                 COALESCE(share_arrivals_micro > 2 * share_corpus_micro,
+                          FALSE) AS drift_hot,
+                 COALESCE(2 * share_arrivals_micro < share_corpus_micro,
+                          FALSE) AS drift_cold
+          FROM flagged
+        ),
+        w AS (
+          SELECT *,
+                 CASE WHEN base_weight_micro = 0 THEN CAST(0 AS BIGINT)
+                      WHEN drift_hot THEN (base_weight_micro * 5) // 4
+                      WHEN drift_cold THEN (base_weight_micro * 4) // 5
+                      ELSE base_weight_micro
+                 END AS adjusted_weight_micro
+          FROM adj
+        ),
+        b0 AS (
+          SELECT MIN((available_tokens * 1000000) // base_weight_micro) AS b
+          FROM w WHERE base_weight_micro > 0
+        ),
+        b1 AS (
+          SELECT MIN((available_tokens * 1000000) // adjusted_weight_micro)
+                   AS b
+          FROM w WHERE adjusted_weight_micro > 0
+        )
+        SELECT w.lang, w.available_tokens, w.arrival_tokens,
+               w.share_corpus_micro, w.share_arrivals_micro,
+               w.drift_hot, w.drift_cold,
+               w.base_weight_micro, w.adjusted_weight_micro,
+               CASE WHEN w.base_weight_micro = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((w.base_weight_micro * b0.b) // 1000000
+                         AS BIGINT) END AS target_tokens_base,
+               CASE WHEN w.adjusted_weight_micro = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((w.adjusted_weight_micro * b1.b) // 1000000
+                         AS BIGINT) END AS target_tokens_adjusted,
+               CASE WHEN w.adjusted_weight_micro = 0 THEN CAST(0 AS BIGINT)
+                    WHEN w.available_tokens = 0 THEN NULL
+                    ELSE ((w.adjusted_weight_micro * b1.b) // 1000000
+                          * 1000000) // w.available_tokens
+               END AS sample_rate_micro,
+               (CASE WHEN w.base_weight_micro = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((w.base_weight_micro * b0.b) // 1000000
+                          AS BIGINT) END
+                IS DISTINCT FROM
+                CASE WHEN w.adjusted_weight_micro = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((w.adjusted_weight_micro * b1.b) // 1000000
+                          AS BIGINT) END) AS retargeted
+        FROM w CROSS JOIN b0 CROSS JOIN b1
+        ORDER BY lang
+    """,
+)
+def mixture_plan_drift_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import _scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = word_count(F.col("text")).cast("bigint")
+    avail = docs.groupBy("lang").agg(
+        F.coalesce(F.sum(wc), F.lit(0)).cast("bigint").alias(
+            "available_tokens"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.expr(_ARRIVAL_DOC_PRED), wc)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("arrival_tokens"),
+        F.expr(_weight_micro_sql()).alias("base_weight_micro"),
+    )
+    tot = avail.agg(
+        F.sum("available_tokens").cast("bigint").alias("t_all"),
+        F.sum("arrival_tokens").cast("bigint").alias("t_arr"),
+    )
+    flagged = avail.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(
+            "CASE WHEN t_all = 0 THEN NULL"
+            " ELSE (available_tokens * 1000000) div t_all END"
+        ).alias("share_corpus_micro"),
+        F.expr(
+            "CASE WHEN t_arr = 0 THEN NULL"
+            " ELSE (arrival_tokens * 1000000) div t_arr END"
+        ).alias("share_arrivals_micro"),
+    )
+    adj = flagged.select(
+        "*",
+        F.coalesce(
+            F.col("share_arrivals_micro") > 2 * F.col("share_corpus_micro"),
+            F.lit(False),
+        ).alias("drift_hot"),
+        F.coalesce(
+            2 * F.col("share_arrivals_micro") < F.col("share_corpus_micro"),
+            F.lit(False),
+        ).alias("drift_cold"),
+    )
+    # consumed by both budget minima and the final projection
+    w = _scoped_persist(
+        adj.select(
+            "*",
+            F.expr(
+                "CASE WHEN base_weight_micro = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN drift_hot THEN (base_weight_micro * 5) div 4"
+                " WHEN drift_cold THEN (base_weight_micro * 4) div 5"
+                " ELSE base_weight_micro END"
+            ).alias("adjusted_weight_micro"),
+        )
+    )
+    b0 = w.filter(F.col("base_weight_micro") > 0).agg(
+        F.min(
+            F.expr("(available_tokens * 1000000) div base_weight_micro")
+        ).alias("b0")
+    )
+    b1 = w.filter(F.col("adjusted_weight_micro") > 0).agg(
+        F.min(
+            F.expr("(available_tokens * 1000000) div adjusted_weight_micro")
+        ).alias("b1")
+    )
+    t_base = F.expr(
+        "CASE WHEN base_weight_micro = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST((base_weight_micro * b0) div 1000000 AS BIGINT) END"
+    )
+    t_adj = F.expr(
+        "CASE WHEN adjusted_weight_micro = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST((adjusted_weight_micro * b1) div 1000000 AS BIGINT) END"
+    )
+    return ordered_small(
+        w.crossJoin(F.broadcast(b0))
+        .crossJoin(F.broadcast(b1))
+        .select(
+            "lang",
+            "available_tokens",
+            "arrival_tokens",
+            "share_corpus_micro",
+            "share_arrivals_micro",
+            "drift_hot",
+            "drift_cold",
+            "base_weight_micro",
+            "adjusted_weight_micro",
+            t_base.alias("target_tokens_base"),
+            t_adj.alias("target_tokens_adjusted"),
+            F.expr(
+                "CASE WHEN adjusted_weight_micro = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN available_tokens = 0 THEN NULL"
+                " ELSE ((adjusted_weight_micro * b1) div 1000000"
+                "       * 1000000) div available_tokens END"
+            ).alias("sample_rate_micro"),
+            (~t_base.eqNullSafe(t_adj)).alias("retargeted"),
+        ),
+        "lang",
+    )

@@ -457,3 +457,63 @@ class TestNetpbmPerceptualParity:
         grid = ppm_raster(_p5(self.W, self.H, px), "image")
         assert len(grid) == 72
         assert all(v == 100 * PHASH_SCALE // 255 for v in grid)
+
+
+class TestMixtureDriftAdjustment:
+    def test_drifted_corpus_retargets(self, spark, tmp_path):
+        """A corpus whose arrivals over-represent zh (and starve en) must
+        upweight zh 5/4, downweight the starved languages 4/5, and move
+        the integer targets — with the oracle in hash agreement on the
+        same drifted lake."""
+        import duckdb
+
+        from notion_timetracking_etl_spark.queries import REGISTRY
+        from tests.parity import compare_query, duck_connection
+        from tests.test_round9 import _clone_lake
+
+        con = duckdb.connect()
+        rows = []
+        for i in range(200):
+            if i % 10 == 9:
+                lang = "zh"          # every arrival is zh -> drift hot
+            elif i % 10 < 8:
+                lang = "en"          # corpus bulk; zero arrivals -> cold
+            else:
+                lang = ["de", "es", "fr"][i % 3]
+            rows.append((i, " ".join(["w"] * 50), lang))
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+        doc_path = str(tmp_path / "documents_src.parquet")
+        con.execute(
+            "COPY (SELECT doc_id, text, lang, 'web' AS source,"
+            " CAST(length(text) AS BIGINT) AS n_chars FROM d)"
+            f" TO '{doc_path}' (FORMAT PARQUET)"
+        )
+        lake = _clone_lake(tmp_path, {"documents": doc_path})
+
+        got = {
+            r.lang: r
+            for r in REGISTRY["mixture_plan_drift_adjustment"]
+            .spark(spark, lake)
+            .collect()
+        }
+        assert got["zh"].drift_hot and not got["zh"].drift_cold
+        assert got["zh"].adjusted_weight_micro == 150000 * 5 // 4
+        assert got["en"].drift_cold
+        assert got["en"].adjusted_weight_micro == 400000 * 4 // 5
+        assert bool(got["zh"].retargeted) or bool(got["en"].retargeted)
+        # integer plan arithmetic: target = weight * budget div 1e6 where
+        # budget = min(avail * 1e6 div weight) over mixed languages
+        w = {k: v.adjusted_weight_micro for k, v in got.items()}
+        avail = {k: v.available_tokens for k, v in got.items()}
+        b1 = min(avail[k] * 1000000 // w[k] for k in w if w[k] > 0)
+        for k, v in got.items():
+            expect = (w[k] * b1) // 1000000 if w[k] else 0
+            assert v.target_tokens_adjusted == expect, (k, v)
+
+        dcon = duck_connection(lake)
+        r = compare_query(
+            spark, dcon, REGISTRY["mixture_plan_drift_adjustment"], lake
+        )
+        dcon.close()
+        assert r.ok, r.detail
