@@ -407,7 +407,7 @@ def phash_near_dup_pairs(
     max_hamming: int = 8,
     px_l1_max: int = 262144,
     level: int | None = None,
-    target: int | None = None,
+    target: int | None = None,  # None -> PIGEONHOLE_TARGET (import cycle-free)
 ) -> DataFrame:
     """Near-dup visual pairs within ``max_hamming`` bits of the 64-bit
     perceptual hash, verified by exact pixel distance — without the O(n²)
@@ -439,9 +439,9 @@ def phash_near_dup_pairs(
     sig = _scoped_persist(sig.select("media_id", "phash", "px"))
     if level is None:
         # the count also warms the persist exactly once before the self-join
-        level = pigeonhole_level(
-            sig.count(), 64, max_hamming, target or PIGEONHOLE_TARGET
-        )
+        if target is None:
+            target = PIGEONHOLE_TARGET
+        level = pigeonhole_level(sig.count(), 64, max_hamming, target)
 
     buckets = _phash_block_buckets(sig, max_hamming, level)
     left = buckets.select(

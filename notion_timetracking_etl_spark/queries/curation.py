@@ -537,16 +537,13 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Integer micro-weights for the drift-adjusted plan twin below — the same
-# mixture as _MIX_WEIGHTS, in exact BIGINT micro units so every step of the
-# adjusted plan (reweight, budget, targets, rates) is integer arithmetic
-# with zero cross-engine float risk (the ADVICE-r9 class).
+# Integer micro-weights for the drift-adjusted plan twin below — DERIVED
+# from _MIX_WEIGHTS (exact for these values) so the two plans can never
+# desynchronize; BIGINT micro units keep every step of the adjusted plan
+# (reweight, budget, targets, rates) integer arithmetic with zero
+# cross-engine float risk (the ADVICE-r9 class).
 _MIX_WEIGHT_MICRO: dict[str, int] = {
-    "en": 400000,
-    "zh": 150000,
-    "de": 150000,
-    "es": 150000,
-    "fr": 150000,
+    k: round(w * 1_000_000) for k, w in _MIX_WEIGHTS.items()
 }
 _ARRIVAL_DOC_PRED = "doc_id % 10 = 9"  # the established ingest split
 

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..operators.cluster import connected_components
-from ..operators.rank import ntile_from_rank, with_global_ranks
 from ..sources.tpch import load_table
 from .dedup import MINHASH_PAIRS_CTES, near_dup_pairs_cached
 from .helpers import ordered_small
@@ -57,17 +56,15 @@ def _cluster_assign(universe: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def _shard_assign(docs: DataFrame) -> DataFrame:
-    """(doc_id, shard_id) — the corpus_shard_manifest permutation."""
+    """(doc_id, shard_id) — the one shared shard convention
+    (queries/layout.py::shard_perm/shard_assignments), so the sweep audits
+    the SAME permutation the manifest and router produce."""
+    from .layout import shard_assignments, shard_perm
+
     keyed = docs.select(
-        "doc_id", F.sha2(F.col("doc_id").cast("string"), 256).alias("perm")
+        "doc_id", shard_perm(F.col("doc_id")).alias("perm")
     )
-    ranked, total = with_global_ranks(keyed, [F.col("perm")], rank_col="rn")
-    return ranked.select(
-        "doc_id",
-        (ntile_from_rank(F.col("rn"), total, N_SHARDS) - 1)
-        .cast("bigint")
-        .alias("shard_id"),
-    )
+    return shard_assignments(keyed).select("doc_id", "shard_id")
 
 
 _FORGET_DOCS_ORACLE = f"""
@@ -401,36 +398,14 @@ def deletion_propagation_sketch_lake(
 
     before = kmv_sketch_lake(spark, sf_dir)
     kept = before.join(touched, "event_date", "left_anti")
-    from .lake import kmv_partial_sketches
+    from .lake import kmv_dated_hashes, kmv_partial_sketches
 
-    # the post-delete key/hash stream (kmv_dated_hashes minus the deleted
-    # user's rows — recomputed here because the shared helper drops the
-    # user column after hashing)
-    hashed_after = (
-        ev.filter(~F.expr(DELETED_USER_PRED))
-        .select(
-            F.to_date("ts").alias("event_date"),
-            F.col("event_type").alias("g"),
-            F.concat(
-                F.col("user_id").cast("string"),
-                F.lit(":"),
-                F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
-            ).alias("key"),
-        )
-        .distinct()
-        .select(
-            "event_date",
-            "g",
-            F.conv(
-                F.substring(
-                    F.sha2(F.concat(F.lit("kmv:"), F.col("key")), 256), 1, 14
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
-        )
+    # the post-delete key/hash stream through the ONE canonical recipe
+    # (lake.kmv_dated_hashes with a caller-filtered events view) — a copied
+    # recipe that drifted would only surface at runtime as a stitched-lake
+    # hash mismatch
+    hashed_after = kmv_dated_hashes(
+        spark, sf_dir, ev=ev.filter(~F.expr(DELETED_USER_PRED))
     )
     # rebuild ONLY the touched partitions from the post-delete corpus: the
     # date semi-join prunes the scan to those partitions in production

@@ -819,18 +819,17 @@ def ann_refresh_frames(
         F.col("embedding").alias("query_vec"),
     )
     corpus = emb.select("vec_id", "embedding")
-    truth = topk_bruteforce(corpus, queries, k=topk).select(
-        "query_id", "vec_id"
+    # the dominant-cost subtree feeds BOTH hit aggregates — persist the
+    # O(n_queries * topk) result so the reuse is guaranteed, not left to
+    # ReuseExchange
+    truth = _scoped_persist(
+        topk_bruteforce(corpus, queries, k=topk).select("query_id", "vec_id")
     )
     stale_k = topk_ivf_kmeans(
         corpus, queries, k=topk, n_probe=n_probe, model=(asg_all, cent_stale)
     ).select("query_id", "vec_id")
     fresh_k = topk_ivf_kmeans(
-        corpus,
-        queries,
-        k=topk,
-        n_probe=n_probe,
-        model=(asg_fresh.withColumn("dist", F.lit(None)), cent_fresh),
+        corpus, queries, k=topk, n_probe=n_probe, model=(asg_fresh, cent_fresh)
     ).select("query_id", "vec_id")
 
     nq = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))

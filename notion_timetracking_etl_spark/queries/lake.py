@@ -216,14 +216,20 @@ def _sketch_lake_path(sf_dir: str) -> str:
     return _lake_path(sf_dir, "events_kmv_by_date")
 
 
-def kmv_dated_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_dated_hashes(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     """(event_date, g, h): the KMV family's distinct per-type user-day keys
     (queries/sketches.py::kmv_hashed_df — same key, same 56-bit
     sha256('kmv:'||key) hash) carrying the partition date. A key embeds its
-    day, so per-date partials partition the key space exactly."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
+    day, so per-date partials partition the key space exactly. ``ev``
+    overrides the events source (a caller-filtered view, e.g. the deletion
+    sweep's post-delete corpus) so the ONE canonical key/hash recipe serves
+    every consumer — a copied recipe that drifted would only surface at
+    runtime as a stitched-lake hash mismatch."""
+    if ev is None:
+        ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     day = F.date_format(F.to_date("ts"), DATE_FMT_SPARK)
     keyed = ev.select(
         F.to_date("ts").alias("event_date"),

@@ -37,6 +37,25 @@ ZORDER_BITS = 5  # 5 bits per dimension -> 10-bit Morton code
 ZORDER_FILE_ROWS = 1024
 
 
+def shard_perm(doc_id_col: Column) -> Column:
+    """THE shard permutation key: sha256 of the doc id — deterministic,
+    uniform, reproducible; shared by the manifest, the batch router and the
+    deletion sweep so the three surfaces can never desynchronize."""
+    return F.sha2(doc_id_col.cast("string"), 256)
+
+
+def shard_assignments(keyed: DataFrame) -> DataFrame:
+    """Add the 0-based ``shard_id`` to a frame carrying ``perm``: exact
+    global rank over the permutation key (range-partition + driver offsets
+    — never a single-partition window) + arithmetic NTILE(N_SHARDS). One
+    helper = one shard convention for every manifest/route/sweep surface."""
+    ranked, total = with_global_ranks(keyed, [F.col("perm")], rank_col="rn")
+    return ranked.withColumn(
+        "shard_id",
+        (ntile_from_rank(F.col("rn"), total, N_SHARDS) - 1).cast("bigint"),
+    )
+
+
 @register(
     "corpus_shard_manifest",
     "O-ext,A7-analog",
@@ -74,15 +93,11 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
-        F.sha2(F.col("doc_id").cast("string"), 256).alias("perm"),
+        shard_perm(F.col("doc_id")).alias("perm"),
     )
     # sha256 of a unique key is tie-free; rank IS the shuffled position
-    ranked, total = with_global_ranks(docs, [F.col("perm")], rank_col="rn")
     out = (
-        ranked.withColumn(
-            "shard_id",
-            (ntile_from_rank(F.col("rn"), total, N_SHARDS) - 1).cast("bigint"),
-        )
+        shard_assignments(docs)
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -300,14 +315,11 @@ def corpus_shard_route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
-        F.sha2(F.col("doc_id").cast("string"), 256).alias("perm"),
+        shard_perm(F.col("doc_id")).alias("perm"),
     )
     corpus = docs.filter(F.col("doc_id") % 10 != 9).select("perm")
-    ranked, total = with_global_ranks(corpus, [F.col("perm")], rank_col="rn")
     bounds = (
-        ranked.withColumn(
-            "shard_id", ntile_from_rank(F.col("rn"), total, N_SHARDS)
-        )
+        shard_assignments(corpus)
         .groupBy("shard_id")
         .agg(F.min("perm").alias("lo"))
         .agg(F.array_sort(F.collect_list("lo")).alias("lows"))
