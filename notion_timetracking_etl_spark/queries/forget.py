@@ -34,7 +34,7 @@ from ..operators.cluster import connected_components
 from ..sources.tpch import load_table
 from .dedup import MINHASH_PAIRS_CTES, near_dup_pairs_cached
 from .helpers import ordered_small
-from .layout import N_SHARDS
+from .layout import N_SHARDS, SHARD_TARGET_BYTES
 from .registry import register
 
 # deterministic tombstone sets, present at every scale factor
@@ -62,7 +62,7 @@ def _shard_assign(docs: DataFrame) -> DataFrame:
     from .layout import shard_assignments, shard_perm
 
     keyed = docs.select(
-        "doc_id", shard_perm(F.col("doc_id")).alias("perm")
+        "doc_id", "n_chars", shard_perm(F.col("doc_id")).alias("perm")
     )
     return shard_assignments(keyed).select("doc_id", "shard_id")
 
@@ -111,14 +111,18 @@ _FORGET_DOCS_ORACLE = f"""
         ),
         shard_b AS (
           SELECT doc_id,
-                 CAST(NTILE({N_SHARDS}) OVER
+                 CAST(NTILE((SELECT GREATEST({N_SHARDS},
+                        CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+                        // {SHARD_TARGET_BYTES}) FROM documents)) OVER
                       (ORDER BY sha256(CAST(doc_id AS VARCHAR))) - 1
                       AS BIGINT) AS shard_id
           FROM documents
         ),
         shard_a AS (
           SELECT doc_id,
-                 CAST(NTILE({N_SHARDS}) OVER
+                 CAST(NTILE((SELECT GREATEST({N_SHARDS},
+                        CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+                        // {SHARD_TARGET_BYTES}) FROM alive)) OVER
                       (ORDER BY sha256(CAST(doc_id AS VARCHAR))) - 1
                       AS BIGINT) AS shard_id
           FROM alive
@@ -163,7 +167,8 @@ _FORGET_DOCS_ORACLE = f"""
     "CLUSTERS re-canonicalize (n_reps_deleted clusters elect a new "
     "surviving representative; n_orphan_refs_after counts surviving docs "
     "still pointing at a dead rep and MUST be 0 — the propagation proof), "
-    "and the SHARD MANIFEST re-routes (tombstones hold no slot — "
+    "and the SHARD MANIFEST re-routes under the corpus-size-adaptive "
+    "shard count (tombstones hold no slot — "
     "n_tombstones_in_shards_after MUST be 0; n_resharded counts the "
     "boundary-crossing moves of the re-rank). The pair graph is FILTERED, "
     "never recomputed: MinHash LSH candidacy and Jaccard verify are "

@@ -31,7 +31,14 @@ from ..operators.rank import ntile_from_rank, with_global_ranks
 from ..sources.tpch import load_table
 from .registry import register
 
-N_SHARDS = 16
+N_SHARDS = 16  # shard-count FLOOR; the count itself is corpus-size-adaptive
+# Test-scale stand-in for the per-shard byte target (n_chars stands in for
+# file bytes, same convention as COMPACT_TARGET_BYTES): production sets
+# ~1-10 GiB. The shard count grows with the corpus — a fixed count would
+# mean 6 TB shards at 100 TB — while staying at the floor for every
+# driver-tested scale factor, so blocking/bench evidence is unchanged and
+# the sf1 probe exercises the growth (56 shards at ~15 MB).
+SHARD_TARGET_BYTES = 262144
 COMPACT_TARGET_BYTES = 2048
 ZORDER_BITS = 5  # 5 bits per dimension -> 10-bit Morton code
 ZORDER_FILE_ROWS = 1024
@@ -44,15 +51,28 @@ def shard_perm(doc_id_col: Column) -> Column:
     return F.sha2(doc_id_col.cast("string"), 256)
 
 
-def shard_assignments(keyed: DataFrame) -> DataFrame:
-    """Add the 0-based ``shard_id`` to a frame carrying ``perm``: exact
-    global rank over the permutation key (range-partition + driver offsets
-    — never a single-partition window) + arithmetic NTILE(N_SHARDS). One
-    helper = one shard convention for every manifest/route/sweep surface."""
+def corpus_n_shards(keyed: DataFrame) -> int:
+    """Corpus-size-adaptive shard count: max(N_SHARDS floor, total bytes /
+    SHARD_TARGET_BYTES). One bounded scalar aggregate (the same driver-side
+    class as with_global_ranks' count); the oracles replay it as a scalar
+    subquery inside NTILE."""
+    total = keyed.agg(F.coalesce(F.sum("n_chars"), F.lit(0))).collect()[0][0]
+    return max(N_SHARDS, int(total or 0) // SHARD_TARGET_BYTES)
+
+
+def shard_assignments(keyed: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """Add the 0-based ``shard_id`` to a frame carrying ``perm`` (and
+    ``n_chars`` when the count is derived): exact global rank over the
+    permutation key (range-partition + driver offsets — never a
+    single-partition window) + arithmetic NTILE of the corpus-size-adaptive
+    shard count. One helper = one shard convention for every
+    manifest/route/sweep surface."""
+    if n_shards is None:
+        n_shards = corpus_n_shards(keyed)
     ranked, total = with_global_ranks(keyed, [F.col("perm")], rank_col="rn")
     return ranked.withColumn(
         "shard_id",
-        (ntile_from_rank(F.col("rn"), total, N_SHARDS) - 1).cast("bigint"),
+        (ntile_from_rank(F.col("rn"), total, n_shards) - 1).cast("bigint"),
     )
 
 
@@ -62,7 +82,11 @@ def shard_assignments(keyed: DataFrame) -> DataFrame:
     "Deterministic global shuffle into training shards: every document gets "
     f"a reproducible permutation key sha256(doc_id), an EXACT global rank "
     "over that key (range-partition + driver offsets, operators/rank.py — "
-    f"no single-partition window), and NTILE({N_SHARDS}) contiguous-range "
+    f"no single-partition window), and contiguous-range NTILE shard "
+    f"assignment with a corpus-size-ADAPTIVE shard count (floor {N_SHARDS}, "
+    f"one shard per {SHARD_TARGET_BYTES} corpus bytes — a fixed count would "
+    "mean terabyte shards at 100 TB; the oracle replays the count as a "
+    "scalar subquery inside NTILE). "
     "shard assignment. The manifest proves the shuffle: per shard, doc and "
     "byte totals plus the min/max key prefix showing shards own disjoint "
     "contiguous hash ranges. The oracle replays the permutation with a "
@@ -75,7 +99,10 @@ def shard_assignments(keyed: DataFrame) -> DataFrame:
         ),
         assigned AS (
           SELECT n_chars, perm,
-                 CAST(NTILE({N_SHARDS}) OVER (ORDER BY perm) - 1 AS BIGINT)
+                 CAST(NTILE((SELECT GREATEST({N_SHARDS},
+                        CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+                        // {SHARD_TARGET_BYTES}) FROM keyed))
+                      OVER (ORDER BY perm) - 1 AS BIGINT)
                    AS shard_id
           FROM keyed
         )
@@ -277,19 +304,23 @@ def lake_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repo's incremental-ingest convention) routes to the EXISTING corpus "
     "shards by their frozen hash-range boundaries — the corpus itself is "
     "never re-ranked or re-shuffled. Boundaries = per-shard min permutation "
-    "key from the corpus NTILE (one 16-element sorted array, broadcast as a "
-    "single row, 4096 keys in production); each batch doc's shard is a "
+    "key from the corpus NTILE — the count corpus-size-adaptive like the "
+    "manifest's — one sorted boundary array broadcast as a single row; "
+    "each batch doc's shard is a "
     "higher-order-function range lookup (count of boundaries <= its key). "
     "A day's append costs O(batch), exactly like the incremental dedup "
     "gate. Per shard: arriving docs and bytes.",
     oracle=f"""
         WITH corpus AS (
-          SELECT sha256(CAST(doc_id AS VARCHAR)) AS perm
+          SELECT n_chars, sha256(CAST(doc_id AS VARCHAR)) AS perm
           FROM documents WHERE doc_id % 10 <> 9
         ),
         assigned AS (
           SELECT perm,
-                 CAST(NTILE({N_SHARDS}) OVER (ORDER BY perm) - 1 AS BIGINT)
+                 CAST(NTILE((SELECT GREATEST({N_SHARDS},
+                        CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+                        // {SHARD_TARGET_BYTES}) FROM corpus))
+                      OVER (ORDER BY perm) - 1 AS BIGINT)
                    AS shard_id
           FROM corpus
         ),
@@ -317,7 +348,7 @@ def corpus_shard_route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         shard_perm(F.col("doc_id")).alias("perm"),
     )
-    corpus = docs.filter(F.col("doc_id") % 10 != 9).select("perm")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9).select("perm", "n_chars")
     bounds = (
         shard_assignments(corpus)
         .groupBy("shard_id")

@@ -517,3 +517,59 @@ class TestMixtureDriftAdjustment:
         )
         dcon.close()
         assert r.ok, r.detail
+
+
+class TestAdaptiveShardCount:
+    def test_floor_at_test_scale_grows_with_bytes(self, spark, sf_dir):
+        """The shard count stays at the N_SHARDS floor for every
+        driver-tested corpus and grows once corpus bytes cross the target
+        (a fixed count would mean terabyte shards at 100 TB)."""
+        import pyspark.sql.functions as F
+
+        from notion_timetracking_etl_spark.queries.layout import (
+            N_SHARDS,
+            SHARD_TARGET_BYTES,
+            corpus_n_shards,
+        )
+        from notion_timetracking_etl_spark.sources.tpch import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert corpus_n_shards(docs) == N_SHARDS  # sf0.001 sits at the floor
+        big = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.lit(SHARD_TARGET_BYTES).cast("bigint").alias("n_chars"),
+        )
+        assert corpus_n_shards(big) == 100  # 100 target-sized docs -> 100
+        empty = big.limit(0)
+        assert corpus_n_shards(empty) == N_SHARDS  # empty corpus -> floor
+
+    def test_adaptive_manifest_oracle_parity(self, spark, tmp_path):
+        """On a lake whose byte volume pushes the count past the floor,
+        Spark and the oracle agree on the grown shard map end-to-end."""
+        import duckdb
+
+        from notion_timetracking_etl_spark.queries import REGISTRY
+        from tests.parity import compare_query, duck_connection
+        from tests.test_round9 import _clone_lake
+
+        con = duckdb.connect()
+        # 400 docs x 32 KiB claimed bytes = ~48 shards
+        con.execute(
+            "COPY (SELECT range AS doc_id, 'txt' AS text, 'en' AS lang,"
+            " 'web' AS source, CAST(32768 AS BIGINT) AS n_chars"
+            " FROM range(400)) TO '{}' (FORMAT PARQUET)".format(
+                tmp_path / "documents_src.parquet"
+            )
+        )
+        lake = _clone_lake(tmp_path, {
+            "documents": str(tmp_path / "documents_src.parquet")
+        })
+        out = REGISTRY["corpus_shard_manifest"].spark(spark, lake)
+        n = out.count()
+        assert n == max(16, 400 * 32768 // 262144)  # 50 shards
+        dcon = duck_connection(lake)
+        r = compare_query(
+            spark, dcon, REGISTRY["corpus_shard_manifest"], lake
+        )
+        dcon.close()
+        assert r.ok, r.detail
