@@ -1015,10 +1015,12 @@ _COMPACT_LAKES: set[str] = set()
 
 # Grain pivot: daily partials strictly BEFORE this date compact to ISO-week
 # grain; later dates stay daily (the hot tail an ingest keeps fine-grained).
-KMV_COMPACT_PIVOT = "2024-01-15"
+# Shared by every sketch lake's compaction (KMV bottom-k, HLL register-MAX)
+# — the lifecycle is monoid-agnostic like the merge seam it extends.
+LAKE_COMPACT_PIVOT = "2024-01-15"
 # Retention: grain partitions strictly BEFORE this date are retired. Aligned
 # to an ISO-week boundary so retained-compacted == retained-daily exactly.
-KMV_RETAIN_CUTOFF = "2024-01-08"
+LAKE_RETAIN_CUTOFF = "2024-01-08"
 
 
 def _compact_lake_path(sf_dir: str) -> str:
@@ -1026,7 +1028,7 @@ def _compact_lake_path(sf_dir: str) -> str:
 
 
 def kmv_compact_partials(
-    partials: DataFrame, pivot: str = KMV_COMPACT_PIVOT
+    partials: DataFrame, pivot: str = LAKE_COMPACT_PIVOT
 ) -> DataFrame:
     """(grain_date, g, h): daily partials re-merged to their compaction
     grain — ISO week for dates before ``pivot``, the date itself after.
@@ -1092,11 +1094,11 @@ def _kmv_compaction_oracle_sql() -> str:
         ),
         comp AS (
           SELECT grain, g, h FROM (
-            SELECT CASE WHEN d < DATE '{KMV_COMPACT_PIVOT}'
+            SELECT CASE WHEN d < DATE '{LAKE_COMPACT_PIVOT}'
                         THEN date_trunc('week', d) ELSE d END AS grain,
                    g, h,
                    ROW_NUMBER() OVER (
-                     PARTITION BY CASE WHEN d < DATE '{KMV_COMPACT_PIVOT}'
+                     PARTITION BY CASE WHEN d < DATE '{LAKE_COMPACT_PIVOT}'
                                   THEN date_trunc('week', d) ELSE d END, g
                      ORDER BY h) AS rn
             FROM part
@@ -1124,7 +1126,7 @@ def _kmv_compaction_oracle_sql() -> str:
                  CAST(COUNT(*) AS BIGINT) AS r_n
           FROM (SELECT g, h, ROW_NUMBER() OVER
                   (PARTITION BY g ORDER BY h) AS rn
-                FROM comp WHERE grain >= DATE '{KMV_RETAIN_CUTOFF}')
+                FROM comp WHERE grain >= DATE '{LAKE_RETAIN_CUTOFF}')
           WHERE rn <= {KMV_K} GROUP BY g
         ),
         rd AS (
@@ -1133,7 +1135,7 @@ def _kmv_compaction_oracle_sql() -> str:
                  CAST(COUNT(*) AS BIGINT) AS rd_n
           FROM (SELECT g, h, ROW_NUMBER() OVER
                   (PARTITION BY g ORDER BY h) AS rn
-                FROM part WHERE d >= DATE '{KMV_RETAIN_CUTOFF}')
+                FROM part WHERE d >= DATE '{LAKE_RETAIN_CUTOFF}')
           WHERE rn <= {KMV_K} GROUP BY g
         ),
         counts AS (
@@ -1146,7 +1148,7 @@ def _kmv_compaction_oracle_sql() -> str:
                  CAST(COUNT(DISTINCT grain) AS BIGINT)
                    AS n_compacted_partials,
                  CAST(COUNT(DISTINCT grain) FILTER (
-                      WHERE grain < DATE '{KMV_RETAIN_CUTOFF}') AS BIGINT)
+                      WHERE grain < DATE '{LAKE_RETAIN_CUTOFF}') AS BIGINT)
                    AS n_retired_partials
           FROM comp GROUP BY g
         )
@@ -1177,12 +1179,12 @@ def _kmv_compaction_oracle_sql() -> str:
     "S6-analog,A10-ext,U2-analog",
     "Sketch-lake LIFECYCLE beyond append (r9 verdict task #2) — the "
     "operations a year-old 100 TB sketch lake runs: (1) COMPACTION — daily "
-    f"KMV partials older than {KMV_COMPACT_PIVOT} re-merge in place to "
+    f"KMV partials older than {LAKE_COMPACT_PIVOT} re-merge in place to "
     "ISO-week grain partitions (bottom-k of a union of bottom-ks IS the "
     "bottom-k of the union, so the rewrite provably loses nothing — the "
     "compacted lake's whole-corpus merge is hash-flagged EQUAL to the "
     "daily lake's, per event_type, NULL group included); (2) RETIREMENT — "
-    f"grain partitions before {KMV_RETAIN_CUTOFF} (week-aligned) are "
+    f"grain partitions before {LAKE_RETAIN_CUTOFF} (week-aligned) are "
     "dropped, and the retained compacted merge is hash-flagged equal to "
     "the retained daily merge (null-safe: a type living only in retired "
     "partitions compares absent-to-absent). The compacted lake is "
@@ -1198,7 +1200,7 @@ def kmv_sketch_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketches import KMV_K
 
     gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
-    cutoff = F.lit(KMV_RETAIN_CUTOFF).cast("date")
+    cutoff = F.lit(LAKE_RETAIN_CUTOFF).cast("date")
     daily = kmv_sketch_lake(spark, sf_dir)
     compacted = kmv_compacted_lake(spark, sf_dir)
 
@@ -1262,6 +1264,238 @@ def kmv_sketch_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("r_kth").eqNullSafe(F.col("rd_kth"))
                 & F.col("r_n").eqNullSafe(F.col("rd_n"))
+            ).alias("retained_equals_daily_retained"),
+        ),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL compaction twin: the SAME lifecycle (weekly re-grain + week-aligned
+# retirement) under the register-MAX monoid — together with
+# kmv_sketch_lake_compaction this pins the compaction seam as
+# monoid-agnostic, exactly like the r9 merge-seam trio.
+# ---------------------------------------------------------------------------
+
+_HLL_COMPACT_LAKES: set[str] = set()
+
+
+def _hll_compact_lake_path(sf_dir: str) -> str:
+    return _lake_path(sf_dir, "events_hll_compacted")
+
+
+def hll_compact_partials(
+    partials: DataFrame, pivot: str = LAKE_COMPACT_PIVOT
+) -> DataFrame:
+    """(grain_date, g, idx, rank): daily HLL register partials re-merged to
+    their compaction grain by register-wise MAX — MAX of MAXes is the MAX,
+    so the rewrite provably loses nothing under the second monoid too."""
+    grain = F.when(
+        F.col("event_date") < F.lit(pivot).cast("date"),
+        F.date_trunc("week", F.col("event_date")).cast("date"),
+    ).otherwise(F.col("event_date"))
+    return (
+        partials.withColumn("grain_date", grain)
+        .groupBy("grain_date", "g", "idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_compacted_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _hll_compact_lake_path(sf_dir)
+    compacted = hll_compact_partials(hll_sketch_lake(spark, sf_dir))
+    if path not in _HLL_COMPACT_LAKES:
+        write_partitioned_lake(
+            compacted, path, ["grain_date"], sort_cols=["g", "idx"]
+        )
+        _HLL_COMPACT_LAKES.add(path)
+    return spark.read.schema(compacted.schema).parquet(path)
+
+
+def _hll_compaction_oracle_sql() -> str:
+    from .sketches import _HLL_IDX_SHIFT, _HLL_RANK_MAX, _HLL_W_MASK, HLL_M
+
+    stats = (
+        f"CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - rank)) AS BIGINT)"
+        f" + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_RANK_MAX})"
+    )
+    return f"""
+        WITH keyed AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, event_type AS g,
+                 concat(user_id, ':',
+                        strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS key
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        fields AS (
+          SELECT d, g,
+                 h >> {_HLL_IDX_SHIFT} AS idx, h & {_HLL_W_MASK} AS w
+          FROM (
+            SELECT d, g,
+                   CAST(concat('0x', substr(sha256(concat('hll:', key)),
+                        1, 14)) AS BIGINT) AS h
+            FROM keyed
+          )
+        ),
+        part AS (
+          SELECT d, g, idx,
+                 MAX(CASE WHEN w = 0 THEN {_HLL_RANK_MAX}
+                     ELSE {_HLL_RANK_MAX} - length(bin(w)) END) AS rank
+          FROM fields GROUP BY 1, 2, 3
+        ),
+        comp AS (
+          SELECT CASE WHEN d < DATE '{LAKE_COMPACT_PIVOT}'
+                      THEN date_trunc('week', d) ELSE d END AS grain,
+                 g, idx, MAX(rank) AS rank
+          FROM part GROUP BY 1, 2, 3
+        ),
+        mc AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk, g,
+                 {stats} AS t,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers
+          FROM (SELECT g, idx, MAX(rank) AS rank FROM comp GROUP BY 1, 2)
+          GROUP BY g
+        ),
+        md AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 {stats} AS t_d,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS z_d
+          FROM (SELECT g, idx, MAX(rank) AS rank FROM part GROUP BY 1, 2)
+          GROUP BY g
+        ),
+        rc AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 {stats} AS r_t,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS r_z
+          FROM (SELECT g, idx, MAX(rank) AS rank FROM comp
+                WHERE grain >= DATE '{LAKE_RETAIN_CUTOFF}' GROUP BY 1, 2)
+          GROUP BY g
+        ),
+        rd AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 {stats} AS rd_t,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS rd_z
+          FROM (SELECT g, idx, MAX(rank) AS rank FROM part
+                WHERE d >= DATE '{LAKE_RETAIN_CUTOFF}' GROUP BY 1, 2)
+          GROUP BY g
+        ),
+        counts AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT d) AS BIGINT) AS n_daily_partials
+          FROM part GROUP BY g
+        ),
+        ccounts AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT grain) AS BIGINT)
+                   AS n_compacted_partials,
+                 CAST(COUNT(DISTINCT grain) FILTER (
+                      WHERE grain < DATE '{LAKE_RETAIN_CUTOFF}') AS BIGINT)
+                   AS n_retired_partials
+          FROM comp GROUP BY g
+        )
+        SELECT mc.g AS event_type,
+               counts.n_daily_partials,
+               ccounts.n_compacted_partials,
+               ccounts.n_retired_partials,
+               mc.t,
+               mc.n_zero_registers,
+               (mc.t = md.t_d AND mc.n_zero_registers = md.z_d)
+                 AS compacted_equals_daily,
+               (rc.r_t IS NOT DISTINCT FROM rd.rd_t
+                AND rc.r_z IS NOT DISTINCT FROM rd.rd_z)
+                 AS retained_equals_daily_retained
+        FROM mc
+        JOIN md USING (gk)
+        JOIN counts USING (gk)
+        JOIN ccounts USING (gk)
+        LEFT JOIN rc USING (gk)
+        LEFT JOIN rd USING (gk)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "hll_sketch_lake_compaction",
+    "S6-analog,A1-analog,U2-analog",
+    "The compaction/retention LIFECYCLE under a SECOND monoid: daily HLL "
+    f"register partials older than {LAKE_COMPACT_PIVOT} re-merge in place "
+    "to ISO-week grains by register-wise MAX (MAX of MAXes is the MAX, so "
+    "the rewrite provably loses nothing), week-aligned retirement before "
+    f"{LAKE_RETAIN_CUTOFF}, equality flags on the exact-integer harmonic "
+    "denominator + zero-register count (compacted == daily; retained-"
+    "compacted == retained-daily, null-safe). Together with "
+    "kmv_sketch_lake_compaction this pins the compaction seam as "
+    "monoid-agnostic — the same generality proof r9 made for the merge "
+    "seam. The oracle replays registers, week re-merge, retirement and "
+    "every equality from raw events; the two-level re-compaction probe "
+    "is pinned in tests/test_round10.py.",
+    oracle=_hll_compaction_oracle_sql(),
+)
+def hll_sketch_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
+    cutoff = F.lit(LAKE_RETAIN_CUTOFF).cast("date")
+    daily = hll_sketch_lake(spark, sf_dir)
+    compacted = hll_compacted_lake(spark, sf_dir)
+
+    def stats(regs: DataFrame, t: str, z: str) -> DataFrame:
+        from .sketches import hll_stats_from_registers
+
+        out = hll_stats_from_registers(
+            hll_merge_registers(regs.select("g", "idx", "rank")), "g"
+        )
+        return out.select(
+            gk,
+            F.col("t").alias(t),
+            F.col("n_zero_registers").alias(z),
+        )
+
+    mc = stats(compacted, "t", "n_zero_registers")
+    md = stats(daily, "t_d", "z_d")
+    rc = stats(compacted.filter(F.col("grain_date") >= cutoff), "r_t", "r_z")
+    rd = stats(daily.filter(F.col("event_date") >= cutoff), "rd_t", "rd_z")
+    counts = (
+        daily.groupBy("g")
+        .agg(
+            F.countDistinct("event_date")
+            .cast("bigint")
+            .alias("n_daily_partials")
+        )
+        .select(gk, F.col("g").alias("event_type"), "n_daily_partials")
+    )
+    ccounts = (
+        compacted.groupBy("g")
+        .agg(
+            F.countDistinct("grain_date")
+            .cast("bigint")
+            .alias("n_compacted_partials"),
+            F.countDistinct(
+                F.when(F.col("grain_date") < cutoff, F.col("grain_date"))
+            )
+            .cast("bigint")
+            .alias("n_retired_partials"),
+        )
+        .select(gk, "n_compacted_partials", "n_retired_partials")
+    )
+    return ordered_small(
+        mc.join(md, "gk")
+        .join(counts, "gk")
+        .join(ccounts, "gk")
+        .join(rc, "gk", "left")
+        .join(rd, "gk", "left")
+        .select(
+            "event_type",
+            "n_daily_partials",
+            "n_compacted_partials",
+            "n_retired_partials",
+            "t",
+            "n_zero_registers",
+            (
+                (F.col("t") == F.col("t_d"))
+                & (F.col("n_zero_registers") == F.col("z_d"))
+            ).alias("compacted_equals_daily"),
+            (
+                F.col("r_t").eqNullSafe(F.col("rd_t"))
+                & F.col("r_z").eqNullSafe(F.col("rd_z"))
             ).alias("retained_equals_daily_retained"),
         ),
         "event_type",

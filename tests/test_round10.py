@@ -227,19 +227,19 @@ class TestSketchLakeCompaction:
         import pyspark.sql.functions as F
 
         from notion_timetracking_etl_spark.queries.lake import (
-            KMV_RETAIN_CUTOFF,
+            LAKE_RETAIN_CUTOFF,
             kmv_compacted_lake,
         )
 
         lake = kmv_compacted_lake(spark, sf_dir)
         retired = lake.filter(
-            F.col("grain_date") < F.lit(KMV_RETAIN_CUTOFF).cast("date")
+            F.col("grain_date") < F.lit(LAKE_RETAIN_CUTOFF).cast("date")
         )
         assert retired.count() > 0
         # every retired grain is a Monday week-start strictly before cutoff
         for r in retired.select("grain_date").distinct().collect():
             assert r.grain_date.isoweekday() == 1
-            assert str(r.grain_date) < KMV_RETAIN_CUTOFF
+            assert str(r.grain_date) < LAKE_RETAIN_CUTOFF
 
 
 class TestAnnIndexRefresh:
@@ -573,3 +573,60 @@ class TestAdaptiveShardCount:
         )
         dcon.close()
         assert r.ok, r.detail
+
+
+class TestHllCompaction:
+    def test_two_level_recompaction_equals_daily_direct_hll(self, spark, sf_dir):
+        """daily -> weekly -> monthly re-compaction under register-MAX
+        merges to the identical registers as the daily partials directly —
+        the compaction seam is monoid-agnostic."""
+        import pyspark.sql.functions as F
+
+        from notion_timetracking_etl_spark.queries.lake import (
+            hll_compact_partials,
+            hll_dated_fields,
+            hll_merge_registers,
+            hll_partial_registers,
+        )
+
+        daily = hll_partial_registers(
+            hll_dated_fields(spark, sf_dir)
+        ).persist()
+        daily.count()
+        try:
+            weekly = hll_compact_partials(daily, pivot="2024-12-31")
+            monthly = hll_compact_partials(
+                weekly.select(
+                    F.col("grain_date").alias("event_date"), "g", "idx", "rank"
+                ).withColumn(
+                    "event_date",
+                    F.date_trunc("month", F.col("event_date")).cast("date"),
+                ),
+                pivot="2024-12-31",
+            )
+            gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
+            m2 = hll_merge_registers(monthly.select("g", "idx", "rank")).select(
+                gk, "idx", "rank"
+            )
+            m0 = hll_merge_registers(daily.select("g", "idx", "rank")).select(
+                gk, "idx", F.col("rank").alias("r0")
+            )
+            joined = m2.join(m0, ["gk", "idx"], "full").collect()
+            assert joined
+            for r in joined:
+                assert r.rank == r.r0, r
+        finally:
+            daily.unpersist()
+
+    def test_hll_compaction_flags_true(self, spark, sf_dir):
+        from notion_timetracking_etl_spark.queries import REGISTRY
+
+        rows = REGISTRY["hll_sketch_lake_compaction"].spark(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert bool(r.compacted_equals_daily) is True
+            assert r.retained_equals_daily_retained is not False
+            assert r.n_compacted_partials < r.n_daily_partials
+            assert r.n_retired_partials >= 1
