@@ -630,3 +630,57 @@ class TestHllCompaction:
             assert r.retained_equals_daily_retained is not False
             assert r.n_compacted_partials < r.n_daily_partials
             assert r.n_retired_partials >= 1
+
+
+class TestRound10PlanContracts:
+    def test_tombstone_anti_joins_broadcast(self, spark, sf_dir):
+        """The deletion sweep's tombstone set is O(deletions) — the pair
+        filter's anti-joins must broadcast the tombstones, never shuffle
+        the corpus-sized pair side. (The full-query plan hides these inside
+        the eagerly-checkpointed CC iterations, so the pin targets the
+        pair-filter sub-plan the sweep builds.)"""
+        import pyspark.sql.functions as F
+
+        from notion_timetracking_etl_spark.queries.dedup import (
+            near_dup_pairs_cached,
+        )
+        from notion_timetracking_etl_spark.queries.forget import (
+            DELETED_DOC_PRED,
+        )
+        from notion_timetracking_etl_spark.sources.tpch import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        dead = docs.filter(F.expr(DELETED_DOC_PRED)).select("doc_id")
+        pairs = near_dup_pairs_cached(spark, sf_dir)
+        pairs_alive = pairs.join(
+            F.broadcast(dead.select(F.col("doc_id").alias("a"))),
+            "a",
+            "left_anti",
+        ).join(
+            F.broadcast(dead.select(F.col("doc_id").alias("b"))),
+            "b",
+            "left_anti",
+        )
+        plan = pairs_alive._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_compacted_lake_read_prunes_grain_partitions(self, spark, sf_dir):
+        """The retained-range read of the compacted sketch lake must reach
+        the scan as a PartitionFilter on grain_date — retirement and
+        retention queries touch only their grain directories."""
+        import re
+
+        import pyspark.sql.functions as F
+
+        from notion_timetracking_etl_spark.queries.lake import (
+            LAKE_RETAIN_CUTOFF,
+            kmv_compacted_lake,
+        )
+
+        lake = kmv_compacted_lake(spark, sf_dir).filter(
+            F.col("grain_date") >= F.lit(LAKE_RETAIN_CUTOFF).cast("date")
+        )
+        plan = lake._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[.*grain_date", plan), plan
