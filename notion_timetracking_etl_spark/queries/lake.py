@@ -1500,3 +1500,256 @@ def hll_sketch_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sample compaction twin: the THIRD monoid through the compaction
+# lifecycle (value-carrying bottom-k hash sample) — the compaction trio now
+# mirrors the r9 merge trio exactly (bottom-k / register-MAX / value sample).
+# ---------------------------------------------------------------------------
+
+_QS_COMPACT_LAKES: set[str] = set()
+
+
+def _qs_compact_lake_path(sf_dir: str) -> str:
+    return _lake_path(sf_dir, "events_qs_compacted")
+
+
+def qs_compact_partials(
+    partials: DataFrame, pivot: str = LAKE_COMPACT_PIVOT
+) -> DataFrame:
+    """(grain_date, g, value, h): daily sample partials re-merged to their
+    compaction grain by union + re-bottom-k — bottom-k of a union of
+    bottom-ks is the bottom-k of the union, and each surviving row carries
+    its VALUE, so the compacted lake still answers quantile questions.
+    NULL event_date partials (NULL-ts rows) keep their NULL grain — they
+    never fold into a week and never retire by the date predicate."""
+    from pyspark.sql import Window
+
+    from .sketches import QS_K
+
+    grain = F.when(
+        F.col("event_date") < F.lit(pivot).cast("date"),
+        F.date_trunc("week", F.col("event_date")).cast("date"),
+    ).otherwise(F.col("event_date"))
+    w = Window.partitionBy("grain_date", "g").orderBy(F.col("h").asc())
+    return (
+        partials.withColumn("grain_date", grain)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QS_K)
+        .select("grain_date", "g", "value", "h")
+    )
+
+
+def qs_compacted_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _qs_compact_lake_path(sf_dir)
+    compacted = qs_compact_partials(qs_sketch_lake(spark, sf_dir))
+    if path not in _QS_COMPACT_LAKES:
+        write_partitioned_lake(
+            compacted, path, ["grain_date"], sort_cols=["g", "h"]
+        )
+        _QS_COMPACT_LAKES.add(path)
+    return spark.read.schema(compacted.schema).parquet(path)
+
+
+def _qs_compaction_oracle_sql() -> str:
+    from .sketches import QS_K
+
+    fp = (
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(bit_xor(h) AS BIGINT) AS xh,"
+        " CAST(MAX(h) AS BIGINT) AS mh"
+    )
+    return f"""
+        WITH vals AS (
+          SELECT CAST(ts AS DATE) AS d, event_type AS g, value,
+                 CAST(concat('0x', substr(sha256(concat('qs:',
+                      CAST(event_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+          FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
+        ),
+        part AS (
+          SELECT d, g, value, h FROM (
+            SELECT d, g, value, h,
+                   ROW_NUMBER() OVER (PARTITION BY d, g ORDER BY h) AS rn
+            FROM vals
+          ) WHERE rn <= {QS_K}
+        ),
+        comp AS (
+          SELECT grain, g, value, h FROM (
+            SELECT CASE WHEN d < DATE '{LAKE_COMPACT_PIVOT}'
+                        THEN date_trunc('week', d) ELSE d END AS grain,
+                   g, value, h,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY CASE WHEN d < DATE '{LAKE_COMPACT_PIVOT}'
+                                  THEN date_trunc('week', d) ELSE d END, g
+                     ORDER BY h) AS rn
+            FROM part
+          ) WHERE rn <= {QS_K}
+        ),
+        mc AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk, g, {fp}
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn FROM comp)
+          WHERE rn <= {QS_K} GROUP BY g
+        ),
+        md AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS n_d,
+                 CAST(bit_xor(h) AS BIGINT) AS xh_d,
+                 CAST(MAX(h) AS BIGINT) AS mh_d
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn FROM part)
+          WHERE rn <= {QS_K} GROUP BY g
+        ),
+        rc AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS r_n,
+                 CAST(bit_xor(h) AS BIGINT) AS r_xh
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn
+                FROM comp WHERE grain >= DATE '{LAKE_RETAIN_CUTOFF}')
+          WHERE rn <= {QS_K} GROUP BY g
+        ),
+        rd AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(*) AS BIGINT) AS rd_n,
+                 CAST(bit_xor(h) AS BIGINT) AS rd_xh
+          FROM (SELECT g, h, ROW_NUMBER() OVER
+                  (PARTITION BY g ORDER BY h) AS rn
+                FROM part WHERE d >= DATE '{LAKE_RETAIN_CUTOFF}')
+          WHERE rn <= {QS_K} GROUP BY g
+        ),
+        counts AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT d) AS BIGINT) AS n_daily_partials
+          FROM part GROUP BY g
+        ),
+        ccounts AS (
+          SELECT coalesce(g, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT grain) AS BIGINT)
+                   AS n_compacted_partials,
+                 CAST(COUNT(DISTINCT grain) FILTER (
+                      WHERE grain < DATE '{LAKE_RETAIN_CUTOFF}') AS BIGINT)
+                   AS n_retired_partials
+          FROM comp GROUP BY g
+        )
+        SELECT mc.g AS event_type,
+               counts.n_daily_partials,
+               ccounts.n_compacted_partials,
+               ccounts.n_retired_partials,
+               mc.n AS n_sample,
+               (mc.n = md.n_d AND mc.xh = md.xh_d AND mc.mh = md.mh_d)
+                 AS compacted_equals_daily,
+               (rc.r_n IS NOT DISTINCT FROM rd.rd_n
+                AND rc.r_xh IS NOT DISTINCT FROM rd.rd_xh)
+                 AS retained_equals_daily_retained
+        FROM mc
+        JOIN md USING (gk)
+        JOIN counts USING (gk)
+        JOIN ccounts USING (gk)
+        LEFT JOIN rc USING (gk)
+        LEFT JOIN rd USING (gk)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "quantile_sketch_lake_compaction",
+    "S6-analog,A3-analog,U2-analog",
+    "The compaction/retention lifecycle under the THIRD monoid — the "
+    "value-carrying bottom-k hash sample: daily sample partials older "
+    f"than {LAKE_COMPACT_PIVOT} re-merge in place to ISO-week grains by "
+    "union + re-bottom-k (each surviving row keeps its VALUE, so the "
+    "compacted lake still answers order-statistics questions), "
+    f"week-aligned retirement before {LAKE_RETAIN_CUTOFF}, hashed "
+    "membership fingerprints (count, bit_xor, max of the sample hashes) "
+    "flagging compacted == daily and retained-compacted == "
+    "retained-daily (null-safe). NULL-date partials (NULL-ts rows) keep "
+    "their NULL grain — never folded into a week, never retired by the "
+    "date predicate, and audited like every NULL-key group. The "
+    "compaction trio (KMV bottom-k / HLL register-MAX / value sample) "
+    "now mirrors the r9 merge trio exactly: the lifecycle is "
+    "monoid-agnostic end-to-end.",
+    oracle=_qs_compaction_oracle_sql(),
+)
+def quantile_sketch_lake_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .sketches import QS_K  # noqa: F401  (documented bound)
+
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
+    cutoff = F.lit(LAKE_RETAIN_CUTOFF).cast("date")
+    daily = qs_sketch_lake(spark, sf_dir)
+    compacted = qs_compacted_lake(spark, sf_dir)
+
+    def fp(partials: DataFrame, n: str, xh: str, mh: str | None) -> DataFrame:
+        cols = [
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.expr("bit_xor(h)").cast("bigint").alias(xh),
+        ]
+        if mh:
+            cols.append(F.max("h").cast("bigint").alias(mh))
+        return qs_merge_sample(partials).groupBy("g").agg(*cols).select(
+            gk, *([n, xh] + ([mh] if mh else []))
+        )
+
+    mc = fp(compacted.select("g", "value", "h"), "n_sample", "xh", "mh")
+    md = fp(daily, "n_d", "xh_d", "mh_d")
+    rc = fp(
+        compacted.filter(F.col("grain_date") >= cutoff).select(
+            "g", "value", "h"
+        ),
+        "r_n",
+        "r_xh",
+        None,
+    )
+    rd = fp(
+        daily.filter(F.col("event_date") >= cutoff), "rd_n", "rd_xh", None
+    )
+    counts = (
+        daily.groupBy("g")
+        .agg(
+            F.countDistinct("event_date")
+            .cast("bigint")
+            .alias("n_daily_partials")
+        )
+        .select(gk, F.col("g").alias("event_type"), "n_daily_partials")
+    )
+    ccounts = (
+        compacted.groupBy("g")
+        .agg(
+            F.countDistinct("grain_date")
+            .cast("bigint")
+            .alias("n_compacted_partials"),
+            F.countDistinct(
+                F.when(F.col("grain_date") < cutoff, F.col("grain_date"))
+            )
+            .cast("bigint")
+            .alias("n_retired_partials"),
+        )
+        .select(gk, "n_compacted_partials", "n_retired_partials")
+    )
+    return ordered_small(
+        mc.join(md, "gk")
+        .join(counts, "gk")
+        .join(ccounts, "gk")
+        .join(rc, "gk", "left")
+        .join(rd, "gk", "left")
+        .select(
+            "event_type",
+            "n_daily_partials",
+            "n_compacted_partials",
+            "n_retired_partials",
+            "n_sample",
+            (
+                (F.col("n_sample") == F.col("n_d"))
+                & (F.col("xh") == F.col("xh_d"))
+                & (F.col("mh") == F.col("mh_d"))
+            ).alias("compacted_equals_daily"),
+            (
+                F.col("r_n").eqNullSafe(F.col("rd_n"))
+                & F.col("r_xh").eqNullSafe(F.col("rd_xh"))
+            ).alias("retained_equals_daily_retained"),
+        ),
+        "event_type",
+    )

@@ -684,3 +684,54 @@ class TestRound10PlanContracts:
         )
         plan = lake._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"PartitionFilters: \[.*grain_date", plan), plan
+
+
+class TestQuantileCompaction:
+    def test_two_level_recompaction_equals_daily_direct_qs(self, spark, sf_dir):
+        """daily -> weekly -> monthly re-compaction under the value-carrying
+        bottom-k sample merges to the identical sample set as the daily
+        partials directly — the third monoid through the same lifecycle."""
+        import pyspark.sql.functions as F
+
+        from notion_timetracking_etl_spark.queries.lake import (
+            qs_compact_partials,
+            qs_dated_values,
+            qs_merge_sample,
+            qs_partial_samples,
+        )
+
+        daily = qs_partial_samples(qs_dated_values(spark, sf_dir)).persist()
+        daily.count()
+        try:
+            weekly = qs_compact_partials(daily, pivot="2024-12-31")
+            monthly = qs_compact_partials(
+                weekly.select(
+                    F.col("grain_date").alias("event_date"), "g", "value", "h"
+                ).withColumn(
+                    "event_date",
+                    F.date_trunc("month", F.col("event_date")).cast("date"),
+                ),
+                pivot="2024-12-31",
+            )
+            m2 = {
+                (r.g, r.h, r.value)
+                for r in qs_merge_sample(
+                    monthly.select("g", "value", "h")
+                ).collect()
+            }
+            m0 = {(r.g, r.h, r.value) for r in qs_merge_sample(daily).collect()}
+            assert m2 == m0 and m0
+        finally:
+            daily.unpersist()
+
+    def test_qs_compaction_flags_true(self, spark, sf_dir):
+        from notion_timetracking_etl_spark.queries import REGISTRY
+
+        rows = REGISTRY["quantile_sketch_lake_compaction"].spark(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert bool(r.compacted_equals_daily) is True
+            assert r.retained_equals_daily_retained is not False
+            assert r.n_compacted_partials < r.n_daily_partials
