@@ -446,6 +446,53 @@ def pigeonhole_buckets(
     )
 
 
+def hamming_pairs_from_sigs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bits: int,
+    max_hamming: int,
+    level: int | None = None,
+    target: int = PIGEONHOLE_TARGET,
+) -> DataFrame:
+    """(a, b, hamming) pairs within ``max_hamming`` over an arbitrary
+    (id, signature) table — the blocking+verify core shared by
+    :func:`simhash_hamming_pairs` and the distinct-signature cluster
+    summaries (queries/clusters.py): size-adaptive pigeonhole candidate
+    join, ``bit_count(xor)`` verify in the join projection BEFORE the
+    distinct. The caller persists ``sig`` when its lineage is expensive
+    (``level=None`` counts it once to derive the agreement level)."""
+    if level is None:
+        level = pigeonhole_level(sig.count(), n_bits, max_hamming, target)
+    buckets = pigeonhole_buckets(
+        sig.select(F.col(id_col).alias("doc"), F.col(sig_col).alias("s")),
+        "s",
+        n_bits,
+        max_hamming,
+        level,
+    )
+    left = buckets.select(
+        F.col("doc").alias("a"), F.col("s").alias("sa"), "bi", "bv"
+    )
+    right = buckets.select(
+        F.col("doc").alias("b"), F.col("s").alias("sb"), "bi", "bv"
+    )
+    return (
+        left.join(right, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        # verify BEFORE deduplicating: bit_count is free in the join
+        # projection, and failed candidates then never enter the distinct's
+        # shuffle (the expensive step when buckets are duplication-skewed)
+        .select(
+            "a",
+            "b",
+            F.expr("bit_count(sa ^ sb)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a surviving pair can collide in several combinations
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -482,30 +529,10 @@ def simhash_hamming_pairs(
             word_hashes(F.col(text_col)).alias("_hl"),
         ).select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
     )
-    if level is None:
-        # the count also warms the persist exactly once before the self-join
-        level = pigeonhole_level(sig.count(), n_bits, max_hamming, target)
-
-    buckets = pigeonhole_buckets(sig, "s", n_bits, max_hamming, level)
-    left = buckets.select(
-        F.col("doc").alias("a"), F.col("s").alias("sa"), "bi", "bv"
-    )
-    right = buckets.select(
-        F.col("doc").alias("b"), F.col("s").alias("sb"), "bi", "bv"
-    )
-    return (
-        left.join(right, ["bi", "bv"])
-        .filter(F.col("a") < F.col("b"))
-        # verify BEFORE deduplicating: bit_count is free in the join
-        # projection, and failed candidates then never enter the distinct's
-        # shuffle (the expensive step when buckets are duplication-skewed)
-        .select(
-            "a",
-            "b",
-            F.expr("bit_count(sa ^ sb)").cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a surviving pair can collide in several combinations
+    # level=None: hamming_pairs_from_sigs counts the persisted table once —
+    # the count also warms the persist exactly once before the self-join
+    return hamming_pairs_from_sigs(
+        sig, "doc", "s", n_bits, max_hamming, level, target
     )
 
 

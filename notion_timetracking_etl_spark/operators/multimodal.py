@@ -538,9 +538,16 @@ def phash_cross_near_dups(
     side's observed count (both sides must block identically); a streaming
     caller that drains many batches against one persisted corpus computes
     the level once and passes it explicitly (streaming/visualgate.py)."""
-    from .dedup import pigeonhole_level
+    from .dedup import _scoped_persist, pigeonhole_level
 
     if level is None:
+        # persist BEFORE counting (ADVICE r10): the corpus side feeds the
+        # count, the bucket join and the pixel verify — without the guard a
+        # caller passing an unpersisted signature frame would run the Python
+        # decode seam once per consumer (same discipline as
+        # phash_near_dup_pairs; a no-op recache when the caller already
+        # persisted, since the filter reads from the parent's cached blocks)
+        sig_corpus = _scoped_persist(sig_corpus.select("media_id", "phash", "px"))
         level = pigeonhole_level(sig_corpus.count(), 64, max_hamming)
     left = _phash_block_buckets(
         sig_new.select("media_id", "phash", "px"), max_hamming, level

@@ -1523,7 +1523,13 @@ def qs_compact_partials(
     bottom-ks is the bottom-k of the union, and each surviving row carries
     its VALUE, so the compacted lake still answers quantile questions.
     NULL event_date partials (NULL-ts rows) keep their NULL grain — they
-    never fold into a week and never retire by the date predicate."""
+    never fold into a week and never retire by the date predicate.
+
+    The bottom-k window breaks ties on (h, value), not h alone (ADVICE
+    r10): two distinct events colliding on the 56-bit hash within one
+    (grain_date, g) carry different value columns, and an h-only sort
+    would pick a nondeterministic survivor that could diverge from the
+    oracle. The oracle's comp CTE sorts identically."""
     from pyspark.sql import Window
 
     from .sketches import QS_K
@@ -1532,7 +1538,9 @@ def qs_compact_partials(
         F.col("event_date") < F.lit(pivot).cast("date"),
         F.date_trunc("week", F.col("event_date")).cast("date"),
     ).otherwise(F.col("event_date"))
-    w = Window.partitionBy("grain_date", "g").orderBy(F.col("h").asc())
+    w = Window.partitionBy("grain_date", "g").orderBy(
+        F.col("h").asc(), F.col("value").asc()
+    )
     return (
         partials.withColumn("grain_date", grain)
         .withColumn("rn", F.row_number().over(w))
@@ -1582,7 +1590,7 @@ def _qs_compaction_oracle_sql() -> str:
                    ROW_NUMBER() OVER (
                      PARTITION BY CASE WHEN d < DATE '{LAKE_COMPACT_PIVOT}'
                                   THEN date_trunc('week', d) ELSE d END, g
-                     ORDER BY h) AS rn
+                     ORDER BY h, value) AS rn
             FROM part
           ) WHERE rn <= {QS_K}
         ),
