@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from ..operators.rank import ntile_from_rank, with_global_ranks
+from ..sinks.parquet import write_partitioned_lake
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -194,6 +195,255 @@ def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_file_bytes"),
         )
         .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction APPLY (r10 verdict task #5): lake_compaction_plan above PLANS the
+# bin packing; this pass EXECUTES it against a physical small-file lake and
+# proves the rewrite lost nothing — the row-lake twin of the sketch-lake
+# compaction trio (compacted == daily by hashed equality). The before-lake
+# models the real small-files problem: documents land as one parquet file per
+# (source, in_file) ingest batch; the apply rewrites them into one file per
+# (source, bin_id) at ~APPLY_TARGET_BYTES, and the registered query reads
+# BOTH physical lakes back, fingerprints their contents (count + bit_xor of
+# a per-row sha256 hash) and emits the file-count drop per source.
+# ---------------------------------------------------------------------------
+
+ROWS_PER_INFILE = 16  # docs per ingest file in the small-file before-lake
+APPLY_TARGET_BYTES = 16384  # compacted output bin target (test-scale)
+
+_COMPACT_APPLY_LAKES: set[str] = set()
+
+
+def _docs_with_infile(docs: DataFrame) -> DataFrame:
+    """documents + the deterministic ingest-file id: per-source doc_id rank
+    bucketed by ROWS_PER_INFILE. The per-source window is bounded by that
+    source's file count, same class as lake_compaction_plan's."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.withColumn(
+        "in_file",
+        ((F.row_number().over(w) - 1) / F.lit(ROWS_PER_INFILE))
+        .cast("bigint"),
+    )
+
+
+def compaction_bin_plan(files: DataFrame) -> DataFrame:
+    """(source, in_file, bin_id): first-fit packing of whole input files, in
+    in_file order, into output bins of ~APPLY_TARGET_BYTES — the same
+    running-byte-total arithmetic as lake_compaction_plan, at FILE
+    granularity (the unit the rewrite moves). ``files`` carries (source,
+    in_file, fb); metadata-scale input, exactly what OPTIMIZE planners
+    consume."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("in_file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        files.withColumn("running", F.sum("fb").over(w))
+        # exact integer `div`, never floor(double): the running total is
+        # BIGINT and must bucket identically to the oracle's `//`
+        .select(
+            "source",
+            "in_file",
+            F.expr(f"(running - fb) div {APPLY_TARGET_BYTES}")
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )
+
+
+def compacted_docs_lakes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(before_lake, after_lake) physical reads. First use per process
+    writes both: the small-file lake (one parquet file per (source,
+    in_file) — write_partitioned_lake's repartition gives exactly one file
+    per leaf directory), then the compacted rewrite (one file per (source,
+    bin_id) per the bin plan). Later uses read back; the registered query
+    never recomputes the rewrite."""
+    from .lake import _lake_path
+
+    before_path = _lake_path(sf_dir, "docs_small_files")
+    after_path = _lake_path(sf_dir, "docs_compacted")
+    docs = _docs_with_infile(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars", "source"
+        )
+    )
+    if before_path not in _COMPACT_APPLY_LAKES:
+        write_partitioned_lake(
+            docs, before_path, ["source", "in_file"], sort_cols=["doc_id"]
+        )
+        before = spark.read.schema(docs.schema).parquet(before_path)
+        files = before.groupBy("source", "in_file").agg(
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("fb")
+        )
+        plan = compaction_bin_plan(files)
+        # the plan is metadata-scale (one row per input FILE) -> broadcast;
+        # the rewrite reads the physical before-lake, never the source table
+        compacted = before.join(
+            F.broadcast(plan), ["source", "in_file"]
+        ).drop("in_file")
+        write_partitioned_lake(
+            compacted, after_path, ["source", "bin_id"], sort_cols=["doc_id"]
+        )
+        _COMPACT_APPLY_LAKES.add(before_path)
+    before = spark.read.schema(docs.schema).parquet(before_path)
+    after_schema = docs.drop("in_file").withColumn(
+        "bin_id", F.lit(0).cast("bigint")
+    ).schema
+    after = spark.read.schema(after_schema).parquet(after_path)
+    return before, after
+
+
+_ROW_HASH_SQL = (
+    "CAST(concat('0x', substr(sha256(concat("
+    "COALESCE(CAST(doc_id AS VARCHAR), chr(0)), ':',"
+    " COALESCE(text, chr(0)))), 1, 14)) AS BIGINT)"
+)
+
+
+def _row_hash_col() -> Column:
+    """56-bit sha256 row-content hash, the cross-engine fingerprint unit."""
+    return (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00")),
+                        F.lit(":"),
+                        F.coalesce(F.col("text"), F.lit("\x00")),
+                    ),
+                    256,
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def _compaction_apply_oracle_sql() -> str:
+    return f"""
+        WITH f AS (
+          SELECT source, doc_id,
+                 CAST(COALESCE(n_chars, 0) AS BIGINT) AS nb,
+                 {_ROW_HASH_SQL} AS rh,
+                 CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                       - 1) // {ROWS_PER_INFILE} AS BIGINT) AS in_file
+          FROM documents
+        ),
+        files AS (
+          SELECT source, in_file, CAST(SUM(nb) AS BIGINT) AS fb
+          FROM f GROUP BY source, in_file
+        ),
+        plan AS (
+          SELECT source, in_file,
+                 CAST((SUM(fb) OVER (PARTITION BY source ORDER BY in_file
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - fb)
+                      // {APPLY_TARGET_BYTES} AS BIGINT) AS bin_id
+          FROM files
+        ),
+        bfp AS (
+          SELECT coalesce(source, chr(0) || '<null>') AS gk, source,
+                 CAST(COUNT(DISTINCT in_file) AS BIGINT) AS n_files_before,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(nb) AS BIGINT) AS total_bytes,
+                 CAST(bit_xor(rh) AS BIGINT) AS xh
+          FROM f GROUP BY source
+        ),
+        afp AS (
+          SELECT coalesce(fx.source, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT p.bin_id) AS BIGINT) AS n_files_after,
+                 CAST(COUNT(*) AS BIGINT) AS a_docs,
+                 CAST(bit_xor(fx.rh) AS BIGINT) AS a_xh
+          FROM f fx JOIN plan p
+            ON p.in_file = fx.in_file
+           AND p.source IS NOT DISTINCT FROM fx.source
+          GROUP BY fx.source
+        )
+        SELECT bfp.source,
+               bfp.n_files_before,
+               afp.n_files_after,
+               bfp.n_docs,
+               bfp.total_bytes,
+               (bfp.n_docs = afp.a_docs
+                AND bfp.xh IS NOT DISTINCT FROM afp.a_xh)
+                 AS content_equal
+        FROM bfp JOIN afp USING (gk)
+        ORDER BY source
+    """
+
+
+@register(
+    "lake_compaction_apply",
+    "W-ext-scan,A3,S6-analog,V4-analog",
+    "Compaction APPLY — the execution pass lake_compaction_plan only "
+    "planned (r10 verdict task #5, the row-lake twin of the sketch-lake "
+    "compaction trio): documents land as a PHYSICAL small-file parquet "
+    f"lake (one file per (source, in_file) ingest batch of "
+    f"{ROWS_PER_INFILE} docs — the real small-files problem), the bin "
+    "plan packs whole input files in id order into output bins of "
+    f"~{APPLY_TARGET_BYTES} bytes (the same running-byte-total arithmetic "
+    "as the planner, at the file granularity the rewrite moves), and the "
+    "rewrite writes one file per (source, bin_id). The query reads BOTH "
+    "physical lakes back and emits, per source, the file-count drop and a "
+    "content_equal flag comparing hashed fingerprints (row count + "
+    "bit_xor of a 56-bit sha256 row hash) of the before and after reads — "
+    "a row lost or duplicated by the rewrite flips the flag red and "
+    "breaks the oracle hash. NULL sources ride the hive default partition "
+    "and the null-coalesced group key like every lake audit; the oracle "
+    "replays ingest-file assignment, the plan and both fingerprints from "
+    "the raw documents view. The physical file-count drop (one file per "
+    "leaf directory, compacted read lists fewer files) is pinned by "
+    "tests/test_round11.py.",
+    oracle=_compaction_apply_oracle_sql(),
+)
+def lake_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gk = F.coalesce(F.col("source"), F.lit("\x00<null>")).alias("gk")
+    before, after = compacted_docs_lakes(spark, sf_dir)
+    bfp = (
+        before.withColumn("rh", _row_hash_col())
+        .groupBy("source")
+        .agg(
+            F.countDistinct("in_file").cast("bigint").alias("n_files_before"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("total_bytes"),
+            F.expr("bit_xor(rh)").cast("bigint").alias("xh"),
+        )
+        .select(gk, "source", "n_files_before", "n_docs", "total_bytes", "xh")
+    )
+    afp = (
+        after.withColumn("rh", _row_hash_col())
+        .groupBy("source")
+        .agg(
+            F.countDistinct("bin_id").cast("bigint").alias("n_files_after"),
+            F.count(F.lit(1)).cast("bigint").alias("a_docs"),
+            F.expr("bit_xor(rh)").cast("bigint").alias("a_xh"),
+        )
+        .select(gk, "n_files_after", "a_docs", "a_xh")
+    )
+    return (
+        bfp.join(afp, "gk")
+        .select(
+            "source",
+            "n_files_before",
+            "n_files_after",
+            "n_docs",
+            "total_bytes",
+            (
+                (F.col("n_docs") == F.col("a_docs"))
+                & F.col("xh").eqNullSafe(F.col("a_xh"))
+            ).alias("content_equal"),
+        )
+        .orderBy("source")
     )
 
 
