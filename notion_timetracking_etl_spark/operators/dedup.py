@@ -446,6 +446,131 @@ def pigeonhole_buckets(
     )
 
 
+def pigeonhole_expected_chance(
+    n: int, n_bits: int, max_hamming: int, level: int
+) -> float:
+    """Worst-case EXPECTED chance candidates per signature at ``level`` under
+    the uniform-hash model — the quantity :func:`pigeonhole_level` budgets
+    (``n * C(m, c) / 2^w_min``). Exposed so tests can pin where a signature
+    width's level ladder saturates and where a wider signature escapes."""
+    from math import comb
+
+    m = max_hamming + level
+    widths, _ = _pigeonhole_widths(n_bits, m)
+    w_min = sum(sorted(widths)[:level])
+    return n * comb(m, level) / (1 << w_min)
+
+
+def pigeonhole_buckets_multi(
+    df: DataFrame,
+    word_cols: list[str],
+    n_bits: int,
+    max_hamming: int,
+    level: int,
+) -> DataFrame:
+    """Multi-WORD generalization of :func:`pigeonhole_buckets` — the
+    level-cap escape the module comment promises (r10 verdict task #2): a
+    signature wider than 64 bits ships as ``len(word_cols)`` BIGINT words
+    (word 0 = bits 0..63 LSB-first, word 1 = bits 64..127, ...), and every
+    level's block width then scales with the FULL ``n_bits``: at radius 8 a
+    256-bit signature blocks ~28-bit keys at level 1 where 64 bits block
+    ~7 — the chance-candidate budget holds to ~10^11 signatures before the
+    ladder even steps.
+
+    One row per (input row, c-block combination): the input columns plus
+    ``bi`` (combination index) and ``bv`` (the combination's block values
+    rendered as one join-key STRING — c block values can exceed 63 packed
+    bits at deep levels, so the key is a ','-joined decimal string instead
+    of a packed long). Blocks may straddle word boundaries; extraction is
+    JVM-side shift/mask arithmetic stitching the low word's high bits to
+    the high word's low bits, and the per-word arithmetic shift is
+    mask-corrected exactly like the single-word path."""
+    from itertools import combinations
+
+    n_words = len(word_cols)
+    if n_bits != 64 * n_words:
+        raise ValueError(f"n_bits={n_bits} != 64 * {n_words} words")
+    m = max_hamming + level
+    widths, shifts = _pigeonhole_widths(n_bits, m)
+
+    def word(i: int) -> Column:
+        return F.col(word_cols[i])
+
+    def block(i: int) -> Column:
+        lo_w, lo_off = divmod(shifts[i], 64)
+        width = widths[i]
+        if lo_off + width <= 64:
+            return F.shiftright(word(lo_w), lo_off).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+        lo_bits = 64 - lo_off
+        hi_bits = width - lo_bits
+        lo = F.shiftright(word(lo_w), lo_off).bitwiseAND(
+            F.lit((1 << lo_bits) - 1)
+        )
+        hi = word(lo_w + 1).bitwiseAND(F.lit((1 << hi_bits) - 1))
+        return F.shiftleft(hi, lo_bits).bitwiseOR(lo)
+
+    structs = []
+    for j, combo in enumerate(combinations(range(m), level)):
+        bv = F.concat_ws(
+            ",", *[block(i).cast("string") for i in combo]
+        )
+        structs.append(F.struct(F.lit(j).alias("bi"), bv.alias("bv")))
+    cols = df.columns
+    return df.select("*", F.explode(F.array(*structs)).alias("_b")).select(
+        *cols, F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")
+    )
+
+
+def hamming_pairs_from_word_sigs(
+    sig: DataFrame,
+    id_col: str,
+    word_cols: list[str],
+    max_hamming: int,
+    level: int | None = None,
+    target: int = PIGEONHOLE_TARGET,
+) -> DataFrame:
+    """(a, b, hamming) pairs within ``max_hamming`` over a MULTI-WORD
+    signature table — the wide twin of :func:`hamming_pairs_from_sigs`:
+    size-adaptive level over the full bit width, multi-word pigeonhole
+    candidate join, summed ``bit_count(xor)`` verify per word in the join
+    projection BEFORE the distinct. Caller persists ``sig`` when its
+    lineage is expensive."""
+    n_bits = 64 * len(word_cols)
+    if level is None:
+        level = pigeonhole_level(sig.count(), n_bits, max_hamming, target)
+    buckets = pigeonhole_buckets_multi(
+        sig.select(F.col(id_col).alias("doc"), *word_cols),
+        word_cols,
+        n_bits,
+        max_hamming,
+        level,
+    )
+    left = buckets.select(
+        F.col("doc").alias("a"),
+        *[F.col(w).alias(f"la{i}") for i, w in enumerate(word_cols)],
+        "bi",
+        "bv",
+    )
+    right = buckets.select(
+        F.col("doc").alias("b"),
+        *[F.col(w).alias(f"rb{i}") for i, w in enumerate(word_cols)],
+        "bi",
+        "bv",
+    )
+    ham = " + ".join(
+        f"bit_count(la{i} ^ rb{i})" for i in range(len(word_cols))
+    )
+    return (
+        left.join(right, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr(ham).cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def hamming_pairs_from_sigs(
     sig: DataFrame,
     id_col: str,

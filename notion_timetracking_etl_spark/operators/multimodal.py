@@ -402,6 +402,111 @@ def phash_media(
     return df.mapInPandas(run, PHASH_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# WIDE (256-bit) perceptual hash — the pigeonhole level-cap escape
+# (r10 verdict task #2): same dHash construction over a 16x17 grid, the 256
+# gradient bits shipped as four BIGINT words through
+# operators/dedup.py::pigeonhole_buckets_multi. At radius 8 a 256-bit
+# signature blocks ~28-bit keys at level 1 where 64 bits block ~7, so the
+# chance-candidate budget holds to ~10^11 signatures before the level
+# ladder even steps (where the 64-bit ladder saturates at ~1.6M and blows
+# its budget past ~8.7M — pinned in tests/test_round11.py).
+# ---------------------------------------------------------------------------
+
+PHASH_WIDE_GRID_W = 17  # spatial blocks per channel row (dHash adjacency)
+PHASH_WIDE_GRID_CH = 16  # channel rows -> 16 x 16 = 256 gradient bits
+PHASH_WIDE_WORDS = 4  # 256 bits as 4 BIGINT words (LSB-first)
+PHASH_WIDE_MIN_CHARS = PHASH_WIDE_GRID_CH * PHASH_WIDE_GRID_W  # 272
+
+PHASH_WIDE_SCHEMA = StructType(
+    [StructField("media_id", LongType(), False)]
+    + [StructField(f"w{j}", LongType(), True) for j in range(PHASH_WIDE_WORDS)]
+    + [StructField("px", ArrayType(LongType()), True)]
+)
+
+
+def _stub_raster_wide(payload: bytes, media_type: str) -> list[int]:
+    """The 16-channel x 17-block twin of :func:`_stub_raster` (same scaled
+    codepoint histogram, same SQL replayability): cell(r, c) =
+    |{i : ord(s[i]) % 16 == r and i*17 // len(s) == c}| * 2^20 // len(s).
+    A real decoder drops in exactly like the narrow grid's
+    (PIL: grayscale -> resize(17, 16) -> row-major pixels)."""
+    s = (payload or b"").decode("utf-8")
+    n = len(s)
+    if n < PHASH_WIDE_MIN_CHARS:
+        raise ValueError(
+            f"wide stub raster needs >= {PHASH_WIDE_MIN_CHARS} chars, got {n}"
+        )
+    ch, wd = PHASH_WIDE_GRID_CH, PHASH_WIDE_GRID_W
+    cnt = [0] * (ch * wd)
+    for i, c in enumerate(s):
+        cnt[(ord(c) % ch) * wd + i * wd // n] += 1
+    return [v * PHASH_SCALE // n for v in cnt]
+
+
+def phash_media_wide(
+    df: DataFrame,
+    raster_fn: Callable[[bytes, str], list[int]] = _stub_raster_wide,
+) -> DataFrame:
+    """(media_id, w0..w3, px): 256-bit dHash as four BIGINT words + the
+    scaled 272-cell pixel grid per visual media row, one Arrow-batched
+    ``mapInPandas`` stage (decode + hash pipeline through one Python pass,
+    like :func:`phash_media`). Bit k = r*16 + c is set iff px[r][c] <
+    px[r][c+1]; bit 63 of every word rides that word's BIGINT sign
+    (two's-complement), portable to any engine's signed int64."""
+    df = df.filter(F.col("media_type").isin("image", "video"))
+    ch, wd = PHASH_WIDE_GRID_CH, PHASH_WIDE_GRID_W
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            pxs: list[list[int]] = []
+            words: list[list[int]] = [[] for _ in range(PHASH_WIDE_WORDS)]
+            for p, t in zip(pdf["payload"], pdf["media_type"]):
+                px = raster_fn(p, t)
+                ws = [0] * PHASH_WIDE_WORDS
+                for r in range(ch):
+                    for c in range(wd - 1):
+                        if px[r * wd + c] < px[r * wd + c + 1]:
+                            k = r * (wd - 1) + c
+                            ws[k // 64] |= 1 << (k % 64)
+                for j in range(PHASH_WIDE_WORDS):
+                    if ws[j] >= 1 << 63:  # two's-complement signed int64
+                        ws[j] -= 1 << 64
+                    words[j].append(ws[j])
+                pxs.append(px)
+            out = {"media_id": pdf["media_id"]}
+            for j in range(PHASH_WIDE_WORDS):
+                out[f"w{j}"] = pd.array(words[j], dtype="int64")
+            out["px"] = pxs
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, PHASH_WIDE_SCHEMA)
+
+
+def phash_wide_near_dup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 8,
+    px_l1_max: int = 262144,
+    level: int | None = None,
+) -> DataFrame:
+    """Near-dup visual pairs within ``max_hamming`` bits of the 256-bit
+    perceptual hash, exact pixel-L1 verified — the wide-signature twin of
+    :func:`phash_near_dup_pairs` through the multi-word pigeonhole
+    machinery. Same two-stage verify discipline: summed per-word
+    ``bit_count(xor)`` in the join projection, then the exact 272-cell L1
+    on survivors only."""
+    from .dedup import _scoped_persist, hamming_pairs_from_word_sigs
+
+    word_cols = [f"w{j}" for j in range(PHASH_WIDE_WORDS)]
+    sig = _scoped_persist(sig.select("media_id", *word_cols, "px"))
+    cands = hamming_pairs_from_word_sigs(
+        sig, "media_id", word_cols, max_hamming, level
+    )
+    return _pixel_l1_verify(cands, sig, sig, px_l1_max)
+
+
 def phash_near_dup_pairs(
     sig: DataFrame,
     max_hamming: int = 8,

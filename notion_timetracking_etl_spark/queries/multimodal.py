@@ -600,3 +600,155 @@ def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# WIDE (256-bit) perceptual hash — the pigeonhole level-cap escape (r10
+# verdict task #2). DuckDB twin of operators.multimodal._stub_raster_wide +
+# the 4-word dHash fold: wvis (visual media >= PHASH_WIDE_MIN_CHARS chars),
+# wgrid (16-channel x 17-block scaled codepoint histogram), wph (the four
+# signed-64 hash words), wpxv (the row-major 272-cell pixel list).
+# ---------------------------------------------------------------------------
+
+# Radius 24 of 256 bits (~9.4%, vs the 64-bit family's 8/64 = 12.5%): the
+# 16x grid is finer-grained, so the same visual edit flips proportionally
+# more gradient bits — 24 keeps the corpus's true near-dups inside the
+# radius at every tested scale factor (minimum observed wide hamming: 13 at
+# sf0.001, 18 at sf0.01, 0 at sf0.1). The escape math holds at this radius:
+# the 256-bit ladder covers ~167k/3.3M/188M/13.7B signatures at levels
+# 1-4 where the 64-bit radius-8 ladder saturates at ~8.7M (test-pinned).
+MM_WIDE_MAX_HAMMING = 24
+MM_WIDE_PX_L1_MAX = 262144
+
+from ..operators.multimodal import (  # noqa: E402
+    PHASH_WIDE_GRID_CH,
+    PHASH_WIDE_GRID_W,
+    PHASH_WIDE_MIN_CHARS,
+    PHASH_WIDE_WORDS,
+    phash_media_wide,
+    phash_wide_near_dup_pairs,
+)
+
+_WIDE_CELLS = PHASH_WIDE_GRID_CH * PHASH_WIDE_GRID_W
+
+
+def _wide_word_sum_sql(j: int) -> str:
+    """SUM term building hash word ``j`` (bits 64j..64j+63 of the 256-bit
+    dHash) with the word's bit 63 riding the BIGINT sign."""
+    k = f"(g.r * {PHASH_WIDE_GRID_W - 1} + g.c)"
+    return (
+        f"CAST(SUM(CASE WHEN g.px < g2.px AND {k} // 64 = {j} THEN "
+        f"CASE WHEN {k} % 64 = 63 "
+        f"THEN CAST(-9223372036854775808 AS BIGINT) "
+        f"ELSE (CAST(1 AS BIGINT) << ({k} % 64)) END "
+        f"ELSE 0 END) AS BIGINT) AS w{j}"
+    )
+
+
+_PHASH_WIDE_CTES = f"""
+        wvis AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+          FROM documents
+          WHERE text IS NOT NULL
+            AND length(text) >= {PHASH_WIDE_MIN_CHARS}
+            AND doc_id % 3 <> 1  -- audio rows have no raster
+        ),
+        wchars AS (
+          SELECT doc_id, n,
+                 generate_subscripts(string_split(text, ''), 1) AS i,
+                 unnest(string_split(text, '')) AS ch
+          FROM wvis
+        ),
+        wcellcnt AS (
+          SELECT doc_id, n, unicode(ch) % {PHASH_WIDE_GRID_CH} AS r,
+                 ((i - 1) * {PHASH_WIDE_GRID_W}) // n AS c,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM wchars GROUP BY 1, 2, 3, 4
+        ),
+        wspine AS (
+          SELECT v.doc_id, v.n, r.r, c.c
+          FROM wvis v,
+               (SELECT unnest(generate_series(0, {PHASH_WIDE_GRID_CH - 1}))
+                  AS r) r,
+               (SELECT unnest(generate_series(0, {PHASH_WIDE_GRID_W - 1}))
+                  AS c) c
+        ),
+        wgrid AS (
+          SELECT s.doc_id, s.r, s.c,
+                 (COALESCE(k.cnt, 0) * {PHASH_SCALE}) // s.n AS px
+          FROM wspine s LEFT JOIN wcellcnt k
+            ON k.doc_id = s.doc_id AND k.r = s.r AND k.c = s.c
+        ),
+        wph AS (
+          SELECT g.doc_id,
+                 {", ".join(_wide_word_sum_sql(j) for j in range(PHASH_WIDE_WORDS))}
+          FROM wgrid g JOIN wgrid g2
+            ON g2.doc_id = g.doc_id AND g2.r = g.r AND g2.c = g.c + 1
+          GROUP BY 1
+        ),
+        wpxv AS (
+          SELECT doc_id, list(px ORDER BY r, c) AS pxl FROM wgrid GROUP BY 1
+        )"""
+
+# CAST each term: DuckDB bit_count returns TINYINT and four 64-bit counts
+# can sum past 127
+_WIDE_HAM_SQL = " + ".join(
+    f"CAST(bit_count(xor(a.w{j}, b.w{j})) AS BIGINT)"
+    for j in range(PHASH_WIDE_WORDS)
+)
+_WIDE_L1_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_WIDE_CELLS}), "
+    "k -> abs(pa.pxl[k] - pb.pxl[k])))"
+)
+
+
+@register(
+    "multimodal_near_dup_wide",
+    "A6-ext-phash,J8-analog",
+    "256-bit perceptual-hash near-dup over visual media — the pigeonhole "
+    "LEVEL-CAP ESCAPE (r10 verdict task #2, promised by the "
+    "operators/dedup.py module comment): the same dHash construction over "
+    "a 16x17 grid yields 256 gradient bits shipped as FOUR BIGINT words "
+    "through the multi-word pigeonhole machinery "
+    "(pigeonhole_buckets_multi — blocks may straddle word boundaries; the "
+    "join key is the c-combination's block values). At the same radius "
+    f"({MM_WIDE_MAX_HAMMING}) every level's block width scales with the "
+    "full 256 bits: level 1 blocks ~28-bit keys where the 64-bit family "
+    "blocks ~7, so the chance-candidate budget holds to ~10^11 signatures "
+    "where the 64-bit ladder saturates at ~1.6M and blows its budget past "
+    "~8.7M (budget math + level-invariance pinned in "
+    "tests/test_round11.py). Exact two-stage verify: summed per-word "
+    "bit_count(xor) in the join projection, then the exact 272-cell pixel "
+    f"L1 (<= {MM_WIDE_PX_L1_MAX}) on survivors. The oracle replays the "
+    "wide raster, all four signed-64 hash words and both verifies against "
+    "the naive all-pairs ground truth — hash equality proves the "
+    "multi-word blocking loses no pair at whatever level the corpus "
+    "picks.",
+    oracle=f"""
+        WITH {_PHASH_WIDE_CTES}
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST({_WIDE_HAM_SQL} AS BIGINT) AS hamming,
+               CAST({_WIDE_L1_SQL} AS BIGINT) AS px_l1
+        FROM wph a
+        JOIN wph b ON a.doc_id < b.doc_id
+        JOIN wpxv pa ON pa.doc_id = a.doc_id
+        JOIN wpxv pb ON pb.doc_id = b.doc_id
+        WHERE {_WIDE_HAM_SQL} <= {MM_WIDE_MAX_HAMMING}
+          AND {_WIDE_L1_SQL} <= {MM_WIDE_PX_L1_MAX}
+        ORDER BY a, b
+    """,
+)
+def multimodal_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") >= PHASH_WIDE_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    sig = phash_media_wide(media)  # audio filtered JVM-side in the operator
+    pairs = phash_wide_near_dup_pairs(
+        sig,
+        max_hamming=MM_WIDE_MAX_HAMMING,
+        px_l1_max=MM_WIDE_PX_L1_MAX,
+    )
+    # O(near-dup pairs) output on a dup-heavy corpus -> distributed orderBy
+    return pairs.orderBy("a", "b")

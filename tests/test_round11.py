@@ -208,3 +208,150 @@ def test_embedding_summary_degenerate_groups(spark):
     assert sok_nodes == {1}
     release_scoped_caches()
     _ = connected_components  # imported to assert availability for the path
+
+
+# ---------------------------------------------------------------------------
+# Wide-signature pigeonhole: the level-cap escape (r10 verdict task #2)
+# ---------------------------------------------------------------------------
+
+
+def test_pigeonhole_budget_64bit_saturates_wide_escapes():
+    """The fixture the r10 verdict asked for, in budget arithmetic: past the
+    64-bit ladder's reach, level 4 at 64 bits provably blows the
+    PIGEONHOLE_TARGET budget while the 256-bit signature holds it — at
+    level 1 for the same radius, and through level 4 for the wide query's
+    radius 24 (covering ~13.7e9 signatures)."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        PIGEONHOLE_MAX_LEVEL,
+        PIGEONHOLE_TARGET,
+        pigeonhole_expected_chance,
+        pigeonhole_level,
+    )
+
+    n = 20_000_000  # "billions of images" territory's on-ramp
+    # 64-bit radius 8: the ladder caps at level 4 AND the budget is blown
+    assert pigeonhole_level(n, 64, 8) == PIGEONHOLE_MAX_LEVEL
+    assert pigeonhole_expected_chance(n, 64, 8, 4) > PIGEONHOLE_TARGET
+    # 256-bit radius 8: level 1 suffices with orders of magnitude to spare
+    assert pigeonhole_level(n, 256, 8) == 1
+    assert pigeonhole_expected_chance(n, 256, 8, 1) < PIGEONHOLE_TARGET
+    # 256-bit radius 24 (the registered wide query): within budget at the
+    # adaptive level for 20M, and level 4 covers into the billions
+    lvl = pigeonhole_level(n, 256, 24)
+    assert lvl < PIGEONHOLE_MAX_LEVEL
+    assert pigeonhole_expected_chance(n, 256, 24, lvl) <= PIGEONHOLE_TARGET
+    assert (
+        pigeonhole_expected_chance(10_000_000_000, 256, 24, 4)
+        <= PIGEONHOLE_TARGET
+    )
+
+
+def test_multiword_pigeonhole_level_invariance(spark):
+    """Multi-word blocking finds EXACTLY the brute-force pair set at every
+    level — including blocks that straddle 64-bit word boundaries."""
+    import random
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        hamming_pairs_from_word_sigs,
+        release_scoped_caches,
+    )
+
+    rng = random.Random(11)
+
+    def to_words(bits: int) -> tuple[int, ...]:
+        ws = []
+        for j in range(4):
+            w = (bits >> (64 * j)) & ((1 << 64) - 1)
+            ws.append(w - (1 << 64) if w >= 1 << 63 else w)
+        return tuple(ws)
+
+    base = rng.getrandbits(256)
+    rows = []
+    # a family of signatures within small Hamming balls of two centers,
+    # plus uniform noise rows
+    for i in range(12):
+        v = base
+        for _ in range(rng.randrange(0, 13)):
+            v ^= 1 << rng.randrange(256)
+        rows.append((i, *to_words(v)))
+    base2 = rng.getrandbits(256)
+    for i in range(12, 20):
+        v = base2
+        for _ in range(rng.randrange(0, 9)):
+            v ^= 1 << rng.randrange(256)
+        rows.append((i, *to_words(v)))
+    for i in range(20, 40):
+        rows.append((i, *to_words(rng.getrandbits(256))))
+    sig = spark.createDataFrame(
+        rows, "id long, w0 long, w1 long, w2 long, w3 long"
+    )
+    words = {r[0]: [r[1], r[2], r[3], r[4]] for r in rows}
+
+    def ham(a: int, b: int) -> int:
+        return sum(
+            bin((wa ^ wb) & ((1 << 64) - 1)).count("1")
+            for wa, wb in zip(words[a], words[b])
+        )
+
+    # radius 8: levels 1-3 (m = 9/10/11 — every level splits blocks across
+    # word boundaries); radius 24 (the registered query's): levels 1-2.
+    # Deeper levels at wide radii mean C(m, c) in the thousands — a codegen
+    # size the adaptive ladder never reaches before the budget math stops
+    # it (level 1 already covers ~167k signatures at radius 24).
+    for radius, levels in ((8, (1, 2, 3)), (24, (1, 2))):
+        brute = sorted(
+            (a, b, ham(a, b))
+            for a in words
+            for b in words
+            if a < b and ham(a, b) <= radius
+        )
+        assert brute, "fixture must contain in-radius pairs"
+        for level in levels:
+            got = sorted(
+                (r["a"], r["b"], r["hamming"])
+                for r in hamming_pairs_from_word_sigs(
+                    sig, "id", ["w0", "w1", "w2", "w3"], radius, level=level
+                ).collect()
+            )
+            release_scoped_caches()
+            assert got == brute, (radius, level)
+
+
+def test_wide_phash_words_match_oracle_convention(spark, sf_dir):
+    """The four Spark-side hash words equal the oracle's word fold for the
+    same documents (signed-64 two's-complement per word) — the seam the
+    wide query's hash parity rides on, pinned directly."""
+    import duckdb
+
+    from notion_timetracking_etl_spark.operators.multimodal import (
+        PHASH_WIDE_MIN_CHARS,
+        attach_media_columns,
+        phash_media_wide,
+    )
+    from notion_timetracking_etl_spark.queries.multimodal import (
+        _PHASH_WIDE_CTES,
+    )
+    from notion_timetracking_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") >= PHASH_WIDE_MIN_CHARS)
+    )
+    sig = phash_media_wide(attach_media_columns(docs, "doc_id", "text"))
+    got = {
+        r["media_id"]: (r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in sig.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"WITH {_PHASH_WIDE_CTES} SELECT doc_id, w0, w1, w2, w3 FROM wph"
+        ).fetchall()
+    }
+    assert got == want
+    assert got, "fixture corpus must contain wide-raster-eligible media"
