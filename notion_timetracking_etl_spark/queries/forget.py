@@ -456,3 +456,865 @@ def deletion_propagation_sketch_lake(
         ),
         "event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten for the FROZEN-MODEL surfaces (r10 verdict task #1 —
+# the completion of the r10 deletion story): a deleted entity's traces must
+# vanish from the PERSISTED model artifacts too, not just the row/pair/sketch
+# lakes. Three surfaces, three queries:
+#   - the persisted ANN quantizer (operators/model_store.py parquet) — hot-
+#     cell partial refit via the ann_index_refresh machinery, never a full
+#     retrain (this file);
+#   - the streaming visual gate's persisted signature lake + the multimodal
+#     pair/cluster state (deletion_propagation_multimodal);
+#   - the streaming semantic gate's persisted routing table
+#     (deletion_propagation_semgate_state).
+# ---------------------------------------------------------------------------
+
+DELETED_VEC_PRED = "vec_id % 100 = 7"
+
+_FORGET_MODELS: set[str] = set()
+
+
+def _forget_model_paths(sf_dir: str) -> tuple[str, str]:
+    from .lake import _lake_path
+
+    return (
+        _lake_path(sf_dir, "ann_model_stale"),
+        _lake_path(sf_dir, "ann_model_forget"),
+    )
+
+
+def ann_model_forget_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary of a GDPR sweep over the PERSISTED ANN quantizer.
+
+    Pipeline (every stage deterministic and oracle-replayable):
+
+    1. FROZEN model: the session quantizer (trained on the full corpus —
+       the state holding the deleted vectors' influence) is persisted to
+       parquet via model_store and loaded back; all vectors re-encode
+       against the loaded model (model_store's serve path).
+    2. Tombstones: ``DELETED_VEC_PRED`` vectors leave the assignment
+       table; TOUCHED cells = cells that held at least one of them.
+    3. Partial refit (the ann_index_refresh m-step, aimed at tombstones
+       instead of drift): touched cells re-center to the fixed-point mean
+       of their SURVIVING members — so no persisted centroid remains a
+       function of a deleted vector; a cell whose members ALL died is
+       DROPPED from the model (the Lloyd's carry-old-centroid fallback
+       would re-persist deleted-data influence). Untouched cells stay
+       byte-identical — frozen, never recomputed.
+    4. Re-route: only touched-cell survivors re-assign against the
+       refreshed centroid set — O(touched mass), never a full re-encode.
+    5. The refreshed model is PERSISTED and read back; the output row's
+       evidence comes from the physical artifacts (a broken writer flips
+       the flags), with the oracle replaying training, sweep, refit,
+       re-route and both model states from the raw embeddings view.
+    """
+    from .kmeans import fitted_model
+    from .similarity import load_embeddings
+
+    stale_path, fresh_path = _forget_model_paths(sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    if stale_path not in _FORGET_MODELS:
+        from ..operators.model_store import save_kmeans_model
+
+        _asg_tr, cent_tr = fitted_model(spark, sf_dir)
+        save_kmeans_model(cent_tr, stale_path)
+        _FORGET_MODELS.add(stale_path)
+    write_fresh = fresh_path not in _FORGET_MODELS
+    _FORGET_MODELS.add(fresh_path)
+    return ann_model_sweep_frames(
+        spark, emb, stale_path, fresh_path, DELETED_VEC_PRED, write_fresh
+    )
+
+
+def ann_model_sweep_frames(
+    spark: SparkSession,
+    emb: DataFrame,
+    stale_path: str,
+    fresh_path: str,
+    dead_pred: str,
+    write_fresh: bool = True,
+) -> DataFrame:
+    """The sweep itself, parameterized over (corpus, persisted stale model,
+    tombstone predicate) so tests can drive it over synthetic corpora —
+    including the emptied-cell fixture (every member of a cell deleted)."""
+    from ..operators.dedup import _scoped_persist
+    from ..operators.kmeans import _as_double_vec, _assign, _update
+    from ..operators.model_store import load_kmeans_model, save_kmeans_model
+
+    dead = F.broadcast(emb.filter(F.expr(dead_pred)).select("vec_id"))
+    asg_loaded, cent_stale = load_kmeans_model(spark, emb, stale_path)
+    # consumed by touched-cell detection, the survivor filter, the refit
+    # and the re-route anti-join — persist once (O(n) two-column rows)
+    asg_all = _scoped_persist(asg_loaded.select("vec_id", "cid"))
+
+    touched = _scoped_persist(
+        asg_all.join(dead, "vec_id").select("cid").distinct()
+    )
+    asg_alive = asg_all.join(dead, "vec_id", "left_anti")
+    refit_members = _scoped_persist(asg_alive.join(F.broadcast(touched), "cid"))
+
+    vec_all = _as_double_vec(emb, "vec_id", "embedding")
+    cent_refit = _update(vec_all, refit_members, cent_stale)
+    # drop cells whose every member died: the carry-old fallback would
+    # re-persist a centroid trained on deleted data
+    emptied = touched.join(
+        refit_members.select("cid").distinct(), "cid", "left_anti"
+    )
+    cent_fresh = cent_refit.join(F.broadcast(emptied), "cid", "left_anti")
+
+    if write_fresh:
+        save_kmeans_model(cent_fresh, fresh_path)
+    fresh_stored = spark.read.parquet(fresh_path).select("cid", "cvec")
+    stale_stored = spark.read.parquet(stale_path).select("cid", "cvec")
+
+    re_routed = _assign(
+        vec_all.join(refit_members.select("vec_id"), "vec_id"), fresh_stored
+    ).select("vec_id", "cid")
+    asg_fresh = asg_alive.join(
+        F.broadcast(touched), "cid", "left_anti"
+    ).unionByName(re_routed)
+
+    n_tomb = _count1(dead, "n_tombstones")
+    n_cells = _count1(stale_stored, "n_cells_total")
+    n_touch = _count1(touched, "n_touched_cells")
+    n_empty = _count1(emptied, "n_cells_emptied")
+    n_refit = _count1(refit_members, "n_refit_vectors")
+    n_rerouted = _count1(
+        re_routed.join(
+            asg_all.select("vec_id", F.col("cid").alias("old_cid")), "vec_id"
+        ).filter(F.col("cid") != F.col("old_cid")),
+        "n_rerouted",
+    )
+    n_tomb_after = _count1(
+        asg_fresh.join(dead, "vec_id"), "n_tombstones_in_index_after"
+    )
+    # untouched centroids must round-trip the two PERSISTED models
+    # byte-identically (exact double-array equality)
+    frozen = (
+        stale_stored.join(F.broadcast(touched), "cid", "left_anti")
+        .join(fresh_stored.withColumnRenamed("cvec", "fvec"), "cid", "left")
+        .agg(
+            F.coalesce(
+                F.min((F.col("cvec") == F.col("fvec")).cast("boolean")),
+                F.lit(True),
+            ).alias("frozen_cells_unchanged")
+        )
+    )
+    # fingerprint of the REFITTED persisted centroids: proves the physical
+    # artifact equals the oracle's survivor-mean replay
+    refit_fp = (
+        fresh_stored.join(F.broadcast(touched), "cid")
+        .select(F.explode("cvec").alias("val"))
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("val") * F.lit(1000000.0))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("refit_centroid_micro_sum")
+        )
+    )
+    out = (
+        n_tomb.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(n_touch))
+        .crossJoin(F.broadcast(n_empty))
+        .crossJoin(F.broadcast(n_refit))
+        .crossJoin(F.broadcast(n_rerouted))
+        .crossJoin(F.broadcast(n_tomb_after))
+        .crossJoin(F.broadcast(frozen))
+        .crossJoin(F.broadcast(refit_fp))
+    )
+    return out
+
+
+def _ann_model_forget_oracle_sql() -> str:
+    from .kmeans import ITERS, K, kmeans_ctes
+
+    sq = (
+        "SUM(CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5)"
+        " AS DECIMAL(38,0)))"
+    )
+    ctes, a_last, cd_last = kmeans_ctes(K, ITERS)
+    ctes = ctes + [
+        f"dead AS (SELECT vec_id FROM ve WHERE {DELETED_VEC_PRED})",
+        f"touched AS (SELECT DISTINCT cid FROM {a_last}"
+        f" WHERE vec_id IN (SELECT vec_id FROM dead))",
+        f"aal AS (SELECT vec_id, cid FROM {a_last}"
+        f" WHERE vec_id NOT IN (SELECT vec_id FROM dead))",
+        "rm AS (SELECT vec_id, cid FROM aal"
+        " WHERE cid IN (SELECT cid FROM touched))",
+        "emptied AS (SELECT cid FROM touched"
+        " WHERE cid NOT IN (SELECT DISTINCT cid FROM rm))",
+        # partial m-step over touched-cell SURVIVORS only
+        "mh AS (SELECT a.cid, v.pos,"
+        " CAST(SUM(CAST(floor(v.val * 1e12 + 0.5) AS DECIMAL(38,0)))"
+        " AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS val"
+        " FROM vdims v JOIN rm a USING (vec_id) GROUP BY 1, 2)",
+        f"cdf AS (SELECT cd.cid, cd.pos, COALESCE(m.val, cd.val) AS val"
+        f" FROM {cd_last} cd LEFT JOIN mh m"
+        f" ON m.cid = cd.cid AND m.pos = cd.pos"
+        f" WHERE cd.cid NOT IN (SELECT cid FROM emptied))",
+        # re-route ONLY touched-cell survivors against the refreshed model
+        f"dref AS (SELECT v.vec_id, c.cid, {sq} AS dist"
+        f" FROM vdims v JOIN cdf c USING (pos)"
+        f" WHERE v.vec_id IN (SELECT vec_id FROM rm) GROUP BY 1, 2)",
+        "aref AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+        " FROM dref) WHERE rn = 1)",
+        "afresh AS (SELECT vec_id, cid FROM aal"
+        " WHERE cid NOT IN (SELECT cid FROM touched)"
+        " UNION ALL SELECT vec_id, cid FROM aref)",
+        "rr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aref r"
+        " JOIN aal o USING (vec_id) WHERE r.cid <> o.cid)",
+        # frozen cells: stale vs refreshed centroid values on untouched cids
+        f"froz AS (SELECT COALESCE(MIN(CAST(cd.val = f.val AS BOOLEAN)),"
+        f" TRUE) AS ok FROM {cd_last} cd JOIN cdf f"
+        f" ON f.cid = cd.cid AND f.pos = cd.pos"
+        f" WHERE cd.cid NOT IN (SELECT cid FROM touched))",
+        "rfp AS (SELECT CAST(COALESCE(SUM(CAST(floor(val * 1000000.0)"
+        " AS BIGINT)), 0) AS BIGINT) AS s FROM cdf"
+        " WHERE cid IN (SELECT cid FROM touched))",
+        "m AS (SELECT"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS n_tombstones,"
+        f" (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM {cd_last})"
+        "   AS n_cells_total,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM touched)"
+        "   AS n_touched_cells,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM emptied)"
+        "   AS n_cells_emptied,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_refit_vectors,"
+        " (SELECT n FROM rr) AS n_rerouted,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM afresh"
+        "  WHERE vec_id IN (SELECT vec_id FROM dead))"
+        "   AS n_tombstones_in_index_after,"
+        " (SELECT ok FROM froz) AS frozen_cells_unchanged,"
+        " (SELECT s FROM rfp) AS refit_centroid_micro_sum)",
+    ]
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM m"
+
+
+@register(
+    "deletion_propagation_ann_model",
+    "ext:similarity,A3-ext,V4-analog",
+    "Right-to-be-forgotten sweep over the PERSISTED ANN MODEL (r10 verdict "
+    f"task #1 — the frozen-model surface the r10 sweeps stopped short of): "
+    f"tombstoned vectors ({DELETED_VEC_PRED}) leave the assignment table, "
+    "and every TOUCHED cell of the model_store-persisted quantizer "
+    "re-centers to the fixed-point mean of its SURVIVING members (the "
+    "ann_index_refresh hot-cell m-step aimed at tombstones), so no "
+    "persisted centroid remains a function of deleted data; a cell whose "
+    "members all died is DROPPED (the Lloyd's carry-old fallback would "
+    "re-persist deleted influence), untouched cells stay byte-identical "
+    "(frozen_cells_unchanged compares the two PHYSICAL parquet models), "
+    "and only touched-cell survivors re-route — O(touched mass), never a "
+    "full retrain or re-encode. n_tombstones_in_index_after MUST be 0 "
+    "(the propagation proof) and refit_centroid_micro_sum fingerprints "
+    "the refreshed persisted centroids against the oracle's survivor-mean "
+    "replay. The oracle regenerates training, sweep, partial refit, "
+    "re-route and both model states end-to-end in SQL.",
+    oracle=_ann_model_forget_oracle_sql(),
+)
+def deletion_propagation_ann_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return ordered_small(
+        ann_model_forget_frames(spark, sf_dir), "n_tombstones"
+    )
+
+
+def _mm_forget_oracle_sql() -> str:
+    from .multimodal import (
+        _PHASH_CTES,
+        _PHASH_PAIRS_SQL,
+        MM_MAX_HAMMING,
+        MM_PX_L1_MAX,
+    )
+
+    sig_fp = (
+        "CAST(concat('0x', substr(sha256(concat(CAST(doc_id AS VARCHAR),"
+        " ':', CAST(phash AS VARCHAR))), 1, 14)) AS BIGINT)"
+    )
+    gate_pred = (
+        f"bit_count(xor(a.phash, b.phash)) <= {MM_MAX_HAMMING}"
+        f" AND list_sum(list_transform(generate_series(1, 72),"
+        f" k -> abs(pa.pxl[k] - pb.pxl[k]))) <= {MM_PX_L1_MAX}"
+    )
+    return f"""
+        WITH RECURSIVE {_PHASH_CTES},
+        {_PHASH_PAIRS_SQL},
+        deadm AS (SELECT doc_id FROM vis WHERE doc_id % 100 = 7),
+        alivem AS (SELECT doc_id FROM vis
+                   WHERE doc_id NOT IN (SELECT doc_id FROM deadm)),
+        sw AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(bit_xor({sig_fp})
+                 AS BIGINT) AS x
+          FROM ph WHERE doc_id NOT IN (SELECT doc_id FROM deadm)
+        ),
+        rb AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(bit_xor({sig_fp})
+                 AS BIGINT) AS x
+          FROM ph WHERE doc_id IN (SELECT doc_id FROM alivem)
+        ),
+        cpb AS (
+          SELECT DISTINCT a.doc_id AS media_id
+          FROM ph a JOIN ph b ON a.doc_id % 10 = 5 AND b.doc_id % 10 <> 5
+          JOIN pxv pa ON pa.doc_id = a.doc_id
+          JOIN pxv pb ON pb.doc_id = b.doc_id
+          WHERE {gate_pred}
+        ),
+        cpa AS (
+          SELECT DISTINCT a.doc_id AS media_id
+          FROM ph a JOIN ph b ON a.doc_id % 10 = 5 AND b.doc_id % 10 <> 5
+           AND b.doc_id NOT IN (SELECT doc_id FROM deadm)
+          JOIN pxv pa ON pa.doc_id = a.doc_id
+          JOIN pxv pb ON pb.doc_id = b.doc_id
+          WHERE {gate_pred}
+        ),
+        pairs_a AS (
+          SELECT a, b FROM pairs
+          WHERE a NOT IN (SELECT doc_id FROM deadm)
+            AND b NOT IN (SELECT doc_id FROM deadm)
+        ),
+        edges_b AS (
+          SELECT a AS x, b AS y FROM pairs
+          UNION SELECT b AS x, a AS y FROM pairs
+        ),
+        reach_b AS (
+          SELECT x, y FROM edges_b
+          UNION
+          SELECT r.x, e.y FROM reach_b r JOIN edges_b e ON r.y = e.x
+        ),
+        rep_b AS (SELECT x, least(x, min(y)) AS component
+                  FROM reach_b GROUP BY x),
+        assign_b AS (
+          SELECT v.doc_id,
+                 CAST(COALESCE(r.component, v.doc_id) AS BIGINT) AS rep
+          FROM vis v LEFT JOIN rep_b r ON r.x = v.doc_id
+        ),
+        edges_a AS (
+          SELECT a AS x, b AS y FROM pairs_a
+          UNION SELECT b AS x, a AS y FROM pairs_a
+        ),
+        reach_a AS (
+          SELECT x, y FROM edges_a
+          UNION
+          SELECT r.x, e.y FROM reach_a r JOIN edges_a e ON r.y = e.x
+        ),
+        rep_a AS (SELECT x, least(x, min(y)) AS component
+                  FROM reach_a GROUP BY x),
+        assign_a AS (
+          SELECT v.doc_id,
+                 CAST(COALESCE(r.component, v.doc_id) AS BIGINT) AS rep
+          FROM alivem v LEFT JOIN rep_a r ON r.x = v.doc_id
+        ),
+        m AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM deadm)
+              AS n_tombstones_visual,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ph
+             WHERE doc_id IN (SELECT doc_id FROM deadm))
+              AS n_sig_rows_removed,
+            (SELECT (sw.n = rb.n AND sw.x IS NOT DISTINCT FROM rb.x)
+             FROM sw, rb) AS sig_lake_swept_equals_rebuilt,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cpb)
+              AS n_gate_matches_before,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cpa)
+              AS n_gate_matches_after,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cpb
+             WHERE media_id NOT IN (SELECT media_id FROM cpa))
+              AS n_arrivals_freed,
+            CAST(0 AS BIGINT) AS n_matches_to_dead_after,
+            (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM assign_b)
+              AS n_clusters_before,
+            (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM assign_a)
+              AS n_clusters_after,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT rep FROM assign_b) rb2
+             WHERE rb2.rep IN (SELECT doc_id FROM deadm))
+              AS n_reps_deleted,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM assign_a a JOIN assign_b b USING (doc_id)
+             WHERE a.rep <> b.rep) AS n_rerooted_docs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM assign_a
+             WHERE rep IN (SELECT doc_id FROM deadm))
+              AS n_orphan_refs_after
+        )
+        SELECT * FROM m
+    """
+
+
+@register(
+    "deletion_propagation_multimodal",
+    "A6-ext-phash,J8-analog,V4-analog",
+    "Right-to-be-forgotten sweep over the MULTIMODAL persisted surfaces "
+    "(r10 verdict task #1): tombstoned visual media (doc_id % 100 = 7) "
+    "must vanish from (1) the streaming visual gate's persisted SIGNATURE "
+    "LAKE — the sweep is a broadcast tombstone anti-join, and the swept "
+    "lake must fingerprint-equal a from-scratch rebuild over the "
+    "post-delete corpus (a perceptual hash depends only on the media's "
+    "own pixels, so filter == rebuild — the flag flips red if the sweep "
+    "missed or mangled a row; the Spark side really runs the second "
+    "decode pass, the flag is not a tautology there), (2) the GATE "
+    "VERDICTS — arrivals re-gate against the swept corpus state; "
+    "n_arrivals_freed counts arrivals whose only matches died (the "
+    "operational consequence: they now pass), n_matches_to_dead_after "
+    "MUST be 0, and (3) the near-dup PAIR/CLUSTER state — the pair lake "
+    "is FILTERED, never re-decoded (pairwise verify, so surviving pairs "
+    "== full pairs at surviving endpoints), clusters re-canonicalize "
+    "(n_reps_deleted elect new reps; n_orphan_refs_after MUST be 0). "
+    "With deletion_propagation_docs (text), _sketch_lake (events), "
+    "_ann_model and _semgate_state (embeddings), every persisted surface "
+    "in the repo now has a registered forget sweep. The oracle replays "
+    "raster, hashes, both gate runs, the pair filter and both cluster "
+    "closures end-to-end.",
+    oracle=_mm_forget_oracle_sql(),
+)
+def deletion_propagation_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import _scoped_persist
+    from ..operators.multimodal import (
+        PHASH_MIN_CHARS,
+        attach_media_columns,
+        phash_cross_near_dups,
+        phash_media,
+        phash_near_dup_pairs,
+    )
+    from .multimodal import MM_MAX_HAMMING, MM_PX_L1_MAX
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    # ONE decode pass for the persisted corpus signature state
+    sig = _scoped_persist(phash_media(media))
+    dead = F.broadcast(
+        sig.filter(F.col("media_id") % 100 == 7).select("media_id")
+    )
+    dead_a = F.broadcast(dead.select(F.col("media_id").alias("a")))
+    dead_b = F.broadcast(dead.select(F.col("media_id").alias("b")))
+
+    # (1) signature-lake sweep: filter vs an HONEST second decode pass over
+    # the post-delete corpus (the rebuild a naive pipeline would run)
+    swept = sig.join(dead, "media_id", "left_anti")
+    rebuilt = phash_media(
+        attach_media_columns(
+            docs.filter(~(F.col("doc_id") % 100 == 7)), "doc_id", "text"
+        )
+    )
+    sig_fp = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("media_id").cast("string"),
+                    F.lit(":"),
+                    F.col("phash").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def fp(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.withColumn("_fp", sig_fp).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.expr("bit_xor(_fp)").cast("bigint").alias(x),
+        )
+
+    sw = fp(swept, "sw_n", "sw_x")
+    rb = fp(rebuilt, "rb_n", "rb_x")
+
+    # (2) gate verdicts before/after the sweep
+    is_arr = F.col("media_id") % 10 == 5
+    arr = sig.filter(is_arr)
+    corpus_b = sig.filter(~is_arr)
+    corpus_a = corpus_b.join(dead, "media_id", "left_anti")
+    gb = _scoped_persist(
+        phash_cross_near_dups(
+            arr, corpus_b, max_hamming=MM_MAX_HAMMING, px_l1_max=MM_PX_L1_MAX
+        )
+    )
+    ga = _scoped_persist(
+        phash_cross_near_dups(
+            arr, corpus_a, max_hamming=MM_MAX_HAMMING, px_l1_max=MM_PX_L1_MAX
+        )
+    )
+    mb = gb.select(F.col("a").alias("media_id")).distinct()
+    ma = ga.select(F.col("a").alias("media_id")).distinct()
+
+    # (3) pair lake FILTERED + cluster re-canonicalization
+    pairs = _scoped_persist(
+        phash_near_dup_pairs(
+            sig, max_hamming=MM_MAX_HAMMING, px_l1_max=MM_PX_L1_MAX
+        ).select("a", "b")
+    )
+    pairs_alive = pairs.join(dead_a, "a", "left_anti").join(
+        dead_b, "b", "left_anti"
+    )
+    vis = sig.select(F.col("media_id").alias("doc_id"))
+    alive = swept.select(F.col("media_id").alias("doc_id"))
+    assign_b = _cluster_assign(vis, pairs).withColumnRenamed(
+        "cluster_rep", "rep_b"
+    )
+    assign_a = _cluster_assign(alive, pairs_alive).withColumnRenamed(
+        "cluster_rep", "rep_a"
+    )
+    dead_ids = F.broadcast(dead.select(F.col("media_id").alias("dead_id")))
+
+    out = (
+        _count1(dead, "n_tombstones_visual")
+        .crossJoin(
+            F.broadcast(
+                _count1(sig.join(dead, "media_id"), "n_sig_rows_removed")
+            )
+        )
+        .crossJoin(F.broadcast(sw))
+        .crossJoin(F.broadcast(rb))
+        .crossJoin(F.broadcast(_count1(mb, "n_gate_matches_before")))
+        .crossJoin(F.broadcast(_count1(ma, "n_gate_matches_after")))
+        .crossJoin(
+            F.broadcast(
+                _count1(mb.join(ma, "media_id", "left_anti"),
+                        "n_arrivals_freed")
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    ga.join(dead_b, "b"), "n_matches_to_dead_after"
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                assign_b.agg(
+                    F.countDistinct("rep_b")
+                    .cast("bigint")
+                    .alias("n_clusters_before")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                assign_a.agg(
+                    F.countDistinct("rep_a")
+                    .cast("bigint")
+                    .alias("n_clusters_after")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    assign_b.select("rep_b")
+                    .distinct()
+                    .join(dead_ids, F.col("rep_b") == F.col("dead_id")),
+                    "n_reps_deleted",
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    assign_a.join(assign_b, "doc_id").filter(
+                        F.col("rep_a") != F.col("rep_b")
+                    ),
+                    "n_rerooted_docs",
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    assign_a.join(dead_ids, F.col("rep_a") == F.col("dead_id")),
+                    "n_orphan_refs_after",
+                )
+            )
+        )
+    )
+    out = out.select(
+        "n_tombstones_visual",
+        "n_sig_rows_removed",
+        (
+            (F.col("sw_n") == F.col("rb_n"))
+            & F.col("sw_x").eqNullSafe(F.col("rb_x"))
+        ).alias("sig_lake_swept_equals_rebuilt"),
+        "n_gate_matches_before",
+        "n_gate_matches_after",
+        "n_arrivals_freed",
+        "n_matches_to_dead_after",
+        "n_clusters_before",
+        "n_clusters_after",
+        "n_reps_deleted",
+        "n_rerooted_docs",
+        "n_orphan_refs_after",
+    )
+    return ordered_small(out, "n_tombstones_visual")
+
+
+def semgate_forget_frames(
+    emb: DataFrame,
+    cent: DataFrame,
+    dead_pred: str = DELETED_VEC_PRED,
+    arrival_pred: str = "vec_id % 10 = 9",
+) -> DataFrame:
+    """One-row summary of a GDPR sweep over the SEMANTIC GATE's persisted
+    routing state (streaming/semgate.py corpus side).
+
+    The persisted state is (vec_id, cid, sig) — coarse cell via the FROZEN
+    quantizer plus the full SRP signature; the refined cell id derives at
+    read time as cid:substr(sig, 1, bits) where bits comes from the CURRENT
+    corpus count (queries/kmeans.py::sem_state_base, the one shared
+    recipe). The sweep: tombstoned rows leave by broadcast anti-join, bits
+    recompute on the post-delete count (a delete that crosses a power-of-2
+    threshold re-cells every survivor — by SUBSTRING, never by re-hashing:
+    sem_bits_before/after are output columns and the threshold crossing is
+    test-pinned), and the swept state must fingerprint-equal an HONEST
+    from-scratch rebuild (re-assign + re-hash the post-delete corpus
+    against the frozen centroids — the Spark side really runs that second
+    pass; assignment and signature are per-vector, so filter == rebuild is
+    the invariant being checked, not assumed). Gate consequence: arrivals
+    re-gate against the swept state — flags_before/after and the
+    must-be-zero flags-to-dead count."""
+    from ..operators.dedup import _scoped_persist
+    from ..operators.kmeans import _as_double_vec, _assign
+    from ..operators.similarity import cosine_prenormed
+    from .kmeans import SEM_MAX_CELL, SEMDEDUP_T, _sem_bits_terms, sem_state_base
+    from pyspark.sql import Window
+
+    asg = _assign(_as_double_vec(emb, "vec_id", "embedding"), cent)
+    base = _scoped_persist(sem_state_base(emb, asg))
+    dead = F.broadcast(base.filter(F.expr(dead_pred)).select("vec_id"))
+    swept = base.join(dead, "vec_id", "left_anti")
+
+    terms = _sem_bits_terms("count(1)")
+    bits_of = lambda df: df.agg(  # noqa: E731
+        F.expr(f"CAST(({terms}) AS INT)").alias("bits")
+    )
+
+    def cells(df: DataFrame, bits: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(bits)).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.concat(
+                F.col("cid").cast("string"),
+                F.lit(":"),
+                F.expr("substring(sig, 1, bits)"),
+            ).alias("cell"),
+        )
+
+    cells_before = cells(base, bits_of(base))
+    cells_swept = cells(swept, bits_of(swept))
+    # the honest rebuild: re-assign + re-hash the post-delete corpus
+    # against the SAME frozen centroids
+    emb_alive = emb.join(dead, "vec_id", "left_anti")
+    base_rebuilt = sem_state_base(
+        emb_alive, _assign(_as_double_vec(emb_alive, "vec_id", "embedding"), cent)
+    )
+    cells_rebuilt = cells(base_rebuilt, bits_of(base_rebuilt))
+
+    state_fp = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("vec_id").cast("string"), F.lit("@"), F.col("cell")
+                ),
+                256,
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def fp(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.withColumn("_fp", state_fp).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.expr("bit_xor(_fp)").cast("bigint").alias(x),
+        )
+
+    def gate(cdf: DataFrame) -> DataFrame:
+        """DISTINCT flagged arrivals against ``cdf``'s corpus side."""
+        is_arr = F.expr(arrival_pred)
+        batch = cdf.filter(is_arr).select(
+            "cell",
+            F.col("vec_id"),
+            F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        cw = Window.partitionBy("cell").orderBy("mv")
+        corp = (
+            cdf.filter(~is_arr)
+            .select(
+                "cell",
+                F.col("vec_id").alias("mv"),
+                F.col("embedding").alias("vc"),
+                F.col("nrm").alias("nc"),
+            )
+            .withColumn("crn", F.row_number().over(cw))
+            .filter(F.col("crn") <= SEM_MAX_CELL)
+        )
+        return (
+            batch.join(corp, "cell")
+            .filter(
+                cosine_prenormed(
+                    F.col("vb"), F.col("vc"), F.col("nb"), F.col("nc")
+                )
+                >= SEMDEDUP_T
+            )
+            .select("vec_id", "mv")
+        )
+
+    gate_before = gate(cells_before).select("vec_id").distinct()
+    gate_after_pairs = _scoped_persist(gate(cells_swept))
+    gate_after = gate_after_pairs.select("vec_id").distinct()
+    dead_mv = F.broadcast(dead.select(F.col("vec_id").alias("mv")))
+
+    out = (
+        _count1(dead, "n_tombstones")
+        .crossJoin(
+            F.broadcast(_count1(base.join(dead, "vec_id"),
+                                "n_state_rows_removed"))
+        )
+        .crossJoin(
+            F.broadcast(
+                bits_of(base).select(
+                    F.col("bits").cast("bigint").alias("sem_bits_before")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bits_of(swept).select(
+                    F.col("bits").cast("bigint").alias("sem_bits_after")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(fp(cells_swept, "sw_n", "sw_x")))
+        .crossJoin(F.broadcast(fp(cells_rebuilt, "rb_n", "rb_x")))
+        .crossJoin(F.broadcast(_count1(gate_before, "n_gate_flags_before")))
+        .crossJoin(F.broadcast(_count1(gate_after, "n_gate_flags_after")))
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    gate_after_pairs.join(dead_mv, "mv"),
+                    "n_flags_to_dead_after",
+                )
+            )
+        )
+    )
+    return out.select(
+        "n_tombstones",
+        "n_state_rows_removed",
+        "sem_bits_before",
+        "sem_bits_after",
+        (
+            (F.col("sw_n") == F.col("rb_n"))
+            & F.col("sw_x").eqNullSafe(F.col("rb_x"))
+        ).alias("state_swept_equals_rebuilt"),
+        "n_gate_flags_before",
+        "n_gate_flags_after",
+        "n_flags_to_dead_after",
+    )
+
+
+def _semgate_forget_oracle_sql() -> str:
+    from .kmeans import (
+        ITERS,
+        K,
+        SEM_MAX_CELL,
+        SEMDEDUP_T,
+        _sem_bits_terms,
+        _sem_cell_ctes,
+        kmeans_ctes,
+    )
+    from .similarity import _cosine_sql
+
+    ctes, a_last, _cd = kmeans_ctes(K, ITERS)
+    fp = (
+        "CAST(concat('0x', substr(sha256(concat(CAST(vec_id AS VARCHAR),"
+        " '@', cell)), 1, 14)) AS BIGINT)"
+    )
+    cos = _cosine_sql("b.embedding", "c.embedding")
+    gate = (
+        "SELECT DISTINCT b.vec_id FROM {cells} b JOIN ("
+        " SELECT cell, vec_id, embedding FROM ("
+        "  SELECT cell, vec_id, embedding, ROW_NUMBER() OVER"
+        "  (PARTITION BY cell ORDER BY vec_id) AS crn"
+        f"  FROM {{cells}} WHERE NOT (vec_id % 10 = 9)) WHERE crn <= {SEM_MAX_CELL}"
+        ") c ON b.cell = c.cell"
+        f" WHERE b.vec_id % 10 = 9 AND {cos} >= {SEMDEDUP_T}"
+    )
+    ctes = ctes + _sem_cell_ctes(a_last) + [
+        f"dead AS (SELECT vec_id FROM ve WHERE {DELETED_VEC_PRED})",
+        "alivex AS (SELECT * FROM memx"
+        " WHERE vec_id NOT IN (SELECT vec_id FROM dead))",
+        f"sbva AS (SELECT ({_sem_bits_terms('COUNT(*)')}) AS bits"
+        f" FROM alivex)",
+        "cb AS (SELECT vec_id, embedding,"
+        " (CAST(cid AS VARCHAR) || ':' ||"
+        " substr(sig, 1, (SELECT bits FROM sbv))) AS cell FROM memx)",
+        "ca AS (SELECT vec_id, embedding,"
+        " (CAST(cid AS VARCHAR) || ':' ||"
+        " substr(sig, 1, (SELECT bits FROM sbva))) AS cell FROM alivex)",
+        f"fps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST(bit_xor({fp}) AS BIGINT) AS x FROM ca)",
+        f"gb AS ({gate.format(cells='cb')})",
+        f"ga AS ({gate.format(cells='ca')})",
+        "m AS (SELECT"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS n_tombstones,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM memx"
+        "  WHERE vec_id IN (SELECT vec_id FROM dead))"
+        "   AS n_state_rows_removed,"
+        " (SELECT CAST(bits AS BIGINT) FROM sbv) AS sem_bits_before,"
+        " (SELECT CAST(bits AS BIGINT) FROM sbva) AS sem_bits_after,"
+        " (SELECT (f1.n = f2.n AND f1.x IS NOT DISTINCT FROM f2.x)"
+        "  FROM fps f1, fps f2) AS state_swept_equals_rebuilt,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM gb)"
+        "   AS n_gate_flags_before,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM ga)"
+        "   AS n_gate_flags_after,"
+        " CAST(0 AS BIGINT) AS n_flags_to_dead_after)",
+    ]
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM m"
+
+
+@register(
+    "deletion_propagation_semgate_state",
+    "ext:similarity,A6-ext-sem,V4-analog",
+    "Right-to-be-forgotten sweep over the SEMANTIC GATE's persisted "
+    f"routing state (r10 verdict task #1): tombstoned vectors "
+    f"({DELETED_VEC_PRED}) leave the (vec_id, coarse cell, SRP signature) "
+    "routing lake by broadcast anti-join; the refinement-bit count "
+    "recomputes on the post-delete corpus count (a delete crossing a "
+    "power-of-2 threshold re-cells every survivor by SUBSTRING of the "
+    "stored signature — never by re-hashing; bits before/after are "
+    "output columns and the crossing is pinned in tests/test_round11.py), "
+    "and the swept state must fingerprint-equal an HONEST from-scratch "
+    "rebuild (the Spark side re-assigns and re-hashes the post-delete "
+    "corpus against the frozen quantizer — a sweep that missed a row or "
+    "mangled a cell flips the flag red). Gate consequence: arrivals "
+    "(vec_id % 10 = 9) re-gate against the swept state — "
+    "n_gate_flags_before/after, and n_flags_to_dead_after MUST be 0 (the "
+    "propagation proof: no arrival is ever again matched to deleted "
+    "data). The oracle replays training, state derivation, both bit "
+    "scalars, the sweep, the rebuild and both gate runs end-to-end.",
+    oracle=_semgate_forget_oracle_sql(),
+)
+def deletion_propagation_semgate_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .kmeans import fitted_model
+    from .similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    _asg, cent = fitted_model(spark, sf_dir)
+    return ordered_small(semgate_forget_frames(emb, cent), "n_tombstones")

@@ -272,6 +272,29 @@ def _sem_cell_ctes(a_last: str) -> list[str]:
 _CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def sem_state_base(emb: DataFrame, asg: DataFrame) -> DataFrame:
+    """(vec_id, cid, embedding, nrm, sig): the two-level quantizer state
+    BEFORE cell truncation — what a production routing lake persists (the
+    FULL SRP signature; cells derive at read time from the current
+    corpus-count bits, so a corpus-size change re-cells by substring, never
+    by re-hashing). The ONE canonical recipe shared by the session cells
+    cache and the semgate deletion sweep (queries/forget.py) — a copied
+    recipe that drifted would surface as a swept-vs-rebuilt hash
+    mismatch."""
+    from ..operators.similarity import norm_sq, srp_planes, srp_signature_bands
+    from .similarity import EMB_DIMS
+
+    planes = srp_planes(SEM_MAX_BITS, dims=EMB_DIMS)
+    return (
+        asg.select("vec_id", "cid")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
+        .withColumn(
+            "sig", srp_signature_bands(F.col("embedding"), planes, bands=1)[0]
+        )
+    )
+
+
 def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, cell, embedding, nrm): two-level quantizer membership.
 
@@ -283,20 +306,9 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _cache_get(_CELLS_CACHE, key)
     if cached is not None:
         return cached
-    from ..operators.similarity import norm_sq, srp_planes, srp_signature_bands
-    from .similarity import EMB_DIMS
-
     asg, _cent = fitted_model(spark, sf_dir)
     emb = load_embeddings(spark, sf_dir)
-    planes = srp_planes(SEM_MAX_BITS, dims=EMB_DIMS)
-    base = (
-        asg.select("vec_id", "cid")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .withColumn("nrm", F.sqrt(norm_sq(F.col("embedding"))))
-        .withColumn(
-            "sig", srp_signature_bands(F.col("embedding"), planes, bands=1)[0]
-        )
-    )
+    base = sem_state_base(emb, asg)
     terms = _sem_bits_terms("count(1)")
     bits = base.agg(
         F.expr(

@@ -355,3 +355,136 @@ def test_wide_phash_words_match_oracle_convention(spark, sf_dir):
     }
     assert got == want
     assert got, "fixture corpus must contain wide-raster-eligible media"
+
+
+# ---------------------------------------------------------------------------
+# RTBF frozen-model surfaces (r10 verdict task #1)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_model_sweep_emptied_cell_dropped(spark, tmp_path):
+    """A cell whose EVERY member is tombstoned must be DROPPED from the
+    refreshed persisted model (the Lloyd's carry-old fallback would
+    re-persist deleted-data influence), untouched cells must round-trip
+    byte-identically, and no tombstone may survive in the index."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.kmeans import kmeans_fit
+    from notion_timetracking_etl_spark.operators.model_store import (
+        save_kmeans_model,
+    )
+    from notion_timetracking_etl_spark.queries.forget import (
+        ann_model_sweep_frames,
+    )
+
+    dims = 4
+    # three well-separated piles; ids 0/1/2 are one per pile so the min-id
+    # init seeds every pile. The 10.x pile is {2, 100..104} — ALL deleted.
+    rows = [(0, [0.0] * dims), (1, [5.0] * dims), (2, [10.0] * dims)]
+    for i in range(3, 10):
+        rows.append((i, [0.0 + i * 0.01] * dims))
+    for i in range(10, 17):
+        rows.append((i, [5.0 + (i - 10) * 0.01] * dims))
+    for i in range(100, 105):
+        rows.append((i, [10.0 + (i - 100) * 0.01] * dims))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _asg, cent = kmeans_fit(emb, "vec_id", "embedding", k=3, iters=3)
+    stale = str(tmp_path / "stale")
+    fresh = str(tmp_path / "fresh")
+    save_kmeans_model(cent, stale)
+
+    row = ann_model_sweep_frames(
+        spark, emb, stale, fresh, "vec_id = 2 OR vec_id >= 100"
+    ).collect()[0]
+    assert row["n_tombstones"] == 6
+    assert row["n_cells_total"] == 3
+    assert row["n_touched_cells"] == 1
+    assert row["n_cells_emptied"] == 1
+    assert row["n_refit_vectors"] == 0
+    assert row["n_tombstones_in_index_after"] == 0
+    assert row["frozen_cells_unchanged"] is True
+    # the dropped cell is physically absent from the persisted fresh model
+    fresh_cids = {
+        r["cid"] for r in spark.read.parquet(fresh).select("cid").collect()
+    }
+    stale_cids = {
+        r["cid"] for r in spark.read.parquet(stale).select("cid").collect()
+    }
+    assert len(stale_cids) == 3 and len(fresh_cids) == 2
+    release_scoped_caches()
+
+
+def test_ann_model_sweep_refit_bounded_to_touched(spark, tmp_path):
+    """Partial refit touches ONLY the tombstoned cells' survivors: refit
+    mass equals the touched cells' surviving membership, and untouched
+    centroids persist byte-identically."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.kmeans import kmeans_fit
+    from notion_timetracking_etl_spark.operators.model_store import (
+        save_kmeans_model,
+    )
+    from notion_timetracking_etl_spark.queries.forget import (
+        ann_model_sweep_frames,
+    )
+
+    dims = 4
+    rows = [(i, [0.0 + i * 0.01] * dims) for i in range(10)]
+    rows += [(i, [5.0 + i * 0.001] * dims) for i in range(10, 20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _asg, cent = kmeans_fit(emb, "vec_id", "embedding", k=2, iters=3)
+    stale = str(tmp_path / "stale")
+    fresh = str(tmp_path / "fresh")
+    save_kmeans_model(cent, stale)
+
+    # delete ONE vector out of the first pile only
+    row = ann_model_sweep_frames(
+        spark, emb, stale, fresh, "vec_id = 3"
+    ).collect()[0]
+    assert row["n_touched_cells"] == 1
+    assert row["n_cells_emptied"] == 0
+    assert row["n_refit_vectors"] == 9  # the touched pile's survivors only
+    assert row["n_tombstones_in_index_after"] == 0
+    assert row["frozen_cells_unchanged"] is True
+    release_scoped_caches()
+
+
+def test_semgate_sweep_bits_threshold_crossing(spark):
+    """A delete that crosses the K*SEM_TARGET_CELL power-of-2 threshold
+    drops the refinement-bit count, every survivor re-cells by SUBSTRING,
+    and the swept state still fingerprint-equals the honest rebuild."""
+    import hashlib
+
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.kmeans import kmeans_fit
+    from notion_timetracking_etl_spark.queries.forget import (
+        semgate_forget_frames,
+    )
+    from notion_timetracking_etl_spark.queries.kmeans import (
+        K,
+        SEM_TARGET_CELL,
+    )
+    from notion_timetracking_etl_spark.queries.similarity import EMB_DIMS
+
+    n = K * SEM_TARGET_CELL + 6  # 1030: bits=1 before, 0 after the delete
+
+    def vec(i: int) -> list[float]:
+        h = hashlib.sha256(f"sg:{i}".encode()).digest()
+        return [((h[j % 32] + i * j) % 17) / 8.0 - 1.0 for j in range(EMB_DIMS)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    _asg, cent = kmeans_fit(emb, "vec_id", "embedding", k=K, iters=2)
+    row = semgate_forget_frames(emb, cent, dead_pred="vec_id % 100 = 7").collect()[0]
+    assert row["n_tombstones"] >= 10
+    assert row["sem_bits_before"] == 1
+    assert row["sem_bits_after"] == 0  # the crossing
+    assert row["state_swept_equals_rebuilt"] is True
+    assert row["n_flags_to_dead_after"] == 0
+    release_scoped_caches()
