@@ -488,3 +488,33 @@ def test_semgate_sweep_bits_threshold_crossing(spark):
     assert row["state_swept_equals_rebuilt"] is True
     assert row["n_flags_to_dead_after"] == 0
     release_scoped_caches()
+
+
+def test_ann_refresh_sampled_recall_agrees_with_full(spark, sf_dir):
+    """The sampled-truth audit (fixed-size hash sample) must agree with
+    full-corpus truth on the driver corpus: same recovered verdict, recall
+    estimates within a pinned bound (the sample is uniform, so this is a
+    plain sampling-error bound, not a semantics change)."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.queries.kmeans import (
+        ANN_AUDIT_K,
+        ann_refresh_frames,
+    )
+    from notion_timetracking_etl_spark.queries.similarity import (
+        load_embeddings,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    sampled = ann_refresh_frames(emb, audit_k=ANN_AUDIT_K).collect()[0]
+    release_scoped_caches()
+    full = ann_refresh_frames(emb, audit_k=(1 << 31) - 1).collect()[0]
+    release_scoped_caches()
+    assert sampled["n_audit_corpus"] <= ANN_AUDIT_K
+    assert full["n_audit_corpus"] == emb.count()
+    assert sampled["recovered"] == full["recovered"]
+    for c in ("recall_stale_micro", "recall_fresh_micro"):
+        # recall at topk=5 over 10 queries quantizes to 1/50 steps; allow
+        # +-4 steps of sampling error on the fixed driver corpus
+        assert abs(sampled[c] - full[c]) <= 80_000, (c, sampled[c], full[c])
