@@ -280,12 +280,24 @@ def compacted_docs_lakes(
         files = before.groupBy("source", "in_file").agg(
             F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("fb")
         )
-        plan = compaction_bin_plan(files)
+        plan = compaction_bin_plan(files).select(
+            F.col("source").alias("p_source"),
+            F.col("in_file").alias("p_in_file"),
+            "bin_id",
+        )
         # the plan is metadata-scale (one row per input FILE) -> broadcast;
-        # the rewrite reads the physical before-lake, never the source table
-        compacted = before.join(
-            F.broadcast(plan), ["source", "in_file"]
-        ).drop("in_file")
+        # the rewrite reads the physical before-lake, never the source
+        # table. NULL-SAFE source equality: a plain join key would drop
+        # every NULL-source file from the compacted lake (caught by the
+        # 20%-NULL hostile probe — the NULL-key class, fourth occurrence)
+        compacted = (
+            before.join(
+                F.broadcast(plan),
+                F.col("source").eqNullSafe(F.col("p_source"))
+                & (F.col("in_file") == F.col("p_in_file")),
+            )
+            .drop("p_source", "p_in_file", "in_file")
+        )
         write_partitioned_lake(
             compacted, after_path, ["source", "bin_id"], sort_cols=["doc_id"]
         )
@@ -430,17 +442,22 @@ def lake_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(gk, "n_files_after", "a_docs", "a_xh")
     )
+    # LEFT join: a source group the rewrite LOST must surface as a red
+    # content_equal row, not silently vanish from the audit
     return (
-        bfp.join(afp, "gk")
+        bfp.join(afp, "gk", "left")
         .select(
             "source",
             "n_files_before",
-            "n_files_after",
+            F.coalesce(F.col("n_files_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_files_after"),
             "n_docs",
             "total_bytes",
-            (
+            F.coalesce(
                 (F.col("n_docs") == F.col("a_docs"))
-                & F.col("xh").eqNullSafe(F.col("a_xh"))
+                & F.col("xh").eqNullSafe(F.col("a_xh")),
+                F.lit(False),
             ).alias("content_equal"),
         )
         .orderBy("source")
