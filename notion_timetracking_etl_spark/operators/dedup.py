@@ -492,6 +492,19 @@ def pigeonhole_buckets_multi(
         raise ValueError(f"n_bits={n_bits} != 64 * {n_words} words")
     m = max_hamming + level
     widths, shifts = _pigeonhole_widths(n_bits, m)
+    if max(widths) >= 64:
+        # a >= 64-bit block's mask/shift arithmetic leaves LongType (the
+        # literal (1<<64)-1 overflows, shiftleft wraps mod 64) — the caller
+        # must raise the level so every block fits one word's arithmetic:
+        # m = radius + level > n_words. hamming_pairs_from_word_sigs floors
+        # its adaptive level accordingly; an explicit too-low level is a
+        # caller bug and fails HERE with the fix named instead of as an
+        # opaque NumberFormatException at execution (r11 review).
+        raise ValueError(
+            f"pigeonhole_buckets_multi: {m} blocks over {n_bits} bits gives "
+            f"{max(widths)}-bit blocks; need max_hamming + level > {n_words} "
+            f"(use level >= {n_words - max_hamming + 1})"
+        )
 
     def word(i: int) -> Column:
         return F.col(word_cols[i])
@@ -537,9 +550,16 @@ def hamming_pairs_from_word_sigs(
     candidate join, summed ``bit_count(xor)`` verify per word in the join
     projection BEFORE the distinct. Caller persists ``sig`` when its
     lineage is expensive."""
-    n_bits = 64 * len(word_cols)
+    n_words = len(word_cols)
+    n_bits = 64 * n_words
     if level is None:
-        level = pigeonhole_level(sig.count(), n_bits, max_hamming, target)
+        # floor: every block must fit one word's shift/mask arithmetic
+        # (width < 64 <=> radius + level > n_words); completeness holds at
+        # ANY level, so raising it only narrows buckets
+        level = max(
+            pigeonhole_level(sig.count(), n_bits, max_hamming, target),
+            n_words - max_hamming + 1,
+        )
     buckets = pigeonhole_buckets_multi(
         sig.select(F.col(id_col).alias("doc"), *word_cols),
         word_cols,

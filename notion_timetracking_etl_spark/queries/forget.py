@@ -592,13 +592,22 @@ def ann_model_sweep_frames(
         asg_fresh.join(dead, "vec_id"), "n_tombstones_in_index_after"
     )
     # untouched centroids must round-trip the two PERSISTED models
-    # byte-identically (exact double-array equality)
+    # byte-identically (exact double-array equality). An untouched cell
+    # MISSING from the fresh model is the flag's whole reason to exist —
+    # its left-joined fvec is NULL, and the comparison must coalesce to
+    # False (min() skips NULLs, so without the coalesce a writer that
+    # drops a cell would pass the audit green — caught by the r11 review).
     frozen = (
         stale_stored.join(F.broadcast(touched), "cid", "left_anti")
         .join(fresh_stored.withColumnRenamed("cvec", "fvec"), "cid", "left")
         .agg(
             F.coalesce(
-                F.min((F.col("cvec") == F.col("fvec")).cast("boolean")),
+                F.min(
+                    F.coalesce(
+                        (F.col("cvec") == F.col("fvec")).cast("boolean"),
+                        F.lit(False),
+                    )
+                ),
                 F.lit(True),
             ).alias("frozen_cells_unchanged")
         )
@@ -1085,7 +1094,7 @@ def semgate_forget_frames(
     from ..operators.dedup import _scoped_persist
     from ..operators.kmeans import _as_double_vec, _assign
     from ..operators.similarity import cosine_prenormed
-    from .kmeans import SEM_MAX_CELL, SEMDEDUP_T, _sem_bits_terms, sem_state_base
+    from .kmeans import SEM_MAX_CELL, SEMDEDUP_T, sem_bits_agg, sem_state_base
     from pyspark.sql import Window
 
     asg = _assign(_as_double_vec(emb, "vec_id", "embedding"), cent)
@@ -1093,10 +1102,9 @@ def semgate_forget_frames(
     dead = F.broadcast(base.filter(F.expr(dead_pred)).select("vec_id"))
     swept = base.join(dead, "vec_id", "left_anti")
 
-    terms = _sem_bits_terms("count(1)")
-    bits_of = lambda df: df.agg(  # noqa: E731
-        F.expr(f"CAST(({terms}) AS INT)").alias("bits")
-    )
+    # the one shared guarded bits recipe (kmeans.sem_bits_agg) — the sweep
+    # must fail loudly at SEM_MAX_BITS exactly like the session cells path
+    bits_of = sem_bits_agg
 
     def cells(df: DataFrame, bits: DataFrame) -> DataFrame:
         return df.crossJoin(F.broadcast(bits)).select(
@@ -1113,12 +1121,17 @@ def semgate_forget_frames(
     cells_before = cells(base, bits_of(base))
     cells_swept = cells(swept, bits_of(swept))
     # the honest rebuild: re-assign + re-hash the post-delete corpus
-    # against the SAME frozen centroids
+    # against the SAME frozen centroids. Its bits scalar is bits_of(swept)
+    # — provably identical (bits is a function of the row COUNT alone, and
+    # rebuilt rows == swept rows) — so the expensive rebuild lineage is
+    # evaluated ONCE, by the fingerprint consumer, instead of twice
+    # (r11 review: an unshared bits aggregate re-ran the whole
+    # re-assign+re-hash chain just to count it)
     emb_alive = emb.join(dead, "vec_id", "left_anti")
     base_rebuilt = sem_state_base(
         emb_alive, _assign(_as_double_vec(emb_alive, "vec_id", "embedding"), cent)
     )
-    cells_rebuilt = cells(base_rebuilt, bits_of(base_rebuilt))
+    cells_rebuilt = cells(base_rebuilt, bits_of(swept))
 
     state_fp = F.conv(
         F.substring(

@@ -272,6 +272,25 @@ def _sem_cell_ctes(a_last: str) -> list[str]:
 _CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def sem_bits_agg(df: DataFrame) -> DataFrame:
+    """One-row (bits INT) aggregate of the corpus-count refinement bits,
+    WITH the saturation guard: past the adaptive range the computation
+    fails loudly (raise_error) instead of silently re-entering linear cell
+    growth. The one shared bits recipe for every consumer of
+    :func:`sem_state_base` state — the session cells cache and the semgate
+    deletion sweep (a consumer without the guard would silently saturate
+    where the other path deliberately fails — r11 review)."""
+    terms = _sem_bits_terms("count(1)")
+    return df.agg(
+        F.expr(
+            f"CASE WHEN ({terms}) >= {SEM_MAX_BITS} THEN "
+            f"CAST(raise_error('semdedup: SRP refinement bits saturated at "
+            f"SEM_MAX_BITS={SEM_MAX_BITS}; lift the cap') AS INT) "
+            f"ELSE CAST(({terms}) AS INT) END"
+        ).alias("bits")
+    )
+
+
 def sem_state_base(emb: DataFrame, asg: DataFrame) -> DataFrame:
     """(vec_id, cid, embedding, nrm, sig): the two-level quantizer state
     BEFORE cell truncation — what a production routing lake persists (the
@@ -309,15 +328,7 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg, _cent = fitted_model(spark, sf_dir)
     emb = load_embeddings(spark, sf_dir)
     base = sem_state_base(emb, asg)
-    terms = _sem_bits_terms("count(1)")
-    bits = base.agg(
-        F.expr(
-            f"CASE WHEN ({terms}) >= {SEM_MAX_BITS} THEN "
-            f"CAST(raise_error('semdedup: SRP refinement bits saturated at "
-            f"SEM_MAX_BITS={SEM_MAX_BITS}; lift the cap') AS INT) "
-            f"ELSE CAST(({terms}) AS INT) END"
-        ).alias("bits")
-    )
+    bits = sem_bits_agg(base)
     mem = (
         base.crossJoin(F.broadcast(bits))
         .withColumn(

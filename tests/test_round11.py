@@ -518,3 +518,77 @@ def test_ann_refresh_sampled_recall_agrees_with_full(spark, sf_dir):
         # recall at topk=5 over 10 queries quantizes to 1/50 steps; allow
         # +-4 steps of sampling error on the fixed driver corpus
         assert abs(sampled[c] - full[c]) <= 80_000, (c, sampled[c], full[c])
+
+
+def test_ann_model_sweep_detects_lost_untouched_cell(spark, tmp_path):
+    """r11 review finding: an untouched cell MISSING from the persisted
+    fresh model must flip frozen_cells_unchanged red (NULL comparisons
+    coalesce to False — min() alone would skip them)."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        release_scoped_caches,
+    )
+    from notion_timetracking_etl_spark.operators.kmeans import kmeans_fit
+    from notion_timetracking_etl_spark.operators.model_store import (
+        save_kmeans_model,
+    )
+    from notion_timetracking_etl_spark.queries.forget import (
+        ann_model_sweep_frames,
+    )
+
+    dims = 4
+    rows = [(0, [0.0] * dims), (1, [5.0] * dims), (2, [10.0] * dims)]
+    rows += [(i, [0.0 + i * 0.01] * dims) for i in range(3, 8)]
+    rows += [(i, [5.0 + i * 0.001] * dims) for i in range(10, 15)]
+    rows += [(i, [10.0 + i * 0.001] * dims) for i in range(20, 25)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _asg, cent = kmeans_fit(emb, "vec_id", "embedding", k=3, iters=3)
+    stale = str(tmp_path / "stale")
+    fresh = str(tmp_path / "fresh")
+    save_kmeans_model(cent, stale)
+    ok = ann_model_sweep_frames(
+        spark, emb, stale, fresh, "vec_id = 3"
+    ).collect()[0]
+    assert ok["frozen_cells_unchanged"] is True
+    release_scoped_caches()
+
+    # corrupt the persisted fresh model: drop one UNTOUCHED cell, re-run
+    # the sweep in read-only mode (write_fresh=False) — the flag must flip
+    damaged = spark.read.parquet(fresh)
+    touched_cid = 0  # vec 3 lives in the 0.x pile seeded by vec 0
+    untouched = [
+        r["cid"] for r in damaged.select("cid").collect() if r["cid"] != touched_cid
+    ]
+    damaged.filter(F.col("cid") != untouched[0]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "fresh2"))
+    bad = ann_model_sweep_frames(
+        spark, emb, stale, str(tmp_path / "fresh2"), "vec_id = 3",
+        write_fresh=False,
+    ).collect()[0]
+    assert bad["frozen_cells_unchanged"] is False
+    release_scoped_caches()
+
+
+def test_multiword_pigeonhole_rejects_wide_blocks(spark):
+    """r11 review finding: a level that leaves any block >= 64 bits must
+    fail with a diagnosable ValueError at plan time (LongType mask/shift
+    arithmetic cannot express it), and the adaptive path floors the level
+    so it never constructs one."""
+    from notion_timetracking_etl_spark.operators.dedup import (
+        hamming_pairs_from_word_sigs,
+        pigeonhole_buckets_multi,
+        release_scoped_caches,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, 1, 2, 3, 4), (2, 1, 2, 3, 5)],
+        "id long, w0 long, w1 long, w2 long, w3 long",
+    )
+    with pytest.raises(ValueError, match="need max_hamming \\+ level"):
+        pigeonhole_buckets_multi(sig, ["w0", "w1", "w2", "w3"], 256, 3, 1)
+    # the adaptive path floors level to n_words - radius + 1 and succeeds
+    pairs = hamming_pairs_from_word_sigs(
+        sig, "id", ["w0", "w1", "w2", "w3"], max_hamming=3
+    ).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 1)]
+    release_scoped_caches()
