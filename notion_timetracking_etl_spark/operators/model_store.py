@@ -79,6 +79,10 @@ def load_pq_model(
     subspace slices the same ranges ``pq_fit`` used."""
     stored = spark.read.parquet(path).select("sub", "cid", "cvec")
     subs = sorted(r["sub"] for r in stored.select("sub").distinct().collect())
+    if not subs:
+        # an empty persisted model (trained on a filtered-to-zero corpus)
+        # loads as zero subspaces, not a ZeroDivisionError
+        return []
     m = len(subs)
     per = dims // m
     models: PqModel = []

@@ -1331,3 +1331,296 @@ def deletion_propagation_semgate_state(
     emb = load_embeddings(spark, sf_dir)
     _asg, cent = fitted_model(spark, sf_dir)
     return ordered_small(semgate_forget_frames(emb, cent), "n_tombstones")
+
+
+_FORGET_PQ_MODELS: set[str] = set()
+
+
+def pq_model_sweep_frames(
+    spark: SparkSession,
+    emb: DataFrame,
+    stale_path: str,
+    fresh_path: str,
+    dead_pred: str,
+    write_fresh: bool = True,
+    dims: int = 64,
+) -> DataFrame:
+    """One-row GDPR sweep over the PERSISTED PQ CODEBOOKS — the codebook
+    half of the frozen-model surface (deletion_propagation_ann_model covers
+    the coarse-quantizer centroids): per subspace, tombstoned vectors leave
+    the code table, every TOUCHED codebook entry re-centers to the
+    fixed-point mean of its surviving members' subvectors, a fully-emptied
+    entry is DROPPED, untouched entries must round-trip the two persisted
+    models byte-identically (NULL-safe comparison — a writer that loses an
+    entry flips the flag red), and only touched entries' survivors
+    re-encode in that subspace. All counts aggregate across subspaces."""
+    from ..operators.dedup import _scoped_persist
+    from ..operators.kmeans import _as_double_vec, _assign, _update
+    from ..operators.model_store import load_pq_model, save_pq_model
+
+    dead = F.broadcast(emb.filter(F.expr(dead_pred)).select("vec_id"))
+    models = load_pq_model(spark, emb, stale_path, dims=dims)
+    if not models:
+        # an EMPTY persisted model (trained on a filtered-to-zero corpus —
+        # the hostile empty-lake state): nothing to sweep; the report is
+        # all-zero with vacuously-true flags, mirroring the oracle's empty
+        # trainings
+        zero = F.lit(0).cast("bigint")
+        return _count1(dead, "n_tombstones").select(
+            "n_tombstones",
+            zero.alias("n_codebook_entries"),
+            zero.alias("n_touched_entries"),
+            zero.alias("n_entries_dropped"),
+            zero.alias("n_refit_codes"),
+            zero.alias("n_rerouted_codes"),
+            zero.alias("n_tombstones_in_codes_after"),
+            F.lit(True).alias("frozen_codes_unchanged"),
+            zero.alias("refit_code_micro_sum"),
+        )
+    m = len(models)
+    per = dims // m
+
+    touched_u = refit_u = fresh_codes_u = rerouted_u = None
+    fresh_cents = []
+    for j, asg_loaded, cent_stale in models:
+        asg_j = _scoped_persist(asg_loaded.select("vec_id", "cid"))
+        touched = _scoped_persist(
+            asg_j.join(dead, "vec_id").select("cid").distinct()
+        )
+        alive = asg_j.join(dead, "vec_id", "left_anti")
+        refit = _scoped_persist(alive.join(F.broadcast(touched), "cid"))
+        vec_j = _as_double_vec(
+            emb.select(
+                "vec_id", F.slice(F.col("embedding"), j * per + 1, per).alias("sub")
+            ),
+            "vec_id",
+            "sub",
+        )
+        cent_refit = _update(vec_j, refit, cent_stale)
+        emptied = touched.join(
+            refit.select("cid").distinct(), "cid", "left_anti"
+        )
+        cent_fresh = cent_refit.join(F.broadcast(emptied), "cid", "left_anti")
+        fresh_cents.append((j, None, cent_fresh))
+
+        re_routed = _assign(
+            vec_j.join(refit.select("vec_id"), "vec_id"), cent_fresh
+        ).select("vec_id", "cid")
+        codes_fresh = alive.join(
+            F.broadcast(touched), "cid", "left_anti"
+        ).unionByName(re_routed)
+        rerouted = re_routed.join(
+            asg_j.select("vec_id", F.col("cid").alias("old_cid")), "vec_id"
+        ).filter(F.col("cid") != F.col("old_cid"))
+
+        sub = F.lit(j).alias("sub")
+        tj = touched.select(sub, "cid")
+        rj = refit.select(sub, "vec_id")
+        cj = codes_fresh.select(sub, "vec_id")
+        xj = rerouted.select(sub, "vec_id")
+        touched_u = tj if touched_u is None else touched_u.unionByName(tj)
+        refit_u = rj if refit_u is None else refit_u.unionByName(rj)
+        fresh_codes_u = cj if fresh_codes_u is None else fresh_codes_u.unionByName(cj)
+        rerouted_u = xj if rerouted_u is None else rerouted_u.unionByName(xj)
+
+    if write_fresh:
+        save_pq_model(fresh_cents, fresh_path)
+    fresh_stored = spark.read.parquet(fresh_path).select("sub", "cid", "cvec")
+    stale_stored = spark.read.parquet(stale_path).select("sub", "cid", "cvec")
+
+    touched_u = _scoped_persist(touched_u)
+    frozen = (
+        stale_stored.join(touched_u, ["sub", "cid"], "left_anti")
+        .join(
+            fresh_stored.withColumnRenamed("cvec", "fvec"), ["sub", "cid"], "left"
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.coalesce(
+                        (F.col("cvec") == F.col("fvec")).cast("boolean"),
+                        F.lit(False),
+                    )
+                ),
+                F.lit(True),
+            ).alias("frozen_codes_unchanged")
+        )
+    )
+    refit_fp = (
+        fresh_stored.join(touched_u, ["sub", "cid"])
+        .select(F.explode("cvec").alias("val"))
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("val") * F.lit(1000000.0))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("refit_code_micro_sum")
+        )
+    )
+    out = (
+        _count1(dead, "n_tombstones")
+        .crossJoin(F.broadcast(_count1(stale_stored, "n_codebook_entries")))
+        .crossJoin(F.broadcast(_count1(touched_u, "n_touched_entries")))
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    stale_stored.join(
+                        fresh_stored.select("sub", "cid", F.lit(1).alias("_f")),
+                        ["sub", "cid"],
+                        "left_anti",
+                    ),
+                    "n_entries_dropped",
+                )
+            )
+        )
+        .crossJoin(F.broadcast(_count1(refit_u, "n_refit_codes")))
+        .crossJoin(F.broadcast(_count1(rerouted_u, "n_rerouted_codes")))
+        .crossJoin(
+            F.broadcast(
+                _count1(
+                    fresh_codes_u.join(
+                        dead.select(F.col("vec_id")), "vec_id"
+                    ),
+                    "n_tombstones_in_codes_after",
+                )
+            )
+        )
+        .crossJoin(F.broadcast(frozen))
+        .crossJoin(F.broadcast(refit_fp))
+    )
+    return out
+
+
+def _pq_forget_oracle_sql() -> str:
+    from .pq import DIMS, M_SUBS, PQ_ITERS, _pq_ctes
+    from .similarity import VALID_EMB_PRED_SQL
+
+    per = DIMS // M_SUBS
+    last = PQ_ITERS - 1
+    fixed = (
+        "CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5)"
+        " AS DECIMAL(38,0))"
+    )
+    # train on the validity-FILTERED corpus: the Spark side's
+    # fitted_pq_model trains on load_embeddings, and this oracle's COUNT
+    # columns must mirror it exactly (the raw table's NULL vectors would
+    # claim init slots and shrink the codebooks — caught by the 20%-NULL
+    # hostile probe)
+    ctes, _codes, _qd = _pq_ctes(
+        src=f"(SELECT * FROM embeddings WHERE {VALID_EMB_PRED_SQL})"
+    )
+    ctes.append(
+        f"deadv AS (SELECT vec_id FROM embeddings"
+        f" WHERE ({DELETED_VEC_PRED}) AND {VALID_EMB_PRED_SQL})"
+    )
+    for j in range(M_SUBS):
+        lo, hi = j * per + 1, (j + 1) * per
+        a = f"aP{j}_{last}"
+        cd = f"cdP{j}_{last}"
+        ctes += [
+            f"tj{j} AS (SELECT DISTINCT cid FROM {a}"
+            f" WHERE vec_id IN (SELECT vec_id FROM deadv))",
+            f"al{j} AS (SELECT vec_id, cid FROM {a}"
+            f" WHERE vec_id NOT IN (SELECT vec_id FROM deadv))",
+            f"rm{j} AS (SELECT vec_id, cid FROM al{j}"
+            f" WHERE cid IN (SELECT cid FROM tj{j}))",
+            f"em{j} AS (SELECT cid FROM tj{j}"
+            f" WHERE cid NOT IN (SELECT DISTINCT cid FROM rm{j}))",
+            f"mh{j} AS (SELECT a.cid, v.pos,"
+            f" CAST(SUM(CAST(floor(v.val * 1e12 + 0.5) AS DECIMAL(38,0)))"
+            f" AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS val"
+            f" FROM vdims v JOIN rm{j} a USING (vec_id)"
+            f" WHERE v.pos BETWEEN {lo} AND {hi} GROUP BY 1, 2)",
+            f"cdf{j} AS (SELECT cd.cid, cd.pos, COALESCE(m.val, cd.val)"
+            f" AS val FROM {cd} cd LEFT JOIN mh{j} m"
+            f" ON m.cid = cd.cid AND m.pos = cd.pos"
+            f" WHERE cd.cid NOT IN (SELECT cid FROM em{j}))",
+            f"dref{j} AS (SELECT v.vec_id, c.cid, SUM({fixed}) AS dist"
+            f" FROM vdims v JOIN cdf{j} c USING (pos)"
+            f" WHERE v.vec_id IN (SELECT vec_id FROM rm{j}) GROUP BY 1, 2)",
+            f"aref{j} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+            f" AS rn FROM dref{j}) WHERE rn = 1)",
+            f"cf{j} AS (SELECT vec_id, cid FROM al{j}"
+            f" WHERE cid NOT IN (SELECT cid FROM tj{j})"
+            f" UNION ALL SELECT vec_id, cid FROM aref{j})",
+            f"rr{j} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aref{j} r"
+            f" JOIN al{j} o USING (vec_id) WHERE r.cid <> o.cid)",
+            f"rfp{j} AS (SELECT COALESCE(SUM(CAST(floor(val * 1000000.0)"
+            f" AS BIGINT)), 0) AS s FROM cdf{j}"
+            f" WHERE cid IN (SELECT cid FROM tj{j}))",
+        ]
+
+    def total(tpl: str) -> str:
+        return " + ".join(tpl.format(j=j) for j in range(M_SUBS))
+
+    t_cd = total("(SELECT COUNT(DISTINCT cid) FROM cdP{j}_" + str(last) + ")")
+    t_tj = total("(SELECT COUNT(*) FROM tj{j})")
+    t_em = total("(SELECT COUNT(*) FROM em{j})")
+    t_rm = total("(SELECT COUNT(*) FROM rm{j})")
+    t_rr = total("(SELECT n FROM rr{j})")
+    t_cf = total(
+        "(SELECT COUNT(*) FROM cf{j}"
+        " WHERE vec_id IN (SELECT vec_id FROM deadv))"
+    )
+    t_fp = total("(SELECT s FROM rfp{j})")
+    ctes.append(
+        "m AS (SELECT"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM deadv) AS n_tombstones,"
+        f" CAST({t_cd} AS BIGINT) AS n_codebook_entries,"
+        f" CAST({t_tj} AS BIGINT) AS n_touched_entries,"
+        f" CAST({t_em} AS BIGINT) AS n_entries_dropped,"
+        f" CAST({t_rm} AS BIGINT) AS n_refit_codes,"
+        f" CAST({t_rr} AS BIGINT) AS n_rerouted_codes,"
+        f" CAST({t_cf} AS BIGINT) AS n_tombstones_in_codes_after,"
+        " TRUE AS frozen_codes_unchanged,"
+        f" CAST({t_fp} AS BIGINT) AS refit_code_micro_sum)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM m"
+
+
+@register(
+    "deletion_propagation_pq_model",
+    "ext:similarity,A3-ext,V4-analog",
+    "Right-to-be-forgotten sweep over the PERSISTED PQ CODEBOOKS — the "
+    "codebook half of the frozen-model surface (r10 verdict task #1 names "
+    "'centroids/codebooks'; deletion_propagation_ann_model covers the "
+    f"coarse centroids): tombstoned vectors ({DELETED_VEC_PRED}) leave "
+    "every subspace's code table, each TOUCHED codebook entry re-centers "
+    "to the fixed-point mean of its surviving members' subvectors (the "
+    "same hot-cell partial m-step, per subspace), a fully-emptied entry "
+    "is DROPPED from the persisted model, untouched entries round-trip "
+    "the two physical parquet models byte-identically "
+    "(frozen_codes_unchanged — NULL-safe, a writer that loses an entry "
+    "flips it red), and only touched entries' survivors re-encode in "
+    "their subspace — O(touched mass) per subspace, never a retrain. "
+    "n_tombstones_in_codes_after MUST be 0 and refit_code_micro_sum "
+    "fingerprints the refreshed persisted codebooks against the oracle's "
+    "survivor-mean replay. The oracle regenerates all M per-subspace "
+    "trainings, sweeps, partial refits and re-encodes end-to-end in SQL.",
+    oracle=_pq_forget_oracle_sql(),
+)
+def deletion_propagation_pq_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .lake import _lake_path
+    from .pq import DIMS, fitted_pq_model
+    from .similarity import load_embeddings
+
+    stale_path = _lake_path(sf_dir, "pq_model_stale")
+    fresh_path = _lake_path(sf_dir, "pq_model_forget")
+    emb = load_embeddings(spark, sf_dir)
+    if stale_path not in _FORGET_PQ_MODELS:
+        from ..operators.model_store import save_pq_model
+
+        save_pq_model(fitted_pq_model(spark, sf_dir), stale_path)
+        _FORGET_PQ_MODELS.add(stale_path)
+    write_fresh = fresh_path not in _FORGET_PQ_MODELS
+    _FORGET_PQ_MODELS.add(fresh_path)
+    return ordered_small(
+        pq_model_sweep_frames(
+            spark, emb, stale_path, fresh_path, DELETED_VEC_PRED,
+            write_fresh, dims=DIMS,
+        ),
+        "n_tombstones",
+    )

@@ -47,20 +47,27 @@ def fitted_pq_model(spark: SparkSession, sf_dir: str) -> PqModel:
 _FIXED = "CAST(floor((v.val-c.val)*(v.val-c.val)*1e12 + 0.5) AS DECIMAL(38,0))"
 
 
-def _pq_ctes(include_vdims: bool = True) -> tuple[list[str], list[str], list[str]]:
+def _pq_ctes(
+    include_vdims: bool = True, src: str = "embeddings"
+) -> tuple[list[str], list[str], list[str]]:
     """The PQ training/encoding/query-distance pipeline as DuckDB CTEs.
     Returns (ctes, per-subspace code CTE names, per-subspace query-distance
     CTE names) so composite oracles (IVF-PQ) can reuse the same trained
-    codebooks with extra routing CTEs layered on top."""
+    codebooks with extra routing CTEs layered on top. ``src`` overrides the
+    training relation — oracles whose COUNTS must mirror the Spark side's
+    validity-filtered corpus exactly (the PQ deletion sweep) pass the
+    filtered subquery; the search oracles keep the raw table (a NULL
+    vector unnests to zero dims and falls out of every distance anyway)."""
     per = DIMS // M_SUBS
     ctes = [
-        "vdims AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
-        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)",
+        f"vdims AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
+        f" CAST(unnest(embedding) AS DOUBLE) AS val FROM {src} AS e0)",
         f"cdinit AS (SELECT vec_id AS cid, generate_subscripts(embedding,1)"
         f" AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM"
-        f" (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+        f" (SELECT vec_id, embedding FROM {src} AS e1 ORDER BY vec_id"
         f" LIMIT {PQ_K}))",
-        f"q AS (SELECT vec_id AS query_id FROM embeddings WHERE {_QUERY_PRED})",
+        f"q AS (SELECT vec_id AS query_id FROM {src} AS e2"
+        f" WHERE {_QUERY_PRED})",
     ]
     if not include_vdims:
         ctes = ctes[1:]  # composite oracles already define vdims

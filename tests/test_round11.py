@@ -592,3 +592,21 @@ def test_multiword_pigeonhole_rejects_wide_blocks(spark):
     ).collect()
     assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 1)]
     release_scoped_caches()
+
+
+def test_pq_model_sweep_driver_corpus_invariants(spark, sf_dir):
+    """PQ-codebook sweep on the driver corpus: tombstones present, no
+    tombstone survives in any subspace's fresh code table, untouched
+    codebook entries round-trip byte-identically, nothing dropped (no
+    cell empties at 1% deletion), refit bounded below the corpus size."""
+    from notion_timetracking_etl_spark.queries.registry import REGISTRY
+    from notion_timetracking_etl_spark.queries.pq import M_SUBS, PQ_K
+
+    r = REGISTRY["deletion_propagation_pq_model"].spark(spark, sf_dir).collect()[0]
+    assert r["n_tombstones"] > 0
+    assert r["n_codebook_entries"] == M_SUBS * PQ_K
+    assert 0 < r["n_touched_entries"] <= M_SUBS * PQ_K
+    assert r["n_entries_dropped"] == 0
+    assert r["n_tombstones_in_codes_after"] == 0
+    assert r["frozen_codes_unchanged"] is True
+    assert r["n_refit_codes"] < M_SUBS * 500  # touched mass, not a retrain
