@@ -640,3 +640,466 @@ def corpus_shard_route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL compaction apply: the daily shape of lake maintenance — an
+# arriving batch lands as new small files and the apply rewrites ONLY the
+# tail bin per source, never the settled bins. Correctness rides the PREFIX
+# PROPERTY of running-byte-total packing: a file's bin id depends only on
+# the bytes BEFORE it within its source, so appending arrival files can
+# never change a base file's bin — the incremental stitch (untouched base
+# bins + one tail rewrite) provably equals a full repack over the ordered
+# file list, and the query checks that equality per bin against the
+# physical stitched read.
+# ---------------------------------------------------------------------------
+
+_COMPACT_INCR_LAKES: set[str] = set()
+
+COMPACT_ARRIVAL_PRED = "doc_id % 10 = 9"  # the established ingest split
+
+
+def _incr_paths(sf_dir: str) -> tuple[str, str, str, str]:
+    from .lake import _lake_path
+
+    return (
+        _lake_path(sf_dir, "docs_small_base"),
+        _lake_path(sf_dir, "docs_small_arrivals"),
+        _lake_path(sf_dir, "docs_compacted_base"),
+        _lake_path(sf_dir, "docs_compacted_incr"),
+    )
+
+
+def _full_file_plan(files_all: DataFrame) -> DataFrame:
+    """(source, in_file, is_arrival, bin_id): the running-byte-total plan
+    over the ORDERED file list (base files first — arrival in_file ids are
+    offset past the base count, so one window covers both)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("in_file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        files_all.withColumn("running", F.sum("fb").over(w))
+        .select(
+            "source",
+            "in_file",
+            "is_arrival",
+            F.expr(f"(running - fb) div {APPLY_TARGET_BYTES}")
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )
+
+
+def incremental_compaction_lakes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(base_small, arrivals_small, base_compacted, rewrite) physical
+    reads. First use per process writes the whole scenario: the BASE
+    small-file lake and its compacted form (the settled state), the
+    ARRIVAL small files (doc_id % 10 = 9, ingest-file ids offset past the
+    base count per source), and the incremental REWRITE — only the bins at
+    or past each source's first-arrival bin (at most the base tail bin
+    plus new bins) are written; settled bins are never rewritten."""
+    base_small_p, arr_small_p, base_comp_p, rewrite_p = _incr_paths(sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars", "source"
+    )
+    is_arr = F.expr(COMPACT_ARRIVAL_PRED)
+    base = _docs_with_infile(docs.filter(~is_arr))
+    base_schema = base.schema
+    comp_schema = base.drop("in_file").withColumn(
+        "bin_id", F.lit(0).cast("bigint")
+    ).schema
+
+    if base_small_p not in _COMPACT_INCR_LAKES:
+        write_partitioned_lake(
+            base, base_small_p, ["source", "in_file"], sort_cols=["doc_id"]
+        )
+        base_read = spark.read.schema(base_schema).parquet(base_small_p)
+        files_b = base_read.groupBy("source", "in_file").agg(
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("fb")
+        )
+        plan_b = compaction_bin_plan(files_b).select(
+            F.col("source").alias("p_source"),
+            F.col("in_file").alias("p_in_file"),
+            "bin_id",
+        )
+        base_comp = (
+            base_read.join(
+                F.broadcast(plan_b),
+                F.col("source").eqNullSafe(F.col("p_source"))
+                & (F.col("in_file") == F.col("p_in_file")),
+            )
+            .drop("p_source", "p_in_file", "in_file")
+        )
+        write_partitioned_lake(
+            base_comp, base_comp_p, ["source", "bin_id"], sort_cols=["doc_id"]
+        )
+
+        # arrival ingest files: per-source ranks offset past the base count
+        n_base_files = files_b.groupBy("source").agg(
+            F.countDistinct("in_file").alias("nbf")
+        )
+        wa = Window.partitionBy("source").orderBy("doc_id")
+        arrivals = (
+            docs.filter(is_arr)
+            .withColumn(
+                "arr_rank",
+                ((F.row_number().over(wa) - 1) / F.lit(ROWS_PER_INFILE))
+                .cast("bigint"),
+            )
+            .join(
+                F.broadcast(
+                    n_base_files.select(
+                        F.col("source").alias("b_source"), "nbf"
+                    )
+                ),
+                F.col("source").eqNullSafe(F.col("b_source")),
+                "left",
+            )
+            .select(
+                "doc_id",
+                "text",
+                "lang",
+                "n_chars",
+                "source",
+                (F.coalesce(F.col("nbf"), F.lit(0)) + F.col("arr_rank"))
+                .cast("bigint")
+                .alias("in_file"),
+            )
+        )
+        write_partitioned_lake(
+            arrivals, arr_small_p, ["source", "in_file"], sort_cols=["doc_id"]
+        )
+        arr_read = spark.read.schema(base_schema).parquet(arr_small_p)
+
+        # the FULL plan over the ordered file list; prefix property => base
+        # files keep their base bins, arrivals land at/past the tail bin
+        files_a = arr_read.groupBy("source", "in_file").agg(
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("fb")
+        )
+        files_all = files_b.withColumn(
+            "is_arrival", F.lit(False)
+        ).unionByName(files_a.withColumn("is_arrival", F.lit(True)))
+        plan_all = _full_file_plan(files_all)
+        fab = plan_all.filter(F.col("is_arrival")).groupBy("source").agg(
+            F.min("bin_id").alias("first_arr_bin")
+        )
+
+        # rewrite input: tail-bin docs from the PHYSICAL base compacted
+        # lake + arrival docs, binned by the full plan
+        base_comp_read = spark.read.schema(comp_schema).parquet(base_comp_p)
+        fab_b = F.broadcast(
+            fab.select(F.col("source").alias("f_source"), "first_arr_bin")
+        )
+        touched_docs = (
+            base_comp_read.join(
+                fab_b, F.col("source").eqNullSafe(F.col("f_source")), "inner"
+            )
+            .filter(F.col("bin_id") >= F.col("first_arr_bin"))
+            .drop("f_source", "first_arr_bin", "bin_id")
+            .withColumn("_arr", F.lit(False))
+        )
+        arr_docs = arr_read.drop("in_file").withColumn("_arr", F.lit(True))
+        # re-derive each rewrite doc's file id (base docs: their base file;
+        # arrivals: their arrival file) to join the full plan for bins. The
+        # base tail docs' in_file comes from the base small-lake derivation
+        # (per-source rank), restricted to the touched docs by id.
+        touched_with_file = touched_docs.drop("_arr").join(
+            base_read.select(
+                F.col("doc_id").alias("t_doc"), F.col("in_file")
+            ),
+            F.col("doc_id") == F.col("t_doc"),
+        ).drop("t_doc")
+        rewrite_in = touched_with_file.unionByName(
+            arr_read
+        )
+        plan_r = plan_all.select(
+            F.col("source").alias("p_source"),
+            F.col("in_file").alias("p_in_file"),
+            "bin_id",
+        )
+        rewrite = (
+            rewrite_in.join(
+                F.broadcast(plan_r),
+                F.col("source").eqNullSafe(F.col("p_source"))
+                & (F.col("in_file") == F.col("p_in_file")),
+            )
+            .drop("p_source", "p_in_file", "in_file")
+        )
+        write_partitioned_lake(
+            rewrite, rewrite_p, ["source", "bin_id"], sort_cols=["doc_id"]
+        )
+        _COMPACT_INCR_LAKES.add(base_small_p)
+
+    return (
+        spark.read.schema(base_schema).parquet(base_small_p),
+        spark.read.schema(base_schema).parquet(arr_small_p),
+        spark.read.schema(comp_schema).parquet(base_comp_p),
+        spark.read.schema(comp_schema).parquet(rewrite_p),
+    )
+
+
+def _incr_oracle_sql() -> str:
+    r = ROWS_PER_INFILE
+    t = APPLY_TARGET_BYTES
+    rh_b = _ROW_HASH_SQL
+    return f"""
+        WITH b AS (
+          SELECT source, doc_id,
+                 CAST(COALESCE(n_chars, 0) AS BIGINT) AS nb,
+                 {rh_b} AS rh,
+                 CAST((ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY doc_id) - 1) // {r} AS BIGINT) AS in_file,
+                 FALSE AS is_arrival
+          FROM documents WHERE NOT ({COMPACT_ARRIVAL_PRED})
+        ),
+        nbf AS (SELECT source, CAST(COUNT(DISTINCT in_file) AS BIGINT)
+                  AS nbf FROM b GROUP BY source),
+        arr AS (
+          SELECT d.source, d.doc_id,
+                 CAST(COALESCE(d.n_chars, 0) AS BIGINT) AS nb,
+                 {rh_b.replace("doc_id", "d.doc_id").replace("text", "d.text")} AS rh,
+                 CAST(COALESCE(f.nbf, 0)
+                      + (ROW_NUMBER() OVER (PARTITION BY d.source
+                         ORDER BY d.doc_id) - 1) // {r} AS BIGINT) AS in_file,
+                 TRUE AS is_arrival
+          FROM documents d
+          LEFT JOIN nbf f ON f.source IS NOT DISTINCT FROM d.source
+          WHERE {COMPACT_ARRIVAL_PRED.replace("doc_id", "d.doc_id")}
+        ),
+        allf AS (SELECT * FROM b UNION ALL SELECT * FROM arr),
+        files AS (
+          SELECT source, in_file, is_arrival, CAST(SUM(nb) AS BIGINT) AS fb
+          FROM allf GROUP BY source, in_file, is_arrival
+        ),
+        plan AS (
+          SELECT source, in_file, is_arrival,
+                 CAST((SUM(fb) OVER (PARTITION BY source ORDER BY in_file
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - fb) // {t} AS BIGINT) AS bin_id
+          FROM files
+        ),
+        fab AS (
+          SELECT source, MIN(bin_id) AS fab FROM plan
+          WHERE is_arrival GROUP BY source
+        ),
+        m AS (
+          SELECT p.source,
+                 coalesce(p.source, chr(0) || '<null>') AS gk,
+                 CAST(COUNT(DISTINCT CASE WHEN NOT p.is_arrival
+                      THEN p.in_file END) AS BIGINT) AS n_base_files,
+                 CAST(COUNT(DISTINCT CASE WHEN p.is_arrival
+                      THEN p.in_file END) AS BIGINT) AS n_arrival_files,
+                 CAST(COUNT(DISTINCT CASE WHEN NOT p.is_arrival
+                      THEN p.bin_id END) AS BIGINT) AS n_base_bins,
+                 CAST(COUNT(DISTINCT CASE WHEN NOT p.is_arrival
+                      AND p.bin_id >= f.fab THEN p.bin_id END) AS BIGINT)
+                   AS n_touched_base_bins,
+                 CAST(COUNT(DISTINCT CASE WHEN p.bin_id >= f.fab
+                      THEN p.bin_id END) AS BIGINT) AS n_new_bins,
+                 CAST(COUNT(DISTINCT CASE WHEN NOT p.is_arrival
+                        AND (f.fab IS NULL OR p.bin_id < f.fab)
+                        THEN p.bin_id END)
+                      + COUNT(DISTINCT CASE WHEN p.bin_id >= f.fab
+                        THEN p.bin_id END) AS BIGINT) AS n_bins_after
+          FROM plan p
+          LEFT JOIN fab f ON f.source IS NOT DISTINCT FROM p.source
+          GROUP BY p.source
+        )
+        SELECT source, n_base_files, n_arrival_files, n_base_bins,
+               n_touched_base_bins, n_new_bins, n_bins_after,
+               TRUE AS content_equal,
+               TRUE AS matches_full_repack
+        FROM m
+        ORDER BY source
+    """
+
+
+@register(
+    "lake_compaction_apply_incremental",
+    "W-ext-scan,A3,S6-analog,V4-analog",
+    "INCREMENTAL compaction apply — the daily shape of lake maintenance "
+    "(the batch-ingest twin of lake_compaction_apply, same class as the "
+    "incremental dedup/shard-route gates): an arriving batch "
+    f"({COMPACT_ARRIVAL_PRED}) lands as new physical small files whose "
+    "ingest-file ids continue past each source's settled files, and the "
+    "apply rewrites ONLY the bins at or past each source's first-arrival "
+    "bin — at most the one under-filled tail bin plus new bins; settled "
+    "bins are NEVER rewritten. Correctness rides the PREFIX property of "
+    "running-byte-total packing (a file's bin depends only on the bytes "
+    "before it in its source, so appends cannot move a settled file): "
+    "matches_full_repack compares per-bin hashed fingerprints of the "
+    "physical stitched read (untouched settled bins + the rewrite) "
+    "against a from-scratch repack over the ordered file list, and "
+    "content_equal proves no row was lost or duplicated (count + bit_xor "
+    "of the 56-bit sha256 row hash per source). n_touched_base_bins <= 1 "
+    "per source is the efficiency claim. NULL sources ride null-safe "
+    "joins end-to-end; the oracle replays ingest-file assignment, the "
+    "full plan, the touch boundary and every count from the raw "
+    "documents view.",
+    oracle=_incr_oracle_sql(),
+)
+def lake_compaction_apply_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    gk = F.coalesce(F.col("source"), F.lit("\x00<null>")).alias("gk")
+    base_small, arr_small, base_comp, rewrite = incremental_compaction_lakes(
+        spark, sf_dir
+    )
+    files_b = base_small.groupBy("source", "in_file").agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("fb")
+    )
+    files_a = arr_small.groupBy("source", "in_file").agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("fb")
+    )
+    files_all = files_b.withColumn("is_arrival", F.lit(False)).unionByName(
+        files_a.withColumn("is_arrival", F.lit(True))
+    )
+    plan_all = _full_file_plan(files_all)
+    fab = plan_all.filter(F.col("is_arrival")).groupBy("source").agg(
+        F.min("bin_id").alias("fab")
+    )
+    fab_b = F.broadcast(
+        fab.select(F.col("source").alias("f_source"), "fab")
+    )
+
+    # logical per-source file/bin facts
+    facts = (
+        plan_all.join(
+            fab_b, F.col("source").eqNullSafe(F.col("f_source")), "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct(
+                F.when(~F.col("is_arrival"), F.col("in_file"))
+            ).cast("bigint").alias("n_base_files"),
+            F.countDistinct(
+                F.when(F.col("is_arrival"), F.col("in_file"))
+            ).cast("bigint").alias("n_arrival_files"),
+            F.countDistinct(
+                F.when(~F.col("is_arrival"), F.col("bin_id"))
+            ).cast("bigint").alias("n_base_bins"),
+            F.countDistinct(
+                F.when(
+                    ~F.col("is_arrival") & (F.col("bin_id") >= F.col("fab")),
+                    F.col("bin_id"),
+                )
+            ).cast("bigint").alias("n_touched_base_bins"),
+        )
+        .select(gk, "source", "n_base_files", "n_arrival_files",
+                "n_base_bins", "n_touched_base_bins")
+    )
+
+    # physical stitched read: settled bins below the touch boundary + the
+    # rewrite output
+    untouched = (
+        base_comp.join(
+            fab_b, F.col("source").eqNullSafe(F.col("f_source")), "left"
+        )
+        .filter(F.col("fab").isNull() | (F.col("bin_id") < F.col("fab")))
+        .drop("f_source", "fab")
+    )
+    stitched = untouched.unionByName(rewrite)
+
+    phys = stitched.groupBy("source").agg(
+        F.countDistinct("bin_id").cast("bigint").alias("n_bins_after")
+    ).select(gk, "n_bins_after")
+    new_bins = rewrite.groupBy("source").agg(
+        F.countDistinct("bin_id").cast("bigint").alias("n_new_bins")
+    ).select(gk, "n_new_bins")
+
+    def src_fp(df: DataFrame, n: str, x: str) -> DataFrame:
+        return (
+            df.withColumn("rh", _row_hash_col())
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n),
+                F.expr("bit_xor(rh)").cast("bigint").alias(x),
+            )
+            .select(gk, n, x)
+        )
+
+    small_fp = src_fp(
+        base_small.drop("in_file").unionByName(arr_small.drop("in_file")),
+        "s_n",
+        "s_x",
+    )
+    stitched_fp = src_fp(stitched.drop("bin_id"), "t_n", "t_x")
+
+    # per-bin fingerprints: physical stitched vs the logical full repack
+    docs_binned = (
+        base_small.unionByName(arr_small)
+        .join(
+            plan_all.select(
+                F.col("source").alias("p_source"),
+                F.col("in_file").alias("p_in_file"),
+                F.col("bin_id").alias("l_bin"),
+            ),
+            F.col("source").eqNullSafe(F.col("p_source"))
+            & (F.col("in_file") == F.col("p_in_file")),
+        )
+        .drop("p_source", "p_in_file", "in_file")
+    )
+
+    def bin_fp(df: DataFrame, bin_col: str, n: str, x: str) -> DataFrame:
+        return (
+            df.withColumn("rh", _row_hash_col())
+            .groupBy("source", bin_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n),
+                F.expr("bit_xor(rh)").cast("bigint").alias(x),
+            )
+            .select(gk, F.col(bin_col).alias("b"), n, x)
+        )
+
+    lb = bin_fp(docs_binned, "l_bin", "l_n", "l_x")
+    pb = bin_fp(stitched, "bin_id", "p_n", "p_x")
+    repack_ok = (
+        lb.join(pb, ["gk", "b"], "full_outer")
+        .groupBy("gk")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.coalesce(
+                        (F.col("l_n") == F.col("p_n"))
+                        & F.col("l_x").eqNullSafe(F.col("p_x")),
+                        F.lit(False),
+                    )
+                ),
+                F.lit(True),
+            ).alias("matches_full_repack")
+        )
+    )
+
+    return (
+        facts.join(new_bins, "gk", "left")
+        .join(phys, "gk", "left")
+        .join(small_fp, "gk", "left")
+        .join(stitched_fp, "gk", "left")
+        .join(repack_ok, "gk", "left")
+        .select(
+            "source",
+            "n_base_files",
+            "n_arrival_files",
+            "n_base_bins",
+            "n_touched_base_bins",
+            F.coalesce(F.col("n_new_bins"), F.lit(0))
+            .cast("bigint")
+            .alias("n_new_bins"),
+            F.coalesce(F.col("n_bins_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bins_after"),
+            F.coalesce(
+                (F.col("s_n") == F.col("t_n"))
+                & F.col("s_x").eqNullSafe(F.col("t_x")),
+                F.lit(False),
+            ).alias("content_equal"),
+            F.coalesce(F.col("matches_full_repack"), F.lit(False)).alias(
+                "matches_full_repack"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -610,3 +610,30 @@ def test_pq_model_sweep_driver_corpus_invariants(spark, sf_dir):
     assert r["n_tombstones_in_codes_after"] == 0
     assert r["frozen_codes_unchanged"] is True
     assert r["n_refit_codes"] < M_SUBS * 500  # touched mass, not a retrain
+
+
+def test_incremental_compaction_touches_at_most_tail_bin(spark, sf_dir):
+    """The incremental apply's efficiency and correctness claims: per
+    source at most ONE settled bin is rewritten (the under-filled tail),
+    the stitched lake fingerprints equal to the small lakes and matches a
+    from-scratch repack per bin, and physically the rewrite wrote far
+    fewer bins than the stitched total."""
+    from notion_timetracking_etl_spark.queries.registry import REGISTRY
+
+    rows = (
+        REGISTRY["lake_compaction_apply_incremental"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_touched_base_bins"] <= 1, r
+        assert r["content_equal"] is True, r
+        assert r["matches_full_repack"] is True, r
+        # a source with no arrivals must be entirely untouched
+        if r["n_arrival_files"] == 0:
+            assert r["n_touched_base_bins"] == 0 and r["n_new_bins"] == 0, r
+    assert sum(r["n_arrival_files"] for r in rows) >= 1
+    assert sum(r["n_new_bins"] for r in rows) < sum(
+        r["n_bins_after"] for r in rows
+    )
