@@ -55,6 +55,10 @@ def load_kmeans_model(
 def save_pq_model(models: PqModel, path: str) -> None:
     """Freeze PQ codebooks: M subspace centroid tables union to one parquet
     of (sub, cid, cvec) — M x k rows."""
+    if not models:
+        raise ValueError(
+            "save_pq_model: refusing to persist a zero-subspace PQ model"
+        )
     parts = [
         cent.select(F.lit(j).alias("sub"), "cid", "cvec")
         for j, _asg, cent in models

@@ -57,6 +57,14 @@ def pq_fit(
 
 def pq_codes(models: PqModel) -> DataFrame:
     """(vec_id, sub, code, dist) — the encoded corpus, M rows per vector."""
+    if not models:
+        # honor load_pq_model's zero-subspace contract with a diagnosable
+        # error instead of an IndexError (r11 review): there is nothing to
+        # encode against
+        raise ValueError(
+            "pq_codes: PQ model has zero subspaces (trained on an empty "
+            "corpus?) — nothing to encode against"
+        )
     parts = [
         asg.select(
             "vec_id",

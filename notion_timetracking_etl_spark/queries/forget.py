@@ -1380,8 +1380,10 @@ def pq_model_sweep_frames(
     m = len(models)
     per = dims // m
 
-    touched_u = refit_u = fresh_codes_u = rerouted_u = None
+    # pass 1 (per subspace): sweep sets + the partial refit that produces
+    # the fresh codebooks to PERSIST
     fresh_cents = []
+    state = []
     for j, asg_loaded, cent_stale in models:
         asg_j = _scoped_persist(asg_loaded.select("vec_id", "cid"))
         touched = _scoped_persist(
@@ -1402,9 +1404,25 @@ def pq_model_sweep_frames(
         )
         cent_fresh = cent_refit.join(F.broadcast(emptied), "cid", "left_anti")
         fresh_cents.append((j, None, cent_fresh))
+        state.append((j, asg_j, touched, alive, refit, vec_j))
 
+    if write_fresh:
+        save_pq_model(fresh_cents, fresh_path)
+    fresh_stored = spark.read.parquet(fresh_path).select("sub", "cid", "cvec")
+    stale_stored = spark.read.parquet(stale_path).select("sub", "cid", "cvec")
+
+    # pass 2 (per subspace): re-encode touched survivors against the
+    # just-PERSISTED fresh codebooks (k rows each) — the re-route counts
+    # are then evidence of the physical artifact, and the refit lineage
+    # is never evaluated a second time (the ann twin's design; r11 second
+    # review pass)
+    touched_u = refit_u = fresh_codes_u = rerouted_u = None
+    for j, asg_j, touched, alive, refit, vec_j in state:
+        cent_fresh_j = fresh_stored.filter(F.col("sub") == j).select(
+            "cid", "cvec"
+        )
         re_routed = _assign(
-            vec_j.join(refit.select("vec_id"), "vec_id"), cent_fresh
+            vec_j.join(refit.select("vec_id"), "vec_id"), cent_fresh_j
         ).select("vec_id", "cid")
         codes_fresh = alive.join(
             F.broadcast(touched), "cid", "left_anti"
@@ -1422,11 +1440,6 @@ def pq_model_sweep_frames(
         refit_u = rj if refit_u is None else refit_u.unionByName(rj)
         fresh_codes_u = cj if fresh_codes_u is None else fresh_codes_u.unionByName(cj)
         rerouted_u = xj if rerouted_u is None else rerouted_u.unionByName(xj)
-
-    if write_fresh:
-        save_pq_model(fresh_cents, fresh_path)
-    fresh_stored = spark.read.parquet(fresh_path).select("sub", "cid", "cvec")
-    stale_stored = spark.read.parquet(stale_path).select("sub", "cid", "cvec")
 
     touched_u = _scoped_persist(touched_u)
     frozen = (

@@ -228,13 +228,18 @@ def _docs_with_infile(docs: DataFrame) -> DataFrame:
     )
 
 
-def compaction_bin_plan(files: DataFrame) -> DataFrame:
-    """(source, in_file, bin_id): first-fit packing of whole input files, in
-    in_file order, into output bins of ~APPLY_TARGET_BYTES — the same
-    running-byte-total arithmetic as lake_compaction_plan, at FILE
-    granularity (the unit the rewrite moves). ``files`` carries (source,
-    in_file, fb); metadata-scale input, exactly what OPTIMIZE planners
-    consume."""
+def compaction_bin_plan(
+    files: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """(source, in_file, bin_id [, passthrough...]): first-fit packing of
+    whole input files, in in_file order, into output bins of
+    ~APPLY_TARGET_BYTES — the same running-byte-total arithmetic as
+    lake_compaction_plan, at FILE granularity (the unit the rewrite
+    moves). ``files`` carries (source, in_file, fb); metadata-scale input,
+    exactly what OPTIMIZE planners consume. ``passthrough`` carries extra
+    file columns into the plan unchanged (the incremental apply's
+    ``is_arrival`` marker) — ONE copy of the bucketing arithmetic serves
+    both apply passes."""
     w = (
         Window.partitionBy("source")
         .orderBy("in_file")
@@ -247,6 +252,7 @@ def compaction_bin_plan(files: DataFrame) -> DataFrame:
         .select(
             "source",
             "in_file",
+            *passthrough,
             F.expr(f"(running - fb) div {APPLY_TARGET_BYTES}")
             .cast("bigint")
             .alias("bin_id"),
@@ -673,23 +679,10 @@ def _incr_paths(sf_dir: str) -> tuple[str, str, str, str]:
 def _full_file_plan(files_all: DataFrame) -> DataFrame:
     """(source, in_file, is_arrival, bin_id): the running-byte-total plan
     over the ORDERED file list (base files first — arrival in_file ids are
-    offset past the base count, so one window covers both)."""
-    w = (
-        Window.partitionBy("source")
-        .orderBy("in_file")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        files_all.withColumn("running", F.sum("fb").over(w))
-        .select(
-            "source",
-            "in_file",
-            "is_arrival",
-            F.expr(f"(running - fb) div {APPLY_TARGET_BYTES}")
-            .cast("bigint")
-            .alias("bin_id"),
-        )
-    )
+    offset past the base count, so one window covers both). Delegates to
+    :func:`compaction_bin_plan` so exactly one copy of the bucketing
+    arithmetic exists."""
+    return compaction_bin_plan(files_all, passthrough=("is_arrival",))
 
 
 def incremental_compaction_lakes(
@@ -800,14 +793,12 @@ def incremental_compaction_lakes(
             )
             .filter(F.col("bin_id") >= F.col("first_arr_bin"))
             .drop("f_source", "first_arr_bin", "bin_id")
-            .withColumn("_arr", F.lit(False))
         )
-        arr_docs = arr_read.drop("in_file").withColumn("_arr", F.lit(True))
         # re-derive each rewrite doc's file id (base docs: their base file;
         # arrivals: their arrival file) to join the full plan for bins. The
         # base tail docs' in_file comes from the base small-lake derivation
         # (per-source rank), restricted to the touched docs by id.
-        touched_with_file = touched_docs.drop("_arr").join(
+        touched_with_file = touched_docs.join(
             base_read.select(
                 F.col("doc_id").alias("t_doc"), F.col("in_file")
             ),
