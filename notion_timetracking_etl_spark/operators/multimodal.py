@@ -507,6 +507,75 @@ def phash_wide_near_dup_pairs(
     return _pixel_l1_verify(cands, sig, sig, px_l1_max)
 
 
+def phash_wide_cross_near_dups(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    max_hamming: int = 24,
+    px_l1_max: int = 262144,
+    level: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest WIDE visual near-dup pairs: NEW-batch media
+    against the EXISTING corpus only, through the multi-word pigeonhole
+    machinery — the 256-bit twin of :func:`phash_cross_near_dups` (same
+    production shape: the corpus pair space is never generated, block
+    buckets join across sides only, a day's batch costs O(batch + shared
+    buckets) at any corpus size). ``level=None`` derives the adaptive
+    agreement level from the CORPUS side's count, floored so every block
+    fits one word's arithmetic; both sides must block identically. The
+    corpus side is persisted before counting (the phash_cross_near_dups
+    ADVICE discipline)."""
+    from .dedup import (
+        _scoped_persist,
+        pigeonhole_buckets_multi,
+        pigeonhole_level,
+    )
+
+    word_cols = [f"w{j}" for j in range(PHASH_WIDE_WORDS)]
+    n_bits = 64 * PHASH_WIDE_WORDS
+    sig_corpus = _scoped_persist(
+        sig_corpus.select("media_id", *word_cols, "px")
+    )
+    if level is None:
+        level = max(
+            pigeonhole_level(sig_corpus.count(), n_bits, max_hamming),
+            PHASH_WIDE_WORDS - max_hamming + 1,
+        )
+    left = pigeonhole_buckets_multi(
+        sig_new.select("media_id", *word_cols),
+        word_cols,
+        n_bits,
+        max_hamming,
+        level,
+    ).select(
+        F.col("media_id").alias("a"),
+        *[F.col(w).alias(f"la{i}") for i, w in enumerate(word_cols)],
+        "bi",
+        "bv",
+    )
+    right = pigeonhole_buckets_multi(
+        sig_corpus.select("media_id", *word_cols),
+        word_cols,
+        n_bits,
+        max_hamming,
+        level,
+    ).select(
+        F.col("media_id").alias("b"),
+        *[F.col(w).alias(f"rb{i}") for i, w in enumerate(word_cols)],
+        "bi",
+        "bv",
+    )
+    ham = " + ".join(
+        f"bit_count(la{i} ^ rb{i})" for i in range(PHASH_WIDE_WORDS)
+    )
+    cands = (
+        left.join(right, ["bi", "bv"])
+        .select("a", "b", F.expr(ham).cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return _pixel_l1_verify(cands, sig_new, sig_corpus, px_l1_max)
+
+
 def phash_near_dup_pairs(
     sig: DataFrame,
     max_hamming: int = 8,

@@ -752,3 +752,94 @@ def multimodal_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # O(near-dup pairs) output on a dup-heavy corpus -> distributed orderBy
     return pairs.orderBy("a", "b")
+
+
+MM_WIDE_ARR_RESIDUE = 8  # chosen so the cross-side wide pair set is
+# non-empty at every tested scale factor (measured 2/1/5 pairs at
+# sf0.001/0.01/0.1; residues 5/9 are empty at some sf)
+
+_WIDE_INCR_ORACLE_SQL = f"""
+        WITH {_PHASH_WIDE_CTES},
+        cross_pairs AS (
+          SELECT a.doc_id AS media_id, b.doc_id AS matched_media,
+                 CAST({_WIDE_HAM_SQL} AS BIGINT) AS hamming,
+                 CAST({_WIDE_L1_SQL} AS BIGINT) AS px_l1
+          FROM wph a
+          JOIN wph b ON a.doc_id % 10 = {MM_WIDE_ARR_RESIDUE}
+                    AND b.doc_id % 10 <> {MM_WIDE_ARR_RESIDUE}
+          JOIN wpxv pa ON pa.doc_id = a.doc_id
+          JOIN wpxv pb ON pb.doc_id = b.doc_id
+          WHERE {_WIDE_HAM_SQL} <= {MM_WIDE_MAX_HAMMING}
+            AND {_WIDE_L1_SQL} <= {MM_WIDE_PX_L1_MAX}
+        )
+        SELECT media_id, matched_media, hamming, px_l1
+        FROM (
+          SELECT media_id, matched_media, hamming, px_l1,
+                 row_number() OVER (
+                   PARTITION BY media_id
+                   ORDER BY hamming, px_l1, matched_media
+                 ) AS rn
+          FROM cross_pairs
+        )
+        WHERE rn = 1
+        ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_incremental_near_dup_wide",
+    "A6-ext-phash,J8-analog",
+    "Incremental-ingest WIDE visual near-dup gate — the 256-bit twin of "
+    "multimodal_incremental_near_dup, completing the wide family's "
+    "batch/incremental symmetry with the 64-bit family: the arriving "
+    f"batch (doc_id % 10 = {MM_WIDE_ARR_RESIDUE}; residue chosen so the "
+    "cross-side pair set is non-empty at every tested scale factor) "
+    "blocks through the MULTI-WORD pigeonhole machinery against the "
+    "EXISTING corpus only — the corpus pair space is never generated, so "
+    "a day's batch costs O(batch + shared buckets) at any corpus size, "
+    "with the level-cap-escape block widths (~24-bit keys at this radius "
+    "and corpus size; the ladder covers ~13.7e9 signatures at level 4). "
+    "Per arrival: its best corpus match by (lowest summed per-word "
+    "Hamming, lowest exact 272-cell pixel L1, smallest corpus id). A "
+    "perceptual hash depends only on the media's own pixels, so the "
+    "oracle replays the full wide blocking restricted to cross-side "
+    "pairs (complete within the radius at any level).",
+    oracle=_WIDE_INCR_ORACLE_SQL,
+)
+def multimodal_incremental_near_dup_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import _scoped_persist
+    from ..operators.multimodal import phash_wide_cross_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") >= PHASH_WIDE_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    # ONE decode-seam pass for both sides: persist, then split by id
+    sig = _scoped_persist(phash_media_wide(media))
+    is_new = F.col("media_id") % 10 == MM_WIDE_ARR_RESIDUE
+    pairs = phash_wide_cross_near_dups(
+        sig.filter(is_new),
+        sig.filter(~is_new),
+        max_hamming=MM_WIDE_MAX_HAMMING,
+        px_l1_max=MM_WIDE_PX_L1_MAX,
+    )
+    best = (
+        pairs.groupBy("a")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("hamming"), F.col("px_l1"), F.col("b").alias("m")
+                )
+            ).alias("w")
+        )
+        .select(
+            F.col("a").alias("media_id"),
+            F.col("w.m").alias("matched_media"),
+            F.col("w.hamming").alias("hamming"),
+            F.col("w.px_l1").alias("px_l1"),
+        )
+    )
+    return best.orderBy("media_id")
