@@ -524,15 +524,40 @@ def pigeonhole_buckets_multi(
         hi = word(lo_w + 1).bitwiseAND(F.lit((1 << hi_bits) - 1))
         return F.shiftleft(hi, lo_bits).bitwiseOR(lo)
 
-    structs = []
-    for j, combo in enumerate(combinations(range(m), level)):
-        bv = F.concat_ws(
-            ",", *[block(i).cast("string") for i in combo]
-        )
-        structs.append(F.struct(F.lit(j).alias("bi"), bv.alias("bv")))
+    # The combination fan-out ships as DATA, not code (ADVICE r11): the old
+    # per-combination struct explode generated C(m, c) shift/mask struct
+    # expressions in ONE projection — 2925 structs at (radius 24, level 3),
+    # far past the ~1000-generated-struct Janino ceiling measured in earlier
+    # rounds, so deep levels failed codegen before the candidate budget ever
+    # mattered.
+    # Now the row projection computes the m block values ONCE into an array
+    # (O(m) codegen at any level), and a broadcast (bi, combo) table — one
+    # row per c-combination — fans rows out via a nested-loop join; ``bv``
+    # renders by indexing the block array with the combo, byte-identical to
+    # the old concat_ws(',') key, so existing hashes are unchanged.
+    combos = list(combinations(range(m), level))
+    combos_df = df.sparkSession.createDataFrame(
+        [(j, list(c)) for j, c in enumerate(combos)],
+        "bi int, _combo array<int>",
+    )
     cols = df.columns
-    return df.select("*", F.explode(F.array(*structs)).alias("_b")).select(
-        *cols, F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")
+    blocks = F.array(*[block(i).cast("long") for i in range(m)])
+    return (
+        df.select("*", blocks.alias("_blk"))
+        .crossJoin(F.broadcast(combos_df))
+        .select(
+            *cols,
+            "bi",
+            F.array_join(
+                F.transform(
+                    F.col("_combo"),
+                    lambda i: F.element_at(F.col("_blk"), i + F.lit(1)).cast(
+                        "string"
+                    ),
+                ),
+                ",",
+            ).alias("bv"),
+        )
     )
 
 

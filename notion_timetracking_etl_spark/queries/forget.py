@@ -166,10 +166,12 @@ _FORGET_DOCS_ORACLE = f"""
     "query proves the removal reached every derived surface — near-dup "
     "CLUSTERS re-canonicalize (n_reps_deleted clusters elect a new "
     "surviving representative; n_orphan_refs_after counts surviving docs "
-    "still pointing at a dead rep and MUST be 0 — the propagation proof), "
+    "still pointing at a dead rep — 0 by construction here, since the "
+    "after-assignment derives from survivor-filtered inputs: the column "
+    "documents the invariant rather than testing a physical artifact), "
     "and the SHARD MANIFEST re-routes under the corpus-size-adaptive "
-    "shard count (tombstones hold no slot — "
-    "n_tombstones_in_shards_after MUST be 0; n_resharded counts the "
+    "shard count (tombstones hold no slot — n_tombstones_in_shards_after "
+    "is likewise 0 by construction; n_resharded counts the "
     "boundary-crossing moves of the re-rank). The pair graph is FILTERED, "
     "never recomputed: MinHash LSH candidacy and Jaccard verify are "
     "strictly pairwise, so surviving-pairs == full-pairs restricted to "
@@ -285,7 +287,11 @@ def deletion_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_small(out, "n_tombstones")
 
 
-def _forget_lake_oracle_sql() -> str:
+def _forget_lake_oracle_sql(deleted_pred: str = DELETED_USER_PRED) -> str:
+    """The KMV sketch-lake sweep replay, parameterized over the tombstone
+    predicate so the streaming twin (a richer multi-user set split into
+    waves) reuses the ONE canonical oracle — the stitched stream state is
+    order-independent, so the full-set replay serves both forms."""
     from .sketches import KMV_K
 
     return f"""
@@ -310,7 +316,7 @@ def _forget_lake_oracle_sql() -> str:
           ) WHERE rn <= {KMV_K}
         ),
         touched AS (
-          SELECT DISTINCT d FROM keyed WHERE {DELETED_USER_PRED}
+          SELECT DISTINCT d FROM keyed WHERE {deleted_pred}
         ),
         kept AS (
           SELECT d, g, h FROM part_before
@@ -322,7 +328,7 @@ def _forget_lake_oracle_sql() -> str:
                    ROW_NUMBER() OVER (PARTITION BY d, g ORDER BY h) AS rn
             FROM hashed
             WHERE d IN (SELECT d FROM touched)
-              AND NOT ({DELETED_USER_PRED})
+              AND NOT ({deleted_pred})
           ) WHERE rn <= {KMV_K}
         ),
         stitched AS (
@@ -342,7 +348,7 @@ def _forget_lake_oracle_sql() -> str:
                  CAST(COUNT(*) AS BIGINT) AS n_s
           FROM (SELECT g, h, ROW_NUMBER() OVER
                   (PARTITION BY g ORDER BY h) AS rn
-                FROM hashed WHERE NOT ({DELETED_USER_PRED}))
+                FROM hashed WHERE NOT ({deleted_pred}))
           WHERE rn <= {KMV_K} GROUP BY g
         ),
         cb AS (
@@ -523,10 +529,15 @@ def ann_model_forget_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_kmeans_model(cent_tr, stale_path)
         _FORGET_MODELS.add(stale_path)
     write_fresh = fresh_path not in _FORGET_MODELS
-    _FORGET_MODELS.add(fresh_path)
-    return ann_model_sweep_frames(
+    out = ann_model_sweep_frames(
         spark, emb, stale_path, fresh_path, DELETED_VEC_PRED, write_fresh
     )
+    # memoize only AFTER the sweep's writes completed (ADVICE r11: adding
+    # before meant a mid-sweep failure left every later call in the process
+    # reading a missing/partial artifact with write_fresh=False; matches the
+    # _COMPACT_APPLY_LAKES ordering)
+    _FORGET_MODELS.add(fresh_path)
+    return out
 
 
 def ann_model_sweep_frames(
@@ -718,8 +729,12 @@ def _ann_model_forget_oracle_sql() -> str:
     "re-persist deleted influence), untouched cells stay byte-identical "
     "(frozen_cells_unchanged compares the two PHYSICAL parquet models), "
     "and only touched-cell survivors re-route — O(touched mass), never a "
-    "full retrain or re-encode. n_tombstones_in_index_after MUST be 0 "
-    "(the propagation proof) and refit_centroid_micro_sum fingerprints "
+    "full retrain or re-encode. n_tombstones_in_index_after documents the "
+    "invariant (0 by construction — the fresh assignment derives from "
+    "survivor-filtered inputs, so unlike the physical-artifact flags it "
+    "cannot flip for a writer defect; frozen_cells_unchanged and "
+    "refit_centroid_micro_sum are the load-bearing audits) and "
+    "refit_centroid_micro_sum fingerprints "
     "the refreshed persisted centroids against the oracle's survivor-mean "
     "replay. The oracle regenerates training, sweep, partial refit, "
     "re-route and both model states end-to-end in SQL.",
@@ -868,11 +883,15 @@ def _mm_forget_oracle_sql() -> str:
     "decode pass, the flag is not a tautology there), (2) the GATE "
     "VERDICTS — arrivals re-gate against the swept corpus state; "
     "n_arrivals_freed counts arrivals whose only matches died (the "
-    "operational consequence: they now pass), n_matches_to_dead_after "
-    "MUST be 0, and (3) the near-dup PAIR/CLUSTER state — the pair lake "
+    "operational consequence: they now pass), n_matches_to_dead_after is "
+    "0 by construction (the re-gate runs against the already-swept corpus "
+    "— the column documents the invariant; sig_lake_swept_equals_rebuilt "
+    "is the load-bearing audit), and (3) the near-dup PAIR/CLUSTER state "
+    "— the pair lake "
     "is FILTERED, never re-decoded (pairwise verify, so surviving pairs "
     "== full pairs at surviving endpoints), clusters re-canonicalize "
-    "(n_reps_deleted elect new reps; n_orphan_refs_after MUST be 0). "
+    "(n_reps_deleted elect new reps; n_orphan_refs_after is 0 by "
+    "construction — it documents the invariant, not a physical audit). "
     "With deletion_propagation_docs (text), _sketch_lake (events), "
     "_ann_model and _semgate_state (embeddings), every persisted surface "
     "in the repo now has a registered forget sweep. The oracle replays "
@@ -1316,9 +1335,11 @@ def _semgate_forget_oracle_sql() -> str:
     "corpus against the frozen quantizer — a sweep that missed a row or "
     "mangled a cell flips the flag red). Gate consequence: arrivals "
     "(vec_id % 10 = 9) re-gate against the swept state — "
-    "n_gate_flags_before/after, and n_flags_to_dead_after MUST be 0 (the "
-    "propagation proof: no arrival is ever again matched to deleted "
-    "data). The oracle replays training, state derivation, both bit "
+    "n_gate_flags_before/after, and n_flags_to_dead_after is 0 by "
+    "construction (the re-gate runs against the already-swept state — the "
+    "column documents the no-match-to-deleted invariant; the swept== "
+    "rebuilt fingerprint is the load-bearing audit). The oracle replays "
+    "training, state derivation, both bit "
     "scalars, the sweep, the rebuild and both gate runs end-to-end.",
     oracle=_semgate_forget_oracle_sql(),
 )
@@ -1607,7 +1628,9 @@ def _pq_forget_oracle_sql() -> str:
     "(frozen_codes_unchanged — NULL-safe, a writer that loses an entry "
     "flips it red), and only touched entries' survivors re-encode in "
     "their subspace — O(touched mass) per subspace, never a retrain. "
-    "n_tombstones_in_codes_after MUST be 0 and refit_code_micro_sum "
+    "n_tombstones_in_codes_after is 0 by construction (it documents the "
+    "invariant; frozen_codes_unchanged and the code fingerprint are the "
+    "load-bearing audits) and refit_code_micro_sum "
     "fingerprints the refreshed persisted codebooks against the oracle's "
     "survivor-mean replay. The oracle regenerates all M per-subspace "
     "trainings, sweeps, partial refits and re-encodes end-to-end in SQL.",
@@ -1629,11 +1652,341 @@ def deletion_propagation_pq_model(
         save_pq_model(fitted_pq_model(spark, sf_dir), stale_path)
         _FORGET_PQ_MODELS.add(stale_path)
     write_fresh = fresh_path not in _FORGET_PQ_MODELS
-    _FORGET_PQ_MODELS.add(fresh_path)
-    return ordered_small(
+    out = ordered_small(
         pq_model_sweep_frames(
             spark, emb, stale_path, fresh_path, DELETED_VEC_PRED,
             write_fresh, dims=DIMS,
         ),
         "n_tombstones",
     )
+    # memoize only AFTER pq_model_sweep_frames' writes completed (ADVICE
+    # r11 — same ordering as _COMPACT_APPLY_LAKES / _FORGET_MODELS)
+    _FORGET_PQ_MODELS.add(fresh_path)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# STREAMING forget-sweep twins (r11 verdict task #4): RTBF requests arrive
+# continuously in production; these run the sketch-lake and visual-signature
+# sweeps as foreachBatch tombstone gates over staged request WAVES (one file
+# per micro-batch, Trigger.AvailableNow + maxFilesPerTrigger=1 — the CDC
+# drain shape) and prove the stitched post-stream state hash-equal to the
+# one-shot batch sweep of the full tombstone set. Order independence is
+# structural per surface (streaming/forgetgate.py module comment); a forced
+# 1-entity-per-batch split is pinned in tests/test_round12.py.
+# ---------------------------------------------------------------------------
+
+# The streaming cohort is RICHER than the batch sweeps' single entity so
+# the wave split is non-degenerate: users 3, 19, 35, 51, ... (includes the
+# batch sweep's user 3). Waves partition the cohort by residue mod 48.
+STREAM_DELETED_USER_PRED = "user_id % 16 = 3"
+_STREAM_USER_WAVES = (3, 19, 35)  # user_id % 48 residues; union = % 16 = 3
+
+_FORGET_STREAM_STAGING: dict[tuple[str, str], str] = {}
+
+
+def _stage_waves(
+    spark: SparkSession, sf_dir: str, kind: str, waves: list[DataFrame]
+) -> str:
+    """Write each wave DataFrame as one parquet file under a fresh staging
+    dir (memoized per process x sf_dir x kind); file order drives the
+    micro-batch split."""
+    import tempfile
+
+    key = (sf_dir, kind)
+    path = _FORGET_STREAM_STAGING.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"sg_forget_{kind}_") + "/waves"
+        for w in waves:
+            w.coalesce(1).write.mode("append").parquet(path)
+        _FORGET_STREAM_STAGING[key] = path
+    return path
+
+
+def sketch_forget_step_factory(
+    spark: SparkSession,
+    sf_dir: str,
+    ev: DataFrame,
+    before: DataFrame,
+    state: dict,
+):
+    """Per-micro-batch KMV sketch-lake sweep step (shared by the registered
+    3-wave query and the forced 1-user-per-batch split test): accumulate
+    tombstones, rebuild ONLY this wave's touched date partitions from the
+    corpus minus every tombstone seen so far, stitch into the lake state.
+    ``state`` carries {"lake": DataFrame|None, "dead": DataFrame|None}."""
+    from .lake import kmv_dated_hashes, kmv_partial_sketches
+
+    def step(batch: DataFrame) -> None:
+        dead_now = batch.select("user_id")
+        acc = state["dead"]
+        state["dead"] = (
+            dead_now if acc is None else acc.unionByName(dead_now)
+        ).localCheckpoint()
+        # partitions THIS wave's users can affect (O(dates) rows)
+        touched = F.broadcast(
+            ev.join(dead_now, "user_id")
+            .select(F.to_date("ts").alias("event_date"))
+            .distinct()
+        )
+        lake = state["lake"] if state["lake"] is not None else before
+        kept = lake.join(touched, "event_date", "left_anti")
+        # rebuild the touched partitions from the corpus minus every
+        # tombstone seen SO FAR, through the one canonical key/hash recipe
+        hashed_alive = kmv_dated_hashes(
+            spark, sf_dir, ev=ev.join(state["dead"], "user_id", "left_anti")
+        )
+        rebuilt = kmv_partial_sketches(
+            hashed_alive.join(touched, "event_date")
+        )
+        state["lake"] = kept.unionByName(rebuilt).localCheckpoint()
+
+    return step
+
+
+@register(
+    "streaming_forget_sketch_lake",
+    "S6-analog-stream,A10-ext,V4-analog",
+    "STREAMING right-to-be-forgotten sweep over the persisted KMV sketch "
+    "lake — the foreachBatch twin of deletion_propagation_sketch_lake: "
+    f"GDPR delete requests for the user cohort ({STREAM_DELETED_USER_PRED}"
+    ", a superset of the batch sweep's single user so the split is "
+    "non-degenerate) arrive in THREE staged waves drained with "
+    "Trigger.AvailableNow + maxFilesPerTrigger=1. Each micro-batch "
+    "rebuilds ONLY the date partitions its users appear in, from the "
+    "corpus minus every tombstone seen so far, and stitches them into the "
+    "lake state (localCheckpoint per generation — O(1) plan depth); "
+    "untouched partitions are never recomputed, so a wave costs O(wave's "
+    "touched partitions), the bound that makes continuous RTBF affordable "
+    "at 100 TB. A date's final partial is written by the LAST wave "
+    "touching it and later waves' users never appear in dates they do "
+    "not touch, so ANY wave split converges to the one-shot sweep's lake "
+    "— stitched_equals_scratch compares the drained state's merge against "
+    "a from-scratch sketch of the post-delete corpus by hash. The oracle "
+    "replays the full-set sweep (the one canonical parameterized replay "
+    "shared with the batch query).",
+    oracle=_forget_lake_oracle_sql(STREAM_DELETED_USER_PRED),
+)
+def streaming_forget_sketch_lake(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..streaming.forgetgate import tombstone_drain
+    from .lake import kmv_dated_hashes, kmv_merge_sketch, kmv_sketch_lake
+
+    gk = F.coalesce(F.col("g"), F.lit("\x00<null>")).alias("gk")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    cohort = ev.select("user_id").distinct().filter(
+        F.expr(STREAM_DELETED_USER_PRED)
+    )
+    waves_dir = _stage_waves(
+        spark,
+        sf_dir,
+        "sketch",
+        [
+            cohort.filter(F.col("user_id") % 48 == r)
+            for r in _STREAM_USER_WAVES
+        ],
+    )
+
+    before = kmv_sketch_lake(spark, sf_dir)  # the PHYSICAL persisted lake
+    state: dict = {"lake": None, "dead": None}
+    step = sketch_forget_step_factory(spark, sf_dir, ev, before, state)
+
+    tombstone_drain(
+        spark, waves_dir, tempfile.mkdtemp(prefix="sg_forget_ckpt_"), step
+    )
+    stitched = state["lake"] if state["lake"] is not None else before
+
+    hashed_after = kmv_dated_hashes(
+        spark, sf_dir, ev=ev.filter(~F.expr(STREAM_DELETED_USER_PRED))
+    )
+    ms = kmv_merge_sketch(stitched.select("g", "h")).withColumn("gk", gk)
+    scratch = kmv_merge_sketch(hashed_after.select("g", "h")).select(
+        gk,
+        F.col("kth_min").alias("kth_s"),
+        F.col("n_in_sketch").alias("n_s"),
+    )
+    touched_all = F.broadcast(
+        ev.filter(F.expr(STREAM_DELETED_USER_PRED))
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("is_touched", F.lit(1))
+    )
+    cb = (
+        before.join(touched_all, "event_date", "left")
+        .groupBy("g")
+        .agg(
+            F.countDistinct("event_date")
+            .cast("bigint")
+            .alias("n_partials_total"),
+            F.countDistinct(
+                F.when(F.col("is_touched") == 1, F.col("event_date"))
+            )
+            .cast("bigint")
+            .alias("n_partials_touched"),
+        )
+        .select(gk, "n_partials_total", "n_partials_touched")
+    )
+    return ordered_small(
+        ms.join(scratch, "gk")
+        .join(cb, "gk")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_partials_total",
+            "n_partials_touched",
+            "kth_min",
+            "n_in_sketch",
+            (
+                (F.col("kth_min") == F.col("kth_s"))
+                & (F.col("n_in_sketch") == F.col("n_s"))
+            ).alias("stitched_equals_scratch"),
+        ),
+        "event_type",
+    )
+
+
+def _mm_stream_forget_oracle_sql() -> str:
+    from .multimodal import _PHASH_CTES
+
+    # the oracle's flag is the expected invariant (filter == rebuild holds
+    # identically in one replay, so no fingerprint is needed here); the
+    # Spark side derives it from two physically different paths — the
+    # drained stream state vs an honest second decode pass
+    return f"""
+        WITH {_PHASH_CTES},
+        deadm AS (SELECT doc_id FROM vis WHERE doc_id % 100 = 7)
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ph
+           WHERE doc_id IN (SELECT doc_id FROM deadm))
+            AS n_tombstones_visual,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ph) AS n_sig_rows_before,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ph
+           WHERE doc_id NOT IN (SELECT doc_id FROM deadm))
+            AS n_sig_rows_after,
+          TRUE AS swept_equals_rebuilt
+    """
+
+
+@register(
+    "streaming_forget_multimodal",
+    "A6-ext-phash,V4-analog",
+    "STREAMING right-to-be-forgotten sweep over the visual gate's "
+    "PERSISTED SIGNATURE LAKE — the foreachBatch twin of "
+    "deletion_propagation_multimodal's lake sweep: tombstoned visual "
+    "media (doc_id % 100 = 7, the batch sweep's exact set) arrive in "
+    "THREE staged waves (split by doc_id % 300) drained with "
+    "Trigger.AvailableNow + maxFilesPerTrigger=1; each micro-batch "
+    "anti-joins its tombstones out of the physical parquet signature lake "
+    "state (a pure filter — order independence is trivial: the final "
+    "state is the corpus minus the union of waves, for ANY split). The "
+    "drained state must fingerprint-equal an HONEST from-scratch rebuild "
+    "over the post-delete corpus — the Spark side really runs a second "
+    "Arrow decode pass, so swept_equals_rebuilt flips red if any wave "
+    "missed or mangled a row (not a tautology there; the oracle's column "
+    "states the expected invariant from the one signature replay). "
+    "Per-wave cost is O(wave + lake-scan), never a re-decode.",
+    oracle=_mm_stream_forget_oracle_sql(),
+)
+def streaming_forget_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.multimodal import (
+        PHASH_MIN_CHARS,
+        attach_media_columns,
+        phash_media,
+    )
+    from ..streaming.forgetgate import tombstone_drain
+    from .lake import _lake_path
+    from ..sinks.parquet import write_partitioned_lake
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    sig_path = _lake_path(sf_dir, "mm_sig_lake_stream")
+    sig_schema = None
+    if sig_path not in _FORGET_MODELS:
+        sig = phash_media(media)
+        sig_schema = sig.schema
+        # the persisted surface the stream sweeps: a physical parquet lake
+        sig.write.mode("overwrite").parquet(sig_path)
+        _FORGET_MODELS.add(sig_path)
+    if sig_schema is None:
+        sig_schema = phash_media(media.limit(0)).schema
+    lake0 = spark.read.schema(sig_schema).parquet(sig_path)
+
+    dead_all = lake0.filter(F.col("media_id") % 100 == 7).select("media_id")
+    waves_dir = _stage_waves(
+        spark,
+        sf_dir,
+        "mm",
+        [
+            dead_all.filter(F.col("media_id") % 300 == 7 + 100 * w)
+            for w in range(3)
+        ],
+    )
+
+    state: dict = {"lake": None}
+
+    def step(batch: DataFrame) -> None:
+        lake = state["lake"] if state["lake"] is not None else lake0
+        state["lake"] = lake.join(
+            F.broadcast(batch.select("media_id")), "media_id", "left_anti"
+        ).localCheckpoint()
+
+    tombstone_drain(
+        spark, waves_dir, tempfile.mkdtemp(prefix="sg_forget_ckpt_"), step
+    )
+    swept = state["lake"] if state["lake"] is not None else lake0
+
+    # HONEST second decode pass over the post-delete corpus
+    rebuilt = phash_media(
+        attach_media_columns(
+            docs.filter(~(F.col("doc_id") % 100 == 7)), "doc_id", "text"
+        )
+    )
+    sig_fp = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("media_id").cast("string"),
+                    F.lit(":"),
+                    F.col("phash").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def fp(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.withColumn("_fp", sig_fp).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.expr("bit_xor(_fp)").cast("bigint").alias(x),
+        )
+
+    out = (
+        _count1(dead_all, "n_tombstones_visual")
+        .crossJoin(F.broadcast(_count1(lake0, "n_sig_rows_before")))
+        .crossJoin(F.broadcast(fp(swept, "n_sig_rows_after", "sw_x")))
+        .crossJoin(F.broadcast(fp(rebuilt, "rb_n", "rb_x")))
+        .select(
+            "n_tombstones_visual",
+            "n_sig_rows_before",
+            "n_sig_rows_after",
+            (
+                (F.col("n_sig_rows_after") == F.col("rb_n"))
+                & F.col("sw_x").eqNullSafe(F.col("rb_x"))
+            ).alias("swept_equals_rebuilt"),
+        )
+    )
+    return ordered_small(out, "n_tombstones_visual")

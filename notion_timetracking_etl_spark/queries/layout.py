@@ -570,6 +570,252 @@ def lake_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Z-order APPLY (r11 verdict task #3): execute the clustering rewrite the
+# extent-stats diagnostic only measures — the compaction-APPLY template
+# (physical before/after lakes, hashed content-equality, process-memoized
+# first-use write) applied to layout instead of file count. The before-lake
+# is the LINEAR layout a time-ordered ingest produces (files cut by
+# event_id rank); the rewrite re-cuts the same rows by (Morton z, event_id)
+# rank. The measured payoff is two-sided prunability: per file, each
+# dimension's extent [min, max] skips (min + (2^bits - 1 - max)) of the
+# 2^bits point-predicate stripe values — summed over files, that is the
+# exact count of (file, stripe) scan skips a min/max-stats reader gets.
+# Z-order keeps BOTH sums high simultaneously; a linear sort keeps one.
+# ---------------------------------------------------------------------------
+
+_ZORDER_APPLY_LAKES: set[str] = set()
+
+
+def _zorder_coded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, zx, zy, event_type, value): the SAME coordinate recipe as
+    lake_zorder_extent_stats (NULLs route to cell 0 on both engines)."""
+    m = 2**ZORDER_BITS
+    events = load_table(spark, sf_dir, "events")
+    day = F.coalesce(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))), F.lit(0)
+    )
+    return events.select(
+        "event_id",
+        (F.coalesce(F.col("user_id"), F.lit(0)) % m).cast("bigint").alias("zx"),
+        (((day % m) + m) % m).cast("bigint").alias("zy"),
+        "event_type",
+        "value",
+    )
+
+
+def zordered_events_lakes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(linear_lake, zordered_lake) physical reads. First use per process
+    writes both: the linear layout (one parquet file per event_id-rank bin
+    of ZORDER_FILE_ROWS rows — the layout a time-ordered ingest leaves
+    behind), then the Z-order rewrite reading the PHYSICAL linear lake back
+    and re-cutting the same rows by (Morton z, event_id) rank. Later uses
+    read back; the registered query never recomputes the rewrite."""
+    from .lake import _lake_path
+
+    before_path = _lake_path(sf_dir, "events_linear_files")
+    after_path = _lake_path(sf_dir, "events_zordered_files")
+    coded = _zorder_coded_events(spark, sf_dir)
+    schema = coded.withColumn("file_id", F.lit(0).cast("bigint")).schema
+    if before_path not in _ZORDER_APPLY_LAKES:
+        ranked, _ = with_global_ranks(
+            coded, [F.col("event_id")], rank_col="rn"
+        )
+        lin = ranked.withColumn(
+            "file_id",
+            F.floor((F.col("rn") - 1) / F.lit(ZORDER_FILE_ROWS)).cast(
+                "bigint"
+            ),
+        ).drop("rn")
+        write_partitioned_lake(
+            lin, before_path, ["file_id"], sort_cols=["event_id"]
+        )
+        # the rewrite reads the PHYSICAL before-lake, never the source table
+        before = spark.read.schema(schema).parquet(before_path)
+        zranked, _ = with_global_ranks(
+            before.withColumn(
+                "z", _morton_col(F.col("zx"), F.col("zy"), ZORDER_BITS)
+            ).drop("file_id"),
+            [F.col("z"), F.col("event_id")],
+            rank_col="rn",
+        )
+        zdf = zranked.withColumn(
+            "file_id",
+            F.floor((F.col("rn") - 1) / F.lit(ZORDER_FILE_ROWS)).cast(
+                "bigint"
+            ),
+        ).drop("rn", "z")
+        write_partitioned_lake(
+            zdf, after_path, ["file_id"], sort_cols=["zx", "zy", "event_id"]
+        )
+        # memoize only AFTER both writes completed (the _COMPACT_APPLY_LAKES
+        # / ADVICE-r11 ordering)
+        _ZORDER_APPLY_LAKES.add(before_path)
+    before = spark.read.schema(schema).parquet(before_path)
+    after = spark.read.schema(schema).parquet(after_path)
+    return before, after
+
+
+_ZROW_HASH_SQL = (
+    "CAST(concat('0x', substr(sha256(concat(CAST(event_id AS VARCHAR), ':',"
+    " CAST(zx AS VARCHAR), ':', CAST(zy AS VARCHAR))), 1, 14)) AS BIGINT)"
+)
+
+
+def _zrow_hash_col() -> Column:
+    """56-bit sha256 over (event_id, zx, zy) — the id + layout payload the
+    rewrite must preserve row-for-row."""
+    return F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("zx").cast("string"),
+                    F.lit(":"),
+                    F.col("zy").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _zlake_frames(lake: DataFrame, suffix: str) -> DataFrame:
+    """One-row (n_files, x_prunable, y_prunable, n, xh) audit frame over a
+    physical layout read: per-file min/max extents -> exact per-dimension
+    stripe-skip sums, plus the content fingerprint."""
+    m1 = 2**ZORDER_BITS - 1
+    per_file = lake.groupBy("file_id").agg(
+        F.min("zx").alias("xmn"),
+        F.max("zx").alias("xmx"),
+        F.min("zy").alias("ymn"),
+        F.max("zy").alias("ymx"),
+    )
+    ext = per_file.agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"n_files_{suffix}"),
+        F.coalesce(F.sum(F.col("xmn") + (F.lit(m1) - F.col("xmx"))), F.lit(0))
+        .cast("bigint")
+        .alias(f"x_prunable_{suffix}"),
+        F.coalesce(F.sum(F.col("ymn") + (F.lit(m1) - F.col("ymx"))), F.lit(0))
+        .cast("bigint")
+        .alias(f"y_prunable_{suffix}"),
+    )
+    fp = lake.withColumn("_rh", _zrow_hash_col()).agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"_n_{suffix}"),
+        F.expr("bit_xor(_rh)").cast("bigint").alias(f"_xh_{suffix}"),
+    )
+    return ext.crossJoin(F.broadcast(fp))
+
+
+def _zorder_apply_oracle_sql() -> str:
+    m = 2**ZORDER_BITS
+    return f"""
+        WITH coded AS (
+          SELECT event_id,
+                 CAST({_ZX} AS BIGINT) AS zx,
+                 CAST({_ZY} AS BIGINT) AS zy,
+                 CAST({_morton_sql(f"({_ZX})", f"({_ZY})", ZORDER_BITS)}
+                      AS BIGINT) AS z
+          FROM events
+        ),
+        linf AS (
+          SELECT CAST((rn - 1) // {ZORDER_FILE_ROWS} AS BIGINT) AS f,
+                 MIN(zx) AS xmn, MAX(zx) AS xmx,
+                 MIN(zy) AS ymn, MAX(zy) AS ymx
+          FROM (SELECT zx, zy,
+                       ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+                FROM coded)
+          GROUP BY f
+        ),
+        zf AS (
+          SELECT CAST((rn - 1) // {ZORDER_FILE_ROWS} AS BIGINT) AS f,
+                 MIN(zx) AS xmn, MAX(zx) AS xmx,
+                 MIN(zy) AS ymn, MAX(zy) AS ymx
+          FROM (SELECT zx, zy,
+                       ROW_NUMBER() OVER (ORDER BY z, event_id) AS rn
+                FROM coded)
+          GROUP BY f
+        ),
+        m AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM coded) AS n_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM linf) AS n_files_before,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM zf) AS n_files_after,
+            (SELECT CAST(COALESCE(SUM(xmn + {m - 1} - xmx), 0) AS BIGINT)
+             FROM linf) AS x_prunable_before,
+            (SELECT CAST(COALESCE(SUM(ymn + {m - 1} - ymx), 0) AS BIGINT)
+             FROM linf) AS y_prunable_before,
+            (SELECT CAST(COALESCE(SUM(xmn + {m - 1} - xmx), 0) AS BIGINT)
+             FROM zf) AS x_prunable_after,
+            (SELECT CAST(COALESCE(SUM(ymn + {m - 1} - ymx), 0) AS BIGINT)
+             FROM zf) AS y_prunable_after,
+            TRUE AS content_equal
+        )
+        SELECT * FROM m
+    """
+
+
+@register(
+    "lake_zorder_apply",
+    "O-ext,A3,S6-analog,V4-analog",
+    "Z-order APPLY — the clustering rewrite lake_zorder_extent_stats only "
+    "measures (r11 verdict task #3, the layout half of lake maintenance "
+    "next to lake_compaction_apply): events land as a PHYSICAL linear "
+    f"layout (files of {ZORDER_FILE_ROWS} rows cut by event_id rank — what "
+    "a time-ordered ingest leaves behind), and the rewrite reads that lake "
+    "back and re-cuts the SAME rows into files by (Morton z, event_id) "
+    "rank. The query reads BOTH physical lakes and emits the exact "
+    "two-sided prunability payoff: per file and dimension, the extent "
+    f"[min, max] skips (min + {2**ZORDER_BITS - 1} - max) of the "
+    f"{2**ZORDER_BITS} point-predicate stripe values, summed over files — "
+    "x_prunable_* / y_prunable_* are those exact skip counts before and "
+    "after (Z-order raises BOTH together; the linear layout keeps only "
+    "the time-correlated dimension tight — the improvement is pinned by "
+    "tests/test_round12.py), plus a content_equal flag comparing hashed "
+    "fingerprints (row count + bit_xor of a 56-bit sha256 over id and "
+    "layout coordinates) of the two physical reads — a row lost, "
+    "duplicated or mangled by the rewrite flips it red and breaks the "
+    "oracle hash. The oracle replays coordinates, both rank-based file "
+    "cuts and all four skip sums from the raw events view; its "
+    "content_equal column states the expected invariant — the Spark "
+    "side's flag is derived from the physical artifacts.",
+    oracle=_zorder_apply_oracle_sql(),
+)
+def lake_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import ordered_small
+
+    before, after = zordered_events_lakes(spark, sf_dir)
+    b = _zlake_frames(before, "before")
+    a = _zlake_frames(after, "after")
+    n_rows = before.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    out = (
+        n_rows.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(a))
+        .select(
+            "n_rows",
+            "n_files_before",
+            "n_files_after",
+            "x_prunable_before",
+            "y_prunable_before",
+            "x_prunable_after",
+            "y_prunable_after",
+            F.coalesce(
+                (F.col("_n_before") == F.col("_n_after"))
+                & F.col("_xh_before").eqNullSafe(F.col("_xh_after")),
+                F.lit(False),
+            ).alias("content_equal"),
+        )
+    )
+    return ordered_small(out, "n_rows")
+
+
 @register(
     "corpus_shard_route_batch",
     "O-ext,J1-analog",

@@ -843,3 +843,264 @@ def multimodal_incremental_near_dup_wide(
         )
     )
     return best.orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Cluster-SUMMARY emission for the WIDE and AUDIO pair families (r11 verdict
+# task #2 — the same dup-quadratic bound r11 landed for text SimHash and
+# embeddings, queries/clusters.py): collapse to DISTINCT (signature, grid)
+# groups BEFORE pairing, pair over distinct nodes only, min-label connected
+# components on the node graph, O(clusters) output. Unlike the SimHash
+# family, these verifies include an exact secondary check (pixel / energy
+# L1), so the collapse key must be the FULL (hash words, grid) pair — and
+# then a group's members ALWAYS interlink (hamming 0, L1 0 clear any
+# non-negative caps), so the node-graph closure equals the media-pair-graph
+# closure exactly, with no degenerate self-link case to route around.
+# ---------------------------------------------------------------------------
+
+
+def _wide_ham_sql(l: str, r: str) -> str:
+    """Summed per-word Hamming between aliases ``l`` and ``r`` (DuckDB
+    bit_count returns TINYINT — cast each term before summing)."""
+    return " + ".join(
+        f"CAST(bit_count(xor({l}.w{j}, {r}.w{j})) AS BIGINT)"
+        for j in range(PHASH_WIDE_WORDS)
+    )
+
+
+def _list_l1_sql(l: str, r: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), "
+        f"k -> abs({l}.pxl[k] - {r}.pxl[k])))"
+    )
+
+
+_WIDE_WORDS_COLS = ", ".join(f"w{j}" for j in range(PHASH_WIDE_WORDS))
+
+
+@register(
+    "multimodal_near_dup_wide_clusters",
+    "A6-ext-phash,J8,A3-ext",
+    "Cluster-summary emission for the WIDE (256-bit) visual family — the "
+    "keep/drop artifact with O(clusters) output where the pair twin "
+    "(multimodal_near_dup_wide) emits the dup-quadratic pair list: media "
+    "collapse to DISTINCT (4-word dHash, 272-cell pixel grid) groups first "
+    "(every member of an exact-dup pile shares both, so the edge space "
+    "drops from O(cluster^2) media pairs to distinct-group pairs), the "
+    "multi-word pigeonhole join + exact pixel-L1 verify run over distinct "
+    "nodes only, and min-label connected components run on the node "
+    "graph. Members attach through their group: identical (hash, grid) "
+    f"pairs have summed Hamming 0 <= {MM_WIDE_MAX_HAMMING} and pixel L1 "
+    f"0 <= {MM_WIDE_PX_L1_MAX}, so a group's members always interlink and "
+    "the node-graph closure equals the media-pair-graph closure exactly "
+    "(no degenerate case — unlike the embedding family's zero-norm "
+    "routing). Output per cluster: representative (smallest media id), "
+    "member count, distinct-signature-group count. The oracle replays the "
+    "wide raster, the distinct-group collapse, the all-pairs ground truth "
+    "over groups and a recursive-CTE closure.",
+    oracle=f"""
+        WITH RECURSIVE {_PHASH_WIDE_CTES},
+        wsig AS (
+          SELECT p.doc_id, {", ".join(f"p.w{j}" for j in range(PHASH_WIDE_WORDS))},
+                 x.pxl
+          FROM wph p JOIN wpxv x USING (doc_id)
+        ),
+        dv AS (
+          SELECT {_WIDE_WORDS_COLS}, pxl,
+                 CAST(MIN(doc_id) AS BIGINT) AS node
+          FROM wsig GROUP BY {_WIDE_WORDS_COLS}, pxl
+        ),
+        ed AS (
+          SELECT l.node AS x, r.node AS y
+          FROM dv l JOIN dv r ON l.node < r.node
+          WHERE {_wide_ham_sql("l", "r")} <= {MM_WIDE_MAX_HAMMING}
+            AND {_list_l1_sql("l", "r", _WIDE_CELLS)} <= {MM_WIDE_PX_L1_MAX}
+        ),
+        edges AS (
+          SELECT x, y FROM ed UNION SELECT y AS x, x AS y FROM ed
+        ),
+        reach AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        ),
+        rep AS (SELECT x, least(x, min(y)) AS component
+                FROM reach GROUP BY x),
+        assign AS (
+          SELECT s.doc_id, d.node, COALESCE(rp.component, d.node) AS ck
+          FROM wsig s
+          JOIN dv d ON {" AND ".join(f"s.w{j} = d.w{j}" for j in range(PHASH_WIDE_WORDS))}
+                   AND s.pxl = d.pxl
+          LEFT JOIN rep rp ON rp.x = d.node
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_rep,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_sigs
+        FROM assign
+        GROUP BY ck
+        ORDER BY cluster_rep
+    """,
+)
+def multimodal_near_dup_wide_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.cluster import connected_components
+    from ..operators.dedup import _scoped_persist
+    from ..operators.multimodal import phash_wide_near_dup_pairs
+
+    word_cols = [f"w{j}" for j in range(PHASH_WIDE_WORDS)]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") >= PHASH_WIDE_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    # ONE decode-seam pass feeds the collapse AND the member attach
+    sig = _scoped_persist(phash_media_wide(media))
+    dv = _scoped_persist(
+        sig.groupBy(*word_cols, "px").agg(
+            F.min("media_id").cast("bigint").alias("node")
+        )
+    )
+    pairs = phash_wide_near_dup_pairs(
+        dv.select(F.col("node").alias("media_id"), *word_cols, "px"),
+        max_hamming=MM_WIDE_MAX_HAMMING,
+        px_l1_max=MM_WIDE_PX_L1_MAX,
+    ).select("a", "b")
+    ccr = connected_components(pairs, "a", "b").select(
+        F.col("node").alias("cc_node"), "component"
+    )
+    assign = (
+        sig.join(dv, [*word_cols, "px"])
+        .join(ccr, F.col("node") == F.col("cc_node"), "left")
+        .select(
+            "media_id",
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("ck"),
+        )
+    )
+    # O(clusters) output <= O(media) -> distributed orderBy
+    return (
+        assign.groupBy("ck")
+        .agg(
+            F.min("media_id").cast("bigint").alias("cluster_rep"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.countDistinct("node").cast("bigint").alias("n_distinct_sigs"),
+        )
+        .select("cluster_rep", "cluster_size", "n_distinct_sigs")
+        .orderBy("cluster_rep")
+    )
+
+
+@register(
+    "multimodal_audio_dup_clusters",
+    "A6-ext-afp,J8,A3-ext",
+    "Cluster-summary emission for the AUDIO energy-delta family — the "
+    "keep/drop artifact with O(clusters) output where the pair twin "
+    "(multimodal_audio_near_dup) emits the dup-quadratic pair list: audio "
+    "media collapse to DISTINCT (64-bit fingerprint, 65-frame energy "
+    "vector) groups first, the size-adaptive pigeonhole join + exact "
+    "energy-L1 verify run over distinct nodes only (the SAME operator as "
+    "the pair twin under renamed columns), and min-label connected "
+    "components run on the node graph. Members attach through their "
+    "group: an identical (fingerprint, energy) pair has Hamming 0 <= "
+    f"{MM_AUDIO_MAX_HAMMING} and energy L1 0 <= {MM_AUDIO_L1_MAX}, so a "
+    "group's members always interlink and the node-graph closure equals "
+    "the media-pair-graph closure exactly. Output per cluster: "
+    "representative (smallest media id), member count, distinct-"
+    "fingerprint-group count. The oracle replays waveform, fingerprint, "
+    "the distinct-group collapse, the all-pairs ground truth over groups "
+    "and a recursive-CTE closure.",
+    oracle=f"""
+        WITH RECURSIVE {_AUDIO_FP_CTES},
+        asig AS (
+          SELECT a.doc_id, a.afp, e.el AS pxl
+          FROM afp a JOIN ev e USING (doc_id)
+        ),
+        dv AS (
+          SELECT afp, pxl, CAST(MIN(doc_id) AS BIGINT) AS node
+          FROM asig GROUP BY afp, pxl
+        ),
+        ed AS (
+          SELECT l.node AS x, r.node AS y
+          FROM dv l JOIN dv r ON l.node < r.node
+          WHERE CAST(bit_count(xor(l.afp, r.afp)) AS BIGINT)
+                  <= {MM_AUDIO_MAX_HAMMING}
+            AND {_list_l1_sql("l", "r", AUDIO_FP_FRAMES)} <= {MM_AUDIO_L1_MAX}
+        ),
+        edges AS (
+          SELECT x, y FROM ed UNION SELECT y AS x, x AS y FROM ed
+        ),
+        reach AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+        ),
+        rep AS (SELECT x, least(x, min(y)) AS component
+                FROM reach GROUP BY x),
+        assign AS (
+          SELECT s.doc_id, d.node, COALESCE(rp.component, d.node) AS ck
+          FROM asig s
+          JOIN dv d ON s.afp = d.afp AND s.pxl = d.pxl
+          LEFT JOIN rep rp ON rp.x = d.node
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_rep,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_sigs
+        FROM assign
+        GROUP BY ck
+        ORDER BY cluster_rep
+    """,
+)
+def multimodal_audio_dup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.cluster import connected_components
+    from ..operators.dedup import _scoped_persist
+    from ..operators.multimodal import audio_fingerprint_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= AUDIO_FP_MIN_CHARS)
+    )
+    media = attach_media_columns(docs, "doc_id", "text")
+    # ONE decode-seam pass; renamed to the (phash, px) shape the shared
+    # blocking/verify operator consumes (the pair twin's convention)
+    sig = _scoped_persist(
+        audio_fingerprint_media(media).select(
+            "media_id",
+            F.col("afp").alias("phash"),
+            F.col("energy").alias("px"),
+        )
+    )
+    dv = _scoped_persist(
+        sig.groupBy("phash", "px").agg(
+            F.min("media_id").cast("bigint").alias("node")
+        )
+    )
+    pairs = phash_near_dup_pairs(
+        dv.select(F.col("node").alias("media_id"), "phash", "px"),
+        max_hamming=MM_AUDIO_MAX_HAMMING,
+        px_l1_max=MM_AUDIO_L1_MAX,
+    ).select("a", "b")
+    ccr = connected_components(pairs, "a", "b").select(
+        F.col("node").alias("cc_node"), "component"
+    )
+    assign = (
+        sig.join(dv, ["phash", "px"])
+        .join(ccr, F.col("node") == F.col("cc_node"), "left")
+        .select(
+            "media_id",
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("ck"),
+        )
+    )
+    # O(clusters) output <= O(media) -> distributed orderBy
+    return (
+        assign.groupBy("ck")
+        .agg(
+            F.min("media_id").cast("bigint").alias("cluster_rep"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.countDistinct("node").cast("bigint").alias("n_distinct_sigs"),
+        )
+        .select("cluster_rep", "cluster_size", "n_distinct_sigs")
+        .orderBy("cluster_rep")
+    )

@@ -294,11 +294,12 @@ def test_multiword_pigeonhole_level_invariance(spark):
         )
 
     # radius 8: levels 1-3 (m = 9/10/11 — every level splits blocks across
-    # word boundaries); radius 24 (the registered query's): levels 1-2.
-    # Deeper levels at wide radii mean C(m, c) in the thousands — a codegen
-    # size the adaptive ladder never reaches before the budget math stops
-    # it (level 1 already covers ~167k signatures at radius 24).
-    for radius, levels in ((8, (1, 2, 3)), (24, (1, 2))):
+    # word boundaries); radius 24 (the registered query's): levels 1-3.
+    # Level 3 at radius 24 means C(27, 3) = 2925 combinations — executable
+    # since the r12 ADVICE fix shipped the combination fan-out as broadcast
+    # DATA instead of per-combination generated structs (the old explode
+    # failed Janino codegen past ~1000 structs; test_round12 pins level 4).
+    for radius, levels in ((8, (1, 2, 3)), (24, (1, 2, 3))):
         brute = sorted(
             (a, b, ham(a, b))
             for a in words
