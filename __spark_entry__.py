@@ -55,10 +55,32 @@ def _last_sampled_round() -> dict[str, int]:
     return seen
 
 
+def _changed_this_round() -> set[str]:
+    """Query names listed in the committed CHANGED_QUERIES.txt — the
+    builder rewrites it each round with the queries whose implementation
+    changed, so the driver's sample covers new code the round it lands
+    (r11 verdict task #5: LRU rotation alone deprioritizes a query that
+    was recently verified but has since been re-implemented)."""
+    out: set[str] = set()
+    try:
+        with open(
+            os.path.join(_HERE, "CHANGED_QUERIES.txt"), encoding="utf-8"
+        ) as fh:
+            for line in fh:
+                name = line.strip()
+                if name and not name.startswith("#"):
+                    out.add(name)
+    except OSError:
+        pass
+    return out
+
+
 def _driver_order() -> list[str]:
-    """Registry names, least-recently-verified first: the driver samples the
-    first 50 entries each round, so rotating by last-sampled round drives the
-    cross-round union of correctness rows to cover the whole registry.
+    """Registry names: queries changed THIS round first (they need a fresh
+    driver row under the new code), then least-recently-verified — the
+    driver samples the first 50 entries each round, so this ordering drives
+    the cross-round union of correctness rows to cover the whole registry
+    while guaranteeing same-round coverage of re-implemented queries.
 
     Ties (same last-sampled round — in particular the never-sampled set,
     which can exceed the 50-row window in a round that registers many new
@@ -68,10 +90,11 @@ def _driver_order() -> list[str]:
     round behind newer arrivals."""
     last = _last_sampled_round()
     tail = set(_NO_ORACLE_TAIL)
+    changed = _changed_this_round()
     reg_idx = {n: i for i, n in enumerate(REGISTRY)}
     body = sorted(
         (n for n in REGISTRY if n not in tail),
-        key=lambda n: (last.get(n, 0), reg_idx[n]),
+        key=lambda n: (n not in changed, last.get(n, 0), reg_idx[n]),
     )
     return body + sorted(tail)
 

@@ -382,6 +382,11 @@ def simhash16(text: Column) -> Column:
 # 100k the level-1 candidate term alone is ~10x that and level 2 wins.
 PIGEONHOLE_TARGET = 4096
 PIGEONHOLE_MAX_LEVEL = 4
+# Multi-word fan-out path switch: at most this many c-combinations ride the
+# whole-stage-codegen struct explode (fastest); past it Janino would OOM on
+# the generated code (~1000-struct ceiling measured), so the fan-out ships
+# as a broadcast combos TABLE instead — same (bi, bv) output (ADVICE r11)
+PIGEONHOLE_CODEGEN_COMBOS = 512
 
 
 def _pigeonhole_widths(n_bits: int, n_blocks: int) -> tuple[list[int], list[int]]:
@@ -524,23 +529,34 @@ def pigeonhole_buckets_multi(
         hi = word(lo_w + 1).bitwiseAND(F.lit((1 << hi_bits) - 1))
         return F.shiftleft(hi, lo_bits).bitwiseOR(lo)
 
-    # The combination fan-out ships as DATA, not code (ADVICE r11): the old
-    # per-combination struct explode generated C(m, c) shift/mask struct
-    # expressions in ONE projection — 2925 structs at (radius 24, level 3),
-    # far past the ~1000-generated-struct Janino ceiling measured in earlier
-    # rounds, so deep levels failed codegen before the candidate budget ever
-    # mattered.
-    # Now the row projection computes the m block values ONCE into an array
-    # (O(m) codegen at any level), and a broadcast (bi, combo) table — one
-    # row per c-combination — fans rows out via a nested-loop join; ``bv``
-    # renders by indexing the block array with the combo, byte-identical to
-    # the old concat_ws(',') key, so existing hashes are unchanged.
     combos = list(combinations(range(m), level))
+    cols = df.columns
+    if len(combos) <= PIGEONHOLE_CODEGEN_COMBOS:
+        # shallow levels (every level the adaptive ladder reaches below
+        # ~hundreds of millions of signatures): per-combination struct
+        # explode — whole-stage-codegen'd shift/mask expressions, the
+        # cheapest plan (measured ~0.7 s faster than the data-driven path
+        # on the sf0.1 wide family at level 1)
+        structs = []
+        for j, combo in enumerate(combos):
+            bv = F.concat_ws(",", *[block(i).cast("string") for i in combo])
+            structs.append(F.struct(F.lit(j).alias("bi"), bv.alias("bv")))
+        return df.select("*", F.explode(F.array(*structs)).alias("_b")).select(
+            *cols, F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")
+        )
+    # DEEP levels (ADVICE r11): C(m, c) struct expressions in one projection
+    # fail Janino codegen past ~1000 generated structs — 2925 at (radius 24,
+    # level 3) — so past PIGEONHOLE_CODEGEN_COMBOS the fan-out ships as
+    # DATA instead of code: the row projection computes the m block values
+    # ONCE into an array (O(m) codegen at any level), and a broadcast
+    # (bi, combo) table — one row per c-combination — fans rows out via a
+    # nested-loop join; ``bv`` renders by indexing the block array with the
+    # combo, byte-identical to the shallow path's concat_ws(',') key, so
+    # the pair output is level-invariant across both paths (test-pinned).
     combos_df = df.sparkSession.createDataFrame(
         [(j, list(c)) for j, c in enumerate(combos)],
         "bi int, _combo array<int>",
     )
-    cols = df.columns
     blocks = F.array(*[block(i).cast("long") for i in range(m)])
     return (
         df.select("*", blocks.alias("_blk"))
