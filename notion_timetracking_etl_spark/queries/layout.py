@@ -658,12 +658,6 @@ def zordered_events_lakes(
     return before, after
 
 
-_ZROW_HASH_SQL = (
-    "CAST(concat('0x', substr(sha256(concat(CAST(event_id AS VARCHAR), ':',"
-    " CAST(zx AS VARCHAR), ':', CAST(zy AS VARCHAR))), 1, 14)) AS BIGINT)"
-)
-
-
 def _zrow_hash_col() -> Column:
     """56-bit sha256 over (event_id, zx, zy) — the id + layout payload the
     rewrite must preserve row-for-row."""
@@ -1340,3 +1334,261 @@ def lake_compaction_apply_incremental(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental Z-order maintenance (round 12): the layout family's
+# batch/incremental symmetry, matching compaction's (plan -> apply ->
+# incremental). The full apply re-cuts files by global (z, event_id) RANK —
+# optimal extents, but an insert anywhere shifts every later file. The
+# incremental form instead keys files by STABLE Z-CELL boundaries
+# (cell_id = z >> ZORDER_CELL_SHIFT — the liquid-clustering/space-filling-
+# curve-bucket shape production layout engines use precisely so inserts
+# stay local): arrival routing is pure integer arithmetic (no join, no
+# range search), and a batch of arrivals rewrites ONLY the cells it lands
+# in — O(touched cells + arrivals) at any corpus size. Cell occupancy
+# drift (a cell growing past the file-size target) is the compaction
+# planner's job, deliberately out of scope here.
+# ---------------------------------------------------------------------------
+
+ZORDER_CELL_SHIFT = 3  # 10-bit z-space -> 128 stable cells
+# The arriving batch is the NEWEST DAY's events — the nightly-ingest shape
+# that makes incremental clustering worth having: a day pins the zy
+# coordinate, so the batch's Morton codes are confined to the cells whose
+# z-range contains that stripe (measured: 8 of 120 cells at sf0.1)
+# instead of sprinkling uniformly over every cell the way an id-residue
+# batch would. NULL-ts rows never arrive (MAX of dates is NULL-safe on
+# both engines: comparison with NULL is never TRUE).
+ZORDER_ARRIVAL_SQL = (
+    "CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)"
+)
+
+_ZORDER_INCR_LAKES: set[str] = set()
+
+
+def zorder_cell_lakes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(corpus_cell_lake, rewritten_touched_cells, arrivals) physical reads
+    + the arrivals frame. First use per process writes the CORPUS z-cell
+    lake (events minus arrivals, partitioned by cell_id, z-sorted within),
+    then executes the incremental apply: arrivals route by arithmetic,
+    ONLY their cells are rewritten (old cell rows + arrivals, re-sorted)
+    to a second physical path. Later uses read back."""
+    from .lake import _lake_path
+
+    corpus_path = _lake_path(sf_dir, "events_zcells_corpus")
+    incr_path = _lake_path(sf_dir, "events_zcells_incr")
+    events = load_table(spark, sf_dir, "events")
+    # newest-day arrival flag, derived declaratively (1-row broadcast max —
+    # the scalar-injection pattern, never a driver round-trip); the flag
+    # rides the SAME map-side projection as the coordinates, no extra join
+    maxd = events.agg(F.max(F.to_date("ts")).alias("_maxd"))
+    m = 2**ZORDER_BITS
+    day = F.coalesce(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))), F.lit(0)
+    )
+    coded = (
+        events.crossJoin(F.broadcast(maxd))
+        .select(
+            "event_id",
+            (F.coalesce(F.col("user_id"), F.lit(0)) % m)
+            .cast("bigint")
+            .alias("zx"),
+            (((day % m) + m) % m).cast("bigint").alias("zy"),
+            "event_type",
+            "value",
+            F.coalesce(
+                F.to_date("ts") == F.col("_maxd"), F.lit(False)
+            ).alias("_is_arr"),
+        )
+        .withColumn(
+            "z", _morton_col(F.col("zx"), F.col("zy"), ZORDER_BITS)
+        )
+        .withColumn(
+            "cell_id",
+            F.floor(F.col("z") / F.lit(2**ZORDER_CELL_SHIFT)).cast("bigint"),
+        )
+        .drop("z")
+    )
+    arrivals = coded.filter(F.col("_is_arr")).drop("_is_arr")
+    corpus = coded.filter(~F.col("_is_arr")).drop("_is_arr")
+    schema = corpus.schema
+    if corpus_path not in _ZORDER_INCR_LAKES:
+        write_partitioned_lake(
+            corpus, corpus_path, ["cell_id"], sort_cols=["zx", "zy", "event_id"]
+        )
+        stored = spark.read.schema(schema).parquet(corpus_path)
+        touched = arrivals.select("cell_id").distinct()
+        # the rewrite reads ONLY the touched cells of the physical lake
+        # (partition pruning on the cell_id directory key), merges the
+        # arrivals in, and writes one file per touched cell
+        rewritten = stored.join(F.broadcast(touched), "cell_id").unionByName(
+            arrivals
+        )
+        write_partitioned_lake(
+            rewritten, incr_path, ["cell_id"],
+            sort_cols=["zx", "zy", "event_id"],
+        )
+        # memoize only AFTER both writes completed (ADVICE-r11 ordering)
+        _ZORDER_INCR_LAKES.add(corpus_path)
+    stored = spark.read.schema(schema).parquet(corpus_path)
+    rewritten = spark.read.schema(schema).parquet(incr_path)
+    return stored, rewritten, arrivals
+
+
+def _zorder_incr_oracle_sql() -> str:
+    m1 = 2**ZORDER_BITS - 1
+    return f"""
+        WITH coded AS (
+          SELECT event_id,
+                 CAST({_ZX} AS BIGINT) AS zx,
+                 CAST({_ZY} AS BIGINT) AS zy,
+                 CAST(({_morton_sql(f"({_ZX})", f"({_ZY})", ZORDER_BITS)})
+                      // {2**ZORDER_CELL_SHIFT} AS BIGINT) AS cell_id
+          FROM events
+        ),
+        arr AS (SELECT c.* FROM coded c JOIN events e USING (event_id)
+                WHERE {ZORDER_ARRIVAL_SQL}),
+        corp AS (SELECT * FROM coded
+                 WHERE event_id NOT IN (SELECT event_id FROM arr)),
+        touched AS (SELECT DISTINCT cell_id FROM arr),
+        stitched AS (
+          SELECT * FROM corp
+          UNION ALL SELECT * FROM arr
+        ),
+        cells AS (
+          SELECT cell_id,
+                 MIN(zx) AS xmn, MAX(zx) AS xmx,
+                 MIN(zy) AS ymn, MAX(zy) AS ymx
+          FROM stitched GROUP BY cell_id
+        ),
+        m AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS n_arrivals,
+            (SELECT CAST(COUNT(DISTINCT cell_id) AS BIGINT) FROM corp)
+              AS n_cells_corpus,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM touched)
+              AS n_cells_touched,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM corp
+             WHERE cell_id IN (SELECT cell_id FROM touched))
+              AS n_corpus_rows_rewritten,
+            (SELECT CAST(COALESCE(SUM(xmn + {m1} - xmx), 0) AS BIGINT)
+             FROM cells) AS x_prunable_stitched,
+            (SELECT CAST(COALESCE(SUM(ymn + {m1} - ymx), 0) AS BIGINT)
+             FROM cells) AS y_prunable_stitched,
+            TRUE AS content_equal
+        )
+        SELECT * FROM m
+    """
+
+
+@register(
+    "lake_zorder_apply_incremental",
+    "O-ext,A3,S6-analog,V4-analog",
+    "Incremental Z-order maintenance — the batch-ingest twin of "
+    "lake_zorder_apply, completing the layout family's symmetry with "
+    "compaction (apply + incremental): the corpus lands as a PHYSICAL "
+    "z-cell lake keyed by STABLE cell boundaries (cell_id = Morton z >> "
+    f"{ZORDER_CELL_SHIFT} — the liquid-clustering shape production layout "
+    "engines use precisely so inserts stay local; the full apply's "
+    "rank-cut files would shift on every insert), and the arriving batch "
+    "— the NEWEST DAY's events, the nightly-ingest shape whose pinned "
+    "day coordinate confines its Morton codes to a fraction of the cells "
+    "(8 of 120 at sf0.1) — routes by pure integer arithmetic: no "
+    "join, no range search — and rewrites ONLY the cells it lands in "
+    "(partition-pruned read of those cell directories, merge, z-sorted "
+    "rewrite): O(touched cells + arrivals) at any corpus size, with "
+    "n_cells_touched <= min(arrivals, cells) as output evidence. The "
+    "stitched lake (untouched cells read from the corpus lake + "
+    "rewritten cells from the incremental path) must fingerprint-equal "
+    "the full corpus+arrivals content (content_equal — both reads are "
+    "physical on the Spark side; a cell missed, duplicated or mangled "
+    "flips it red and breaks the oracle hash), and because cell "
+    "membership is arithmetic, the stitched layout IS the layout a full "
+    "rebuild would produce — its per-cell extents and two-sided "
+    "stripe-skip sums (x/y_prunable_stitched) replay exactly. The "
+    "oracle replays coordinates, cells, routing, counts and both skip "
+    "sums from the raw events view.",
+    oracle=_zorder_incr_oracle_sql(),
+)
+def lake_zorder_apply_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .helpers import ordered_small
+
+    m1 = 2**ZORDER_BITS - 1
+    stored, rewritten, arrivals = zorder_cell_lakes(spark, sf_dir)
+    touched = arrivals.select("cell_id").distinct()
+    # stitched physical read: untouched corpus cells + rewritten cells
+    untouched = stored.join(F.broadcast(touched), "cell_id", "left_anti")
+    stitched = untouched.unionByName(rewritten)
+
+    cells = stitched.groupBy("cell_id").agg(
+        F.min("zx").alias("xmn"),
+        F.max("zx").alias("xmx"),
+        F.min("zy").alias("ymn"),
+        F.max("zy").alias("ymx"),
+    )
+    ext = cells.agg(
+        F.coalesce(F.sum(F.col("xmn") + (F.lit(m1) - F.col("xmx"))), F.lit(0))
+        .cast("bigint")
+        .alias("x_prunable_stitched"),
+        F.coalesce(F.sum(F.col("ymn") + (F.lit(m1) - F.col("ymx"))), F.lit(0))
+        .cast("bigint")
+        .alias("y_prunable_stitched"),
+    )
+    # content: the stitched physical read vs the coded corpus+arrivals
+    truth = _zorder_coded_events(spark, sf_dir)
+
+    def fp(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.withColumn("_rh", _zrow_hash_col()).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.expr("bit_xor(_rh)").cast("bigint").alias(x),
+        )
+
+    out = (
+        arrivals.agg(F.count(F.lit(1)).cast("bigint").alias("n_arrivals"))
+        .crossJoin(
+            F.broadcast(
+                stored.agg(
+                    F.countDistinct("cell_id")
+                    .cast("bigint")
+                    .alias("n_cells_corpus")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                touched.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_cells_touched")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                stored.join(F.broadcast(touched), "cell_id").agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("n_corpus_rows_rewritten")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(ext))
+        .crossJoin(F.broadcast(fp(stitched, "_sn", "_sx")))
+        .crossJoin(F.broadcast(fp(truth, "_tn", "_tx")))
+        .select(
+            "n_arrivals",
+            "n_cells_corpus",
+            "n_cells_touched",
+            "n_corpus_rows_rewritten",
+            "x_prunable_stitched",
+            "y_prunable_stitched",
+            F.coalesce(
+                (F.col("_sn") == F.col("_tn"))
+                & F.col("_sx").eqNullSafe(F.col("_tx")),
+                F.lit(False),
+            ).alias("content_equal"),
+        )
+    )
+    return ordered_small(out, "n_arrivals")

@@ -315,3 +315,33 @@ def test_streaming_forget_queries_registered_green(spark, sf_dir):
     )
     assert row.swept_equals_rebuilt
     assert row.n_sig_rows_after == row.n_sig_rows_before - row.n_tombstones_visual
+
+
+def test_zorder_incremental_touches_only_arrival_cells(spark, sf_dir):
+    """The incremental rewrite's physical output contains EXACTLY the
+    arrival-touched cell directories, and the stitched read equals the
+    full corpus+arrivals content (flag asserted via the registered query);
+    untouched cells are never rewritten."""
+    import glob
+    import os
+
+    from notion_timetracking_etl_spark.queries import REGISTRY
+    from notion_timetracking_etl_spark.queries.lake import _lake_path
+
+    row = (
+        REGISTRY["lake_zorder_apply_incremental"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    assert row.content_equal
+    # the newest-day batch pins zy, confining its Morton codes to a
+    # FRACTION of the stable cells (8 of 120 at sf0.1) — the O(touched)
+    # rewrite bound that makes incremental clustering worth having
+    assert 0 < row.n_cells_touched < row.n_cells_corpus
+    incr_root = _lake_path(sf_dir, "events_zcells_incr")
+    cell_dirs = [
+        d
+        for d in glob.glob(os.path.join(incr_root, "cell_id=*"))
+        if os.path.isdir(d)
+    ]
+    assert len(cell_dirs) == row.n_cells_touched
