@@ -55,24 +55,31 @@ def _last_sampled_round() -> dict[str, int]:
     return seen
 
 
-def _changed_this_round() -> set[str]:
-    """Query names listed in the committed CHANGED_QUERIES.txt — the
+def _changed_this_round() -> tuple[set[str], int]:
+    """(names, change_round) from the committed CHANGED_QUERIES.txt — the
     builder rewrites it each round with the queries whose implementation
-    changed, so the driver's sample covers new code the round it lands
-    (r11 verdict task #5: LRU rotation alone deprioritizes a query that
-    was recently verified but has since been re-implemented)."""
+    changed plus a ``round: N`` directive, so the driver's sample covers
+    new code the round it lands (r11 verdict task #5: LRU rotation alone
+    deprioritizes a query that was recently verified but has since been
+    re-implemented)."""
     out: set[str] = set()
+    rnd = 0
     try:
         with open(
             os.path.join(_HERE, "CHANGED_QUERIES.txt"), encoding="utf-8"
         ) as fh:
             for line in fh:
                 name = line.strip()
-                if name and not name.startswith("#"):
+                if name.startswith("round:"):
+                    try:
+                        rnd = int(name[len("round:"):].strip())
+                    except ValueError:
+                        pass
+                elif name and not name.startswith("#"):
                     out.add(name)
     except OSError:
         pass
-    return out
+    return out, rnd
 
 
 def _driver_order() -> list[str]:
@@ -90,7 +97,20 @@ def _driver_order() -> list[str]:
     round behind newer arrivals."""
     last = _last_sampled_round()
     tail = set(_NO_ORACLE_TAIL)
-    changed = _changed_this_round()
+    # A changed-list entry is ACTIVE only until the query has a green row
+    # from the CHANGE round (or later) — a green row that predates the
+    # change verified the OLD code, so the entry stays front-loaded, but
+    # once the driver has sampled it under the new code, a stale
+    # CHANGED_QUERIES.txt (builder forgot to rewrite it next round)
+    # degrades to a no-op instead of starving the LRU rotation forever
+    # (r12 review finding). A file without a round directive is treated
+    # as always-active (the pre-guard behavior).
+    changed_names, change_round = _changed_this_round()
+    changed = {
+        n
+        for n in changed_names
+        if change_round == 0 or last.get(n, 0) < change_round
+    }
     reg_idx = {n: i for i, n in enumerate(REGISTRY)}
     body = sorted(
         (n for n in REGISTRY if n not in tail),

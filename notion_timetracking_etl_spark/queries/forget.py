@@ -1732,13 +1732,22 @@ def sketch_forget_step_factory(
         lake = state["lake"] if state["lake"] is not None else before
         kept = lake.join(touched, "event_date", "left_anti")
         # rebuild the touched partitions from the corpus minus every
-        # tombstone seen SO FAR, through the one canonical key/hash recipe
+        # tombstone seen SO FAR, through the one canonical key/hash recipe.
+        # The events scan is PRUNED to the touched dates BEFORE the
+        # distinct (r12 review: the date join cannot push below
+        # kmv_dated_hashes' aggregate, so filtering after it paid a
+        # whole-corpus distinct per wave — a key embeds its date, so the
+        # pre-filtered recipe yields identical hashes at O(touched) cost,
+        # which is the registered bound)
+        ev_touched = ev.join(
+            touched, F.to_date("ts") == F.col("event_date")
+        ).drop("event_date")
         hashed_alive = kmv_dated_hashes(
-            spark, sf_dir, ev=ev.join(state["dead"], "user_id", "left_anti")
+            spark,
+            sf_dir,
+            ev=ev_touched.join(state["dead"], "user_id", "left_anti"),
         )
-        rebuilt = kmv_partial_sketches(
-            hashed_alive.join(touched, "event_date")
-        )
+        rebuilt = kmv_partial_sketches(hashed_alive)
         state["lake"] = kept.unionByName(rebuilt).localCheckpoint()
 
     return step
@@ -1903,7 +1912,6 @@ def streaming_forget_multimodal(
     )
     from ..streaming.forgetgate import tombstone_drain
     from .lake import _lake_path
-    from ..sinks.parquet import write_partitioned_lake
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)

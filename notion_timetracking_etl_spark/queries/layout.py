@@ -519,6 +519,7 @@ _ZY = (
                  CAST({_morton_sql(f"({_ZX})", f"({_ZY})", ZORDER_BITS)}
                       AS BIGINT) AS z
           FROM events
+          WHERE event_id IS NOT NULL
         ),
         ranked AS (
           SELECT zx, zy,
@@ -538,7 +539,14 @@ _ZY = (
 )
 def lake_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = 2**ZORDER_BITS
-    events = load_table(spark, sf_dir, "events")
+    # NULL event_ids are excluded on BOTH engines (the quantile_hash_sample
+    # convention): the file-cut rank orders by event_id, and a NULL id
+    # would ride Spark's NULLS FIRST vs DuckDB's NULLS LAST into different
+    # files (r12 review finding — latent: the standard hostile lakes never
+    # NULL the id column)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
     day = F.coalesce(
         F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))), F.lit(0)
     )
@@ -589,9 +597,13 @@ _ZORDER_APPLY_LAKES: set[str] = set()
 
 def _zorder_coded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, zx, zy, event_type, value): the SAME coordinate recipe as
-    lake_zorder_extent_stats (NULLs route to cell 0 on both engines)."""
+    lake_zorder_extent_stats (NULL coordinates route to cell 0 on both
+    engines; NULL event_ids are excluded — the rank-order / NOT-IN
+    hazard, see lake_zorder_extent_stats)."""
     m = 2**ZORDER_BITS
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
     day = F.coalesce(
         F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))), F.lit(0)
     )
@@ -718,6 +730,7 @@ def _zorder_apply_oracle_sql() -> str:
                  CAST({_morton_sql(f"({_ZX})", f"({_ZY})", ZORDER_BITS)}
                       AS BIGINT) AS z
           FROM events
+          WHERE event_id IS NOT NULL
         ),
         linf AS (
           SELECT CAST((rn - 1) // {ZORDER_FILE_ROWS} AS BIGINT) AS f,
@@ -1360,7 +1373,8 @@ ZORDER_CELL_SHIFT = 3  # 10-bit z-space -> 128 stable cells
 # batch would. NULL-ts rows never arrive (MAX of dates is NULL-safe on
 # both engines: comparison with NULL is never TRUE).
 ZORDER_ARRIVAL_SQL = (
-    "CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)"
+    "CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events"
+    " WHERE event_id IS NOT NULL)"
 )
 
 _ZORDER_INCR_LAKES: set[str] = set()
@@ -1379,7 +1393,9 @@ def zorder_cell_lakes(
 
     corpus_path = _lake_path(sf_dir, "events_zcells_corpus")
     incr_path = _lake_path(sf_dir, "events_zcells_incr")
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
     # newest-day arrival flag, derived declaratively (1-row broadcast max —
     # the scalar-injection pattern, never a driver round-trip); the flag
     # rides the SAME map-side projection as the coordinates, no extra join
@@ -1447,6 +1463,7 @@ def _zorder_incr_oracle_sql() -> str:
                  CAST(({_morton_sql(f"({_ZX})", f"({_ZY})", ZORDER_BITS)})
                       // {2**ZORDER_CELL_SHIFT} AS BIGINT) AS cell_id
           FROM events
+          WHERE event_id IS NOT NULL
         ),
         arr AS (SELECT c.* FROM coded c JOIN events e USING (event_id)
                 WHERE {ZORDER_ARRIVAL_SQL}),

@@ -37,6 +37,30 @@ _MEDIA_TYPE_SQL = (
 _BYTES_SQL = "strlen(text)"  # DuckDB strlen = byte length of the utf-8 string
 
 
+def _wide_ham_sql(l: str, r: str) -> str:
+    """Summed per-word Hamming between aliases ``l`` and ``r`` (DuckDB
+    bit_count returns TINYINT — cast each term before summing). The ONE
+    copy of this SQL shape: the pair-twin constants and the cluster-summary
+    oracles all derive from it (r12 review)."""
+    return " + ".join(
+        f"CAST(bit_count(xor({l}.w{j}, {r}.w{j})) AS BIGINT)"
+        for j in range(PHASH_WIDE_WORDS)
+    )
+
+
+def _list_l1_sql(l: str, r: str, n: int, col: str = "pxl") -> str:
+    """Exact element-wise list L1 between ``{l}.{col}`` and ``{r}.{col}``
+    over ``n`` cells — shared by the wide pixel grids and the audio energy
+    vectors (r12 review: one copy instead of three inline variants)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), "
+        f"k -> abs({l}.{col}[k] - {r}.{col}[k])))"
+    )
+
+
+
+
+
 @register(
     "multimodal_decode",
     "S4-analog,P2-analog",
@@ -477,15 +501,13 @@ _AUDIO_FP_CTES = f"""
         WITH {_AUDIO_FP_CTES}
         SELECT a.doc_id AS a, b.doc_id AS b,
                CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming,
-               CAST(list_sum(list_transform(generate_series(1, {AUDIO_FP_FRAMES}),
-                    k -> abs(ea.el[k] - eb.el[k]))) AS BIGINT) AS energy_l1
+               CAST({_list_l1_sql("ea", "eb", AUDIO_FP_FRAMES, col="el")} AS BIGINT) AS energy_l1
         FROM afp a
         JOIN afp b ON a.doc_id < b.doc_id
         JOIN ev ea ON ea.doc_id = a.doc_id
         JOIN ev eb ON eb.doc_id = b.doc_id
         WHERE bit_count(xor(a.afp, b.afp)) <= {MM_AUDIO_MAX_HAMMING}
-          AND list_sum(list_transform(generate_series(1, {AUDIO_FP_FRAMES}),
-               k -> abs(ea.el[k] - eb.el[k]))) <= {MM_AUDIO_L1_MAX}
+          AND {_list_l1_sql("ea", "eb", AUDIO_FP_FRAMES, col="el")} <= {MM_AUDIO_L1_MAX}
         ORDER BY a, b
     """,
 )
@@ -690,16 +712,10 @@ _PHASH_WIDE_CTES = f"""
           SELECT doc_id, list(px ORDER BY r, c) AS pxl FROM wgrid GROUP BY 1
         )"""
 
-# CAST each term: DuckDB bit_count returns TINYINT and four 64-bit counts
-# can sum past 127
-_WIDE_HAM_SQL = " + ".join(
-    f"CAST(bit_count(xor(a.w{j}, b.w{j})) AS BIGINT)"
-    for j in range(PHASH_WIDE_WORDS)
-)
-_WIDE_L1_SQL = (
-    f"list_sum(list_transform(generate_series(1, {_WIDE_CELLS}), "
-    "k -> abs(pa.pxl[k] - pb.pxl[k])))"
-)
+
+
+_WIDE_HAM_SQL = _wide_ham_sql("a", "b")
+_WIDE_L1_SQL = _list_l1_sql("pa", "pb", _WIDE_CELLS)
 
 
 @register(
@@ -857,22 +873,6 @@ def multimodal_incremental_near_dup_wide(
 # non-negative caps), so the node-graph closure equals the media-pair-graph
 # closure exactly, with no degenerate self-link case to route around.
 # ---------------------------------------------------------------------------
-
-
-def _wide_ham_sql(l: str, r: str) -> str:
-    """Summed per-word Hamming between aliases ``l`` and ``r`` (DuckDB
-    bit_count returns TINYINT — cast each term before summing)."""
-    return " + ".join(
-        f"CAST(bit_count(xor({l}.w{j}, {r}.w{j})) AS BIGINT)"
-        for j in range(PHASH_WIDE_WORDS)
-    )
-
-
-def _list_l1_sql(l: str, r: str, n: int) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, {n}), "
-        f"k -> abs({l}.pxl[k] - {r}.pxl[k])))"
-    )
 
 
 _WIDE_WORDS_COLS = ", ".join(f"w{j}" for j in range(PHASH_WIDE_WORDS))
