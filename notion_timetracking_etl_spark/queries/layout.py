@@ -1435,13 +1435,24 @@ def zorder_cell_lakes(
             corpus, corpus_path, ["cell_id"], sort_cols=["zx", "zy", "event_id"]
         )
         stored = spark.read.schema(schema).parquet(corpus_path)
-        touched = arrivals.select("cell_id").distinct()
-        # the rewrite reads ONLY the touched cells of the physical lake
-        # (partition pruning on the cell_id directory key), merges the
-        # arrivals in, and writes one file per touched cell
-        rewritten = stored.join(F.broadcast(touched), "cell_id").unionByName(
-            arrivals
-        )
+        # the rewrite reads ONLY the touched cells of the physical lake.
+        # STATIC partition pruning: the touched-cell id list is bounded by
+        # the fixed cell space (<= 2^(10 - ZORDER_CELL_SHIFT) = 128 ids —
+        # the documented metadata-scale bounded-collect class), and an IN
+        # filter on the partition column reaches the scan as a
+        # PartitionFilter (plan-contract-pinned in tests/test_round12.py);
+        # a broadcast join here does NOT prune — DPP never fires because
+        # the touched side derives from the same query, so the join form
+        # silently scanned every cell directory (r12 post-review check)
+        touched_ids = [
+            r.cell_id
+            for r in arrivals.select("cell_id").distinct().collect()
+        ]
+        rewritten = stored.filter(
+            F.col("cell_id").isin(touched_ids)
+            if touched_ids
+            else F.lit(False)
+        ).unionByName(arrivals)
         write_partitioned_lake(
             rewritten, incr_path, ["cell_id"],
             sort_cols=["zx", "zy", "event_id"],
@@ -1514,7 +1525,9 @@ def _zorder_incr_oracle_sql() -> str:
     "day coordinate confines its Morton codes to a fraction of the cells "
     "(8 of 120 at sf0.1) — routes by pure integer arithmetic: no "
     "join, no range search — and rewrites ONLY the cells it lands in "
-    "(partition-pruned read of those cell directories, merge, z-sorted "
+    "(STATICALLY partition-pruned read of those cell directories via the "
+    "bounded collected touched-id list — <= 128 ids, metadata-scale; "
+    "plan-contract-pinned — then merge and z-sorted "
     "rewrite): O(touched cells + arrivals) at any corpus size, with "
     "n_cells_touched <= min(arrivals, cells) as output evidence. The "
     "stitched lake (untouched cells read from the corpus lake + "

@@ -345,3 +345,24 @@ def test_zorder_incremental_touches_only_arrival_cells(spark, sf_dir):
         if os.path.isdir(d)
     ]
     assert len(cell_dirs) == row.n_cells_touched
+
+
+def test_zorder_incremental_rewrite_scan_is_partition_pruned(spark, sf_dir):
+    """The rewrite's corpus-lake read must reach the parquet scan with a
+    cell_id PartitionFilter (static IN over the bounded collected
+    touched-id list) — a broadcast join formulation silently scans every
+    cell directory because DPP never fires when the filter side derives
+    from the same query (r12 post-review plan check)."""
+    import pyspark.sql.functions as F
+
+    from notion_timetracking_etl_spark.queries.layout import (
+        zorder_cell_lakes,
+    )
+
+    stored, rewritten, arrivals = zorder_cell_lakes(spark, sf_dir)
+    ids = [r.cell_id for r in arrivals.select("cell_id").distinct().collect()]
+    if not ids:
+        return  # degenerate fixture: nothing arrives, nothing to pin
+    pruned = stored.filter(F.col("cell_id").isin(ids))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan and " IN (" in plan, plan
