@@ -26,10 +26,16 @@ and therefore the component min (the min node's own label never rises).
 
 Driver involvement is one ``count()`` per round (the convergence check) —
 O(log diameter) tiny jobs, never data through the driver. Each round's
-labels are ``localCheckpoint(eager=True)``-ed, not merely persisted:
-persist caches the DATA but the logical plan keeps the full multi-round
-lineage, so analysis/AQE planning cost grows per round (measured: 1.7 s →
-3.3 s per round at two rounds; checkpointing flattens both to ~0.5 s).
+labels are eager-checkpointed via ``_flat_checkpoint`` (localCheckpoint +
+origin-stats strip), not merely persisted: persist caches the DATA but the
+logical plan keeps the full multi-round lineage, so analysis/AQE planning
+cost grows per round (measured: 1.7 s → 3.3 s per round at two rounds;
+checkpointing flattens both to ~0.5 s). The stats strip matters as much as
+the checkpoint: Spark 4's ``localCheckpoint`` forwards the origin plan's
+size estimate, and the loop's join plans MULTIPLY those estimates round
+over round — a geometric BigInt blow-up that put the driver into minutes
+of ``BigInteger.multiply`` once jumps were composed (see
+``dedup._flat_checkpoint``).
 Superseded checkpoints are freed at the RDD level each round
 (``_free_checkpoint_blocks`` — plain ``unpersist()`` never reaches
 RDD-persisted checkpoint blocks), so peak storage is ~3×|nodes| (previous
@@ -50,7 +56,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from .dedup import _free_checkpoint_blocks, _scoped_persist, _SCOPED_CACHES
+from .dedup import (
+    _flat_checkpoint,
+    _free_checkpoint_blocks,
+    _scoped_persist,
+    _SCOPED_CACHES,
+)
 
 
 def connected_components(
@@ -99,8 +110,8 @@ def connected_components(
             und.select(F.col("src").alias("node"))
             .distinct()
             .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=True)
         )
+        labels = _flat_checkpoint(labels)
         labels = _propagate(und, labels, max_rounds, stats)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -113,7 +124,11 @@ def connected_components(
 
 
 def _propagate(
-    und: DataFrame, labels: DataFrame, max_rounds: int, stats: dict | None = None
+    und: DataFrame,
+    labels: DataFrame,
+    max_rounds: int,
+    stats: dict | None = None,
+    jumps: int = 1,
 ) -> DataFrame:
     for round_no in range(max_rounds):
         nbr_min = (
@@ -132,25 +147,42 @@ def _propagate(
                 ).alias("label"),
                 F.col("label").alias("old_label"),
             )
-            .localCheckpoint(eager=True)
         )
+        stepped = _flat_checkpoint(stepped)
         # pointer jumping: label := label(label). Labels are node ids, so the
         # lookup is a node-sized self-join; left + coalesce covers the
         # (impossible in practice) dangling-pointer case. This is what turns
-        # O(diameter) rounds into O(log diameter).
-        ptr = stepped.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-        new_labels = (
-            stepped.join(ptr, stepped.label == ptr.pnode, "left")
-            .select(
+        # O(diameter) rounds into O(log diameter). ``jumps`` composes the
+        # jump inside one round-plan (level k shortcuts 2^k hops), which cuts
+        # ROUND COUNT on path-shaped graphs (synthetic 3000-chain: 16 → 5
+        # rounds, ~3× faster isolated) — but the default stays 1 because on
+        # the REAL dup graphs this repo clusters (random ids, small
+        # near-clique components) convergence is flood-limited, not
+        # pointer-limited: measured per-round changed-counts at sf0.1 showed
+        # identical round counts (16) for jumps 1–3, so composition is pure
+        # per-round join overhead there (+2 sort-merge self-joins/round;
+        # semgate end-to-end regressed 8.3 s → 14 s with jumps=3). Label
+        # monotonicity, the fixpoint argument and the convergence test are
+        # unchanged at any level: every jump is non-increasing, so a
+        # no-change round still implies the propagate step changed nothing.
+        cur = stepped
+        for _ in range(jumps):
+            ptr = cur.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            cur = cur.join(ptr, cur.label == ptr.pnode, "left").select(
                 "node",
                 F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
-                (
-                    F.coalesce(F.col("plabel"), F.col("label"))
-                    != F.col("old_label")
-                ).alias("_changed"),
+                "old_label",
             )
-            .localCheckpoint(eager=True)
+        new_labels = (
+            cur.select(
+                "node",
+                "label",
+                (F.col("label") != F.col("old_label")).alias("_changed"),
+            )
         )
+        new_labels = _flat_checkpoint(new_labels)
         # sum over zero rows is NULL — an EMPTY graph is converged, not stuck
         changed = new_labels.agg(
             F.sum(F.col("_changed").cast("int")).alias("n")

@@ -53,6 +53,40 @@ def _free_checkpoint_blocks(df: DataFrame) -> None:
         pass
 
 
+def _flat_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` WITHOUT the origin-stats rewrite.
+
+    Spark 4's ``Dataset.checkpoint`` copies the origin plan's size estimate
+    onto the new ``LogicalRDD`` (``LogicalRDD.rewriteStatsAndConstraints``).
+    Inside an iterative loop that is a planning-time time bomb: each
+    round's join plan MULTIPLIES its children's size estimates
+    (``SizeInBytesOnlyStatsPlanVisitor.visitJoin`` — a BigInt product), and
+    the checkpoint hands that product to the next round as a leaf estimate,
+    so the estimate's bit-length grows geometrically with round count —
+    measured on the CC loop: ~2× bits/round with one pointer jump, 2^j× with
+    j composed jumps, until the driver spends MINUTES in
+    ``BigInteger.multiply`` (Karatsuba/Toom-Cook frames in the thread dump).
+    Re-wrapping the checkpoint's materialized row RDD via
+    ``internalCreateDataFrame`` builds the same ``LogicalRDD`` with NO
+    origin stats: leaves fall back to ``defaultSizeInBytes`` and every
+    round's stats stay O(64) bits. The rows were already copied and
+    persisted by the checkpoint, so this adds no data work; partitioning
+    metadata is dropped, which no call site relies on (every consumer
+    re-shuffles by a different key). Auto-broadcast decisions are
+    unaffected where this is used — the iterative loops disable broadcast
+    anyway. ``_free_checkpoint_blocks`` keeps working: the plan is a
+    ``LogicalRDD`` whose ``rdd()`` is exactly the persisted RDD."""
+    ck = df.localCheckpoint(eager=True)
+    plan = ck._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() != "LogicalRDD":  # defensive: API drift
+        return ck
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        plan.rdd(), ck._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
 def release_scoped_caches() -> None:
     """Unpersist every query-scoped intermediate registered since the last
     release. Call after the consuming action completes (bench.py and
