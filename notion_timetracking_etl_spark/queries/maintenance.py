@@ -258,18 +258,28 @@ def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for table in ("orders", "lineitem", "events", "documents"):
         cols = [(c, k) for t, c, k in _STATS_COLS if t == table]
         df = load_table(spark, sf_dir, table)
+        # SPLIT the per-table aggregate (same values, two cheap passes
+        # instead of one pathological one): string min/max buffers are
+        # immutable, which forces the WHOLE combined aggregate into
+        # SortAggregate, and the multi-countDistinct adds an Expand — so
+        # the old single agg SORTED rows x (n_distinct_groups + 1) per
+        # table. Pass 1 (counts + min/max, no distinct) has no Expand and
+        # no grouping key, so its SortAggregate never sorts; pass 2 (the
+        # countDistincts alone) keeps the Expand but every buffer is a
+        # long, so it runs as a hash aggregate — nothing is ever sorted.
         aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        ndv_aggs = []
         for c, k in cols:
             guarded = _finite(F.col(c)) if k == "double" else F.col(c)
             aggs += [
                 (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
                     f"nn_{c}"
                 ),
-                F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
                 _render_spark(F.min(guarded), k).alias(f"mn_{c}"),
                 _render_spark(F.max(guarded), k).alias(f"mx_{c}"),
             ]
-        wide = df.agg(*aggs)
+            ndv_aggs.append(F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"))
+        wide = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*ndv_aggs)))
         stack_args = ", ".join(
             f"'{c}', '{k}', nn_{c}, ndv_{c}, mn_{c}, mx_{c}" for c, k in cols
         )

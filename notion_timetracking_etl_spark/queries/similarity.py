@@ -886,14 +886,23 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         srp_signature_bands,
     )
 
+    from ..operators.dedup import _scoped_persist
+
     planes = srp_planes(KNN_MAX_BITS, dims=EMB_DIMS)
-    base = load_embeddings(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        F.sqrt(norm_sq(F.col("embedding"))).alias("nrm"),
-        srp_signature_bands(F.col("embedding"), planes, bands=1)[0].alias(
-            "sig"
-        ),
+    # Scoped persist: base feeds the bits scalar, the coarse projection AND
+    # the occupancy aggregate (via coarse) — without it the 32-plane SRP
+    # signature runs once per consumer (the before-plan showed the
+    # embeddings scan + signature subtree 3x upstream of the counted
+    # persist).
+    base = _scoped_persist(
+        load_embeddings(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            F.sqrt(norm_sq(F.col("embedding"))).alias("nrm"),
+            srp_signature_bands(F.col("embedding"), planes, bands=1)[0].alias(
+                "sig"
+            ),
+        )
     )
     # the bits scalar: ONE tiny aggregate broadcast into the scan — the
     # plan stays fully declarative (no driver-side count round-trip). The
@@ -932,8 +941,6 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of this operator; without it each consumer recomputes the signatures.
     # On a cluster this is the checkpoint of the routing table; in-memory
     # persistence is the local[] equivalent (spills, scope-released).
-    from ..operators.dedup import _scoped_persist
-
     counted = _scoped_persist(
         coarse.join(ref, "ccell")
         .withColumn("cell", F.expr("substring(sig, 1, blen)"))
