@@ -57,8 +57,10 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from .dedup import (
+    _conf_isolated_session,
     _flat_checkpoint,
     _free_checkpoint_blocks,
+    _rebind_session,
     _scoped_persist,
     _SCOPED_CACHES,
 )
@@ -86,41 +88,53 @@ def connected_components(
     # (once per direction), and edges often arrive as an expensive upstream
     # pipeline (e.g. the full MinHash near-dup DAG) that must not run twice.
     e = _scoped_persist(edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")))
-    und = _scoped_persist(
-        e.select(F.col("ea").alias("src"), F.col("eb").alias("dst")).union(
-            e.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
-        )
+    # not persisted: the union materializes ONCE below (_flat_checkpoint)
+    # and the loop reads only that checkpoint
+    und = e.select(F.col("ea").alias("src"), F.col("eb").alias("dst")).union(
+        e.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
     )
     # Size the loop's shuffle width from the MEASURED edge count (cheap: e is
     # cached by the count): a near-dup edge list is usually orders smaller
     # than its corpus, and each propagation round is several shuffle stages —
     # at session-default width, tiny graphs pay pure task-scheduling
-    # overhead per round. Same pattern as run_stream_to_table's
-    # state_partitions; restored after the loop, so only the (cached-input)
-    # round jobs run narrow.
+    # overhead per round.
     spark = edges.sparkSession
     n_edges = e.count()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    loop_parts = max(2, min(int(prev_parts), n_edges // 50_000 + 2))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        labels = (
-            und.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
-        )
-        labels = _flat_checkpoint(labels)
-        labels = _propagate(und, labels, max_rounds, stats)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+    loop_parts = max(
+        2,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_edges // 50_000 + 2,
+        ),
+    )
+    # The loop-width/broadcast conf lives on a conf-ISOLATED child session
+    # (same SparkContext, private SQLConf) instead of a set/restore of the
+    # caller's session: a temporary session-level rewrite made the loop
+    # non-reentrant — any concurrent driver-thread job (guide §2.6 overlap
+    # of independent legs, e.g. the before/after sweeps of the forget
+    # queries) would race the conf at plan time. The materialized undirected
+    # edge RDD is re-homed into the child, the loop runs entirely there, and
+    # the final labels re-home back to the caller's session.
+    child = _conf_isolated_session(spark)
+    child.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    und_c = _rebind_session(_flat_checkpoint(und), child)
+    # the checkpoint backing und_c must outlive the loop but not the query
+    _SCOPED_CACHES.append(und_c)
+    labels = (
+        und_c.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels = _flat_checkpoint(labels)
+    labels = _propagate(und_c, labels, max_rounds, stats)
     # the final checkpoint backs the returned plan — it must survive this
     # function but not the query; hand it to the scoped-cache pool so
     # release_scoped_caches frees its blocks like every other intermediate
     _SCOPED_CACHES.append(labels)
-    return labels.select("node", F.col("label").alias("component"))
+    return _rebind_session(labels, spark).select(
+        "node", F.col("label").alias("component")
+    )
 
 
 def _propagate(

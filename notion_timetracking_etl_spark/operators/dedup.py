@@ -87,6 +87,78 @@ def _flat_checkpoint(df: DataFrame) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition ``df`` to the session's default parallelism when its
+    SCAN would land on fewer partitions than the session has cores — the
+    tiny-file fan-out ``shingle_table`` applies to documents, generalized
+    (guide §2: a parquet file under ``spark.sql.files.maxPartitionBytes``
+    scans as ONE partition, so CPU-heavy per-row work — interpreted HOF
+    folds, sha256 chains, fixed-point argmins — runs single-task no matter
+    how many cores the cluster has; measured: the embedding family's 8-core
+    and 32-core bench times were IDENTICAL before this).
+
+    Scale-adaptive, not a local[] constant: the trigger is the optimizer's
+    size estimate vs ``maxPartitionBytes`` — a corpus-sized input (estimate
+    >= cores × split size) already scans wide and is returned UNCHANGED, so
+    no 100 TB table ever pays a concentrating shuffle; a sub-split file pays
+    one narrow row shuffle to buy full parallelism. Plan-time metadata only
+    (no job). Keyed repartition (deterministic hash), never round-robin —
+    round-robin pays a per-partition sort and is retry-unsafe on
+    non-deterministic input (guide §2.5)."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        max_pb = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        unit = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        s = str(max_pb).strip().lower().removesuffix("b") or "134217728"
+        split = int(s[:-1]) * unit[s[-1]] if s[-1] in unit else int(s)
+        if size >= p * split:
+            return df
+    except Exception:
+        pass  # estimate unavailable — fan out (the safe local default)
+    return df.repartition(p, *[F.col(k) for k in keys])
+
+
+def _conf_isolated_session(spark):
+    """A cloned SparkSession (same SparkContext, cache manager and runtime
+    conf VALUES, fresh SQLConf OBJECT) whose ``conf.set`` is invisible to the
+    parent — the reentrancy fix for operators that tune session-level conf
+    around an eager loop (``cluster.connected_components``). With the loop's
+    conf private, independent legs of a multi-leg query can run in parallel
+    driver threads (guide §2.6) without racing plan-time conf reads.
+
+    ``cloneSession`` (not ``newSession``): the clone COPIES the parent's
+    current runtime conf (timezone, nanosAsLong, AQE flags), where a new
+    session would reset to the SparkContext defaults and silently drop any
+    runtime overrides a harness applied after startup."""
+    from pyspark.sql import SparkSession
+
+    return SparkSession(
+        spark.sparkContext, jsparkSession=spark._jsparkSession.cloneSession()
+    )
+
+
+def _rebind_session(df: DataFrame, spark) -> DataFrame:
+    """Re-wrap a ``_flat_checkpoint``-ed DataFrame's materialized row RDD
+    into ``spark`` (another session on the SAME SparkContext). The rows are
+    already persisted; this only re-homes the ``LogicalRDD`` so downstream
+    plans resolve against the target session's conf/state. No-op when the
+    plan is not a ``LogicalRDD`` (defensive: API drift) or the session
+    already matches."""
+    if df.sparkSession is spark:
+        return df
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() != "LogicalRDD":
+        return df
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        plan.rdd(), df._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
 def release_scoped_caches() -> None:
     """Unpersist every query-scoped intermediate registered since the last
     release. Call after the consuming action completes (bench.py and
@@ -743,11 +815,16 @@ def simhash_hamming_pairs(
     # (left/right branches), and without it each branch recomputes the
     # sha256-per-word signature chain — the dominant cost of this operator.
     # The persisted table is tiny: (doc, signature) per document.
+    # fan_out BEFORE the signature chain: a documents file under the scan
+    # split size lands on one partition, and the sha256-per-word + n_bits
+    # bit-vote fold would fill the persist single-task (guide §2).
     sig = _scoped_persist(
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_hashes(F.col(text_col)).alias("_hl"),
-        ).select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
+        fan_out(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")),
+            "doc",
+        )
+        .select("doc", word_hashes(F.col("_t")).alias("_hl"))
+        .select("doc", simhash_from_hashes(F.col("_hl"), n_bits).alias("s"))
     )
     # level=None: hamming_pairs_from_sigs counts the persisted table once —
     # the count also warms the persist exactly once before the self-join

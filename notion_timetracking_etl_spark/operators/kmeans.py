@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from .dedup import _free_checkpoint_blocks, _SCOPED_CACHES
+from .dedup import _free_checkpoint_blocks, _scoped_persist, _SCOPED_CACHES, fan_out
 
 # exact order-independent fold of (a-b)^2 over the dim pairs, in scale-12
 # fixed point: double multiply → floor(x*1e12 + 0.5) → DECIMAL(38,0) sum
@@ -61,6 +61,12 @@ _BEST_SQL = (
 
 
 def _as_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # NO fan_out here (measured and rejected, r13): this constructor is
+    # called once per one-shot assignment and 8x per PQ sweep, and a blanket
+    # repartition added one exchange per call — ann_index_refresh regressed
+    # 4.9 -> 6.1 s, pq_model 4.9 -> 5.6 s. The fan-out pays only where the
+    # vectors are then REUSED across passes — kmeans_fit persists+fans its
+    # loop vec explicitly below.
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("dvec"),
@@ -128,7 +134,15 @@ def kmeans_fit(
     caller owns the model's lifetime (e.g. a session-cached fitted
     quantizer reused across queries) — the k-row checkpoint then persists
     until the caller frees it via ``_free_checkpoint_blocks``."""
-    vec = _as_double_vec(emb, id_col, vec_col)
+    # scoped persist + fan_out: the loop reads vec 2x per iteration
+    # (assign + update) plus the final assignment, and the per-read argmin —
+    # a k-wide transform folding fixed-point DECIMAL(38,0) aggregates over
+    # dims — is the most expensive per-row expression in the repo; off a
+    # sub-split-size embeddings scan it would run SINGLE-task every pass
+    # (measured: the 8-core and 32-core times of the kmeans family were
+    # identical before this). One narrow exchange fills a wide cache the
+    # whole loop reads. kmeans_embeddings A/B: 2.40 -> 1.93 s (wins 3/3).
+    vec = _scoped_persist(fan_out(_as_double_vec(emb, id_col, vec_col), "vec_id"))
     cent = (
         emb.orderBy(id_col)
         .limit(k)

@@ -65,8 +65,15 @@ def topk_bruteforce(
     ``queries``: (query_id, query_vec); ``corpus``: (vec_id, embedding).
     Ties break on vec_id ascending for determinism.
     """
+    from .dedup import fan_out
+
     queries = queries.withColumn("q_norm", F.sqrt(norm_sq(F.col("query_vec"))))
-    corpus = corpus.withColumn("c_norm", F.sqrt(norm_sq(F.col("embedding"))))
+    # fan_out: the scored projection below is |corpus| x |queries| exact
+    # cosines in a NARROW (broadcast-join) stage — off a sub-split-size
+    # embeddings scan it would run single-task (guide §2)
+    corpus = fan_out(corpus, "vec_id").withColumn(
+        "c_norm", F.sqrt(norm_sq(F.col("embedding")))
+    )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "vec_id",
@@ -329,19 +336,33 @@ def srp_near_dup_pairs(
     vectors join back for exact cosine verification, so vector bytes move
     at most twice and the pair space stays per-bucket.
     """
+    from .dedup import _scoped_persist, fan_out
+
     planes = srp_planes(bits, dims)
+    # fan_out: both persisted tables below are filled by HOF folds over the
+    # vectors (32 plane dots / the norm), and a sub-split-size embeddings
+    # file scans as one partition — the fills would run single-task
+    corpus = fan_out(corpus, "vec_id")
     sigs = srp_signature_bands(F.col("embedding"), planes, bands)
-    entries = corpus.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), s.alias("bucket"))
-                    for j, s in enumerate(sigs)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", "e.band", "e.bucket")
+    # Scoped persist (guide §5 — cache only expensive lineage): the bucket
+    # self-join below reads ``entries`` on BOTH branches, and each branch
+    # would otherwise re-run the 32-plane SRP fold (32 interpreted
+    # zip_with+aggregate HOFs per row — the dominant per-row cost of this
+    # operator; the before-plan carried the fold under two separate parquet
+    # scans). The persisted table is tiny: (vec_id, band, bucket) per band.
+    entries = _scoped_persist(
+        corpus.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("band"), s.alias("bucket"))
+                        for j, s in enumerate(sigs)
+                    ]
+                )
+            ).alias("e"),
+        ).select("vec_id", "e.band", "e.bucket")
+    )
     cand = (
         entries.alias("l")
         .join(entries.alias("r"), ["band", "bucket"])
@@ -351,10 +372,14 @@ def srp_near_dup_pairs(
         )
         .distinct()
     )
-    normed = corpus.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.sqrt(norm_sq(F.col("embedding"))).alias("nrm"),
+    # same rationale: the verify join reads the normed vectors on both the
+    # a- and b-side — persist so the corpus scan + norm fold run once
+    normed = _scoped_persist(
+        corpus.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.sqrt(norm_sq(F.col("embedding"))).alias("nrm"),
+        )
     )
     va = normed.select(
         F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")

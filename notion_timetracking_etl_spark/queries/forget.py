@@ -106,6 +106,28 @@ def _cluster_assign(universe: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _cluster_assign_overlapped(
+    before: tuple[DataFrame, DataFrame], after: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """The before/after cluster re-canonicalizations in PARALLEL driver
+    threads (guide §2.6 — overlap independent jobs): each CC loop is a
+    barrier loop of tiny narrow-shuffle jobs plus a convergence collect per
+    round, so its wall-clock is scheduling latency, not executor saturation
+    — two loops overlap almost perfectly. Safe only because
+    ``connected_components`` runs its loop on a conf-ISOLATED child session
+    (operators/cluster.py): the loop-width/broadcast conf each thread tunes
+    is private, so concurrent legs cannot race plan-time conf reads.
+    Callers must hand in edge inputs whose shared upstream (the pair lake)
+    is already materialized, so the two threads hit warm cache instead of
+    racing the same persist fill."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(_cluster_assign, *before)
+        fa = pool.submit(_cluster_assign, *after)
+        return fb.result(), fa.result()
+
+
 def _shard_assign(docs: DataFrame) -> DataFrame:
     """(doc_id, shard_id) — the one shared shard convention
     (queries/layout.py::shard_perm/shard_assignments), so the sweep audits
@@ -243,12 +265,13 @@ def deletion_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_alive = pairs.join(dead_a, "a", "left_anti").join(
         dead_b, "b", "left_anti"
     )
-    assign_b = _cluster_assign(docs.select("doc_id"), pairs).withColumnRenamed(
-        "cluster_rep", "rep_b"
+    # pairs is an eager session-lifetime checkpoint (near_dup_pairs_cached),
+    # so both threads read warm state — overlap the two independent CC loops
+    assign_b, assign_a = _cluster_assign_overlapped(
+        (docs.select("doc_id"), pairs), (alive.select("doc_id"), pairs_alive)
     )
-    assign_a = _cluster_assign(
-        alive.select("doc_id"), pairs_alive
-    ).withColumnRenamed("cluster_rep", "rep_a")
+    assign_b = assign_b.withColumnRenamed("cluster_rep", "rep_b")
+    assign_a = assign_a.withColumnRenamed("cluster_rep", "rep_a")
 
     shard_b = _shard_assign(docs).withColumnRenamed("shard_id", "sh_b")
     shard_a = _shard_assign(alive).withColumnRenamed("shard_id", "sh_a")
@@ -1038,12 +1061,15 @@ def deletion_propagation_multimodal(
     )
     vis = sig.select(F.col("media_id").alias("doc_id"))
     alive = swept.select(F.col("media_id").alias("doc_id"))
-    assign_b = _cluster_assign(vis, pairs).withColumnRenamed(
-        "cluster_rep", "rep_b"
+    # materialize the persisted pair lake ONCE before the overlapped loops:
+    # both threads' edge inputs derive from it, and a cold persist would
+    # make them race (block-locked, but serializing) the same fill
+    pairs.count()
+    assign_b, assign_a = _cluster_assign_overlapped(
+        (vis, pairs), (alive, pairs_alive)
     )
-    assign_a = _cluster_assign(alive, pairs_alive).withColumnRenamed(
-        "cluster_rep", "rep_a"
-    )
+    assign_b = assign_b.withColumnRenamed("cluster_rep", "rep_b")
+    assign_a = assign_a.withColumnRenamed("cluster_rep", "rep_a")
     dead_ids = F.broadcast(dead.select(F.col("media_id").alias("dead_id")))
 
     out = (

@@ -886,16 +886,17 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         srp_signature_bands,
     )
 
-    from ..operators.dedup import _scoped_persist
+    from ..operators.dedup import _scoped_persist, fan_out
 
     planes = srp_planes(KNN_MAX_BITS, dims=EMB_DIMS)
     # Scoped persist: base feeds the bits scalar, the coarse projection AND
     # the occupancy aggregate (via coarse) — without it the 32-plane SRP
     # signature runs once per consumer (the before-plan showed the
     # embeddings scan + signature subtree 3x upstream of the counted
-    # persist).
+    # persist). fan_out: the fill's 32-plane fold would otherwise run
+    # single-task off the sub-split-size embeddings scan (guide §2).
     base = _scoped_persist(
-        load_embeddings(spark, sf_dir).select(
+        fan_out(load_embeddings(spark, sf_dir), "vec_id").select(
             "vec_id",
             "embedding",
             F.sqrt(norm_sq(F.col("embedding"))).alias("nrm"),

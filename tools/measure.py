@@ -36,6 +36,7 @@ from notion_timetracking_etl_spark.session import build_session  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", default="r13", help="plans/<round>/ output dir")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--explain-only", action="store_true")
     ap.add_argument("--no-explain", action="store_true")
@@ -46,7 +47,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", args.round,
     )
     os.makedirs(plans_dir, exist_ok=True)
 
