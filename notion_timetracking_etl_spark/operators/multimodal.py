@@ -814,6 +814,17 @@ def _stub_waveform(payload: bytes, media_type: str) -> list[int]:
     # all-NUL payloads have zero total energy; clamp so the vector (all
     # zeros) stays defined — the oracle mirrors with GREATEST(total, 1)
     total = int(raw.sum()) or 1
+    # ADVICE r12: the int64 product raw * PHASH_SCALE wraps where the old
+    # pure-Python loop had arbitrary precision. The bound is generous — a
+    # frame energy would need ~2^43 codepoint units (~a 5e8-char payload
+    # mapping into one frame) — but fail LOUDLY instead of fingerprinting
+    # wrapped energies if a pathological payload ever reaches it.
+    peak = int(raw.max())
+    if peak >= (1 << 63) // PHASH_SCALE:
+        raise OverflowError(
+            f"stub waveform frame energy {peak} would overflow int64 at "
+            f"scale {PHASH_SCALE}; payload too large for the stub codec"
+        )
     return (raw * PHASH_SCALE // total).tolist()
 
 

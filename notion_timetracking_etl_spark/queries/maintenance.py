@@ -244,8 +244,11 @@ def _stats_table_sql(table: str) -> str:
     "row/NULL counts, exact NDV, and cross-engine-rendered min/max per "
     "column (doubles as floor-micro integers, timestamps via the shared "
     "format) — the statistics a cost-based optimizer and every broadcast/"
-    "skew decision feed on. One aggregate pass per table computes all its "
-    "columns (multi-distinct via Expand, still a single scan); the final "
+    "skew decision feed on. TWO aggregate passes per table — counts/min/max "
+    "with no distinct (never sorts), and the multi-countDistinct NDVs as a "
+    "pure hash-aggregate chain over the Expand — stitched by a one-row "
+    "broadcast cross join (splitting keeps string min/max buffers from "
+    "forcing the Expand-multiplied rows through a SortAggregate); the final "
     "unpivot moves one row per profiled column.",
     oracle=" UNION ALL ".join(
         _stats_table_sql(t) for t in ("orders", "lineitem", "events",

@@ -168,12 +168,26 @@ def test_catalog_stats_never_sorts_expanded_rows(spark, sf_dir):
     removed). The NDV branches must run as hash aggregates."""
     plan = _plan_of(spark, sf_dir, "catalog_column_stats")
     lines = plan.splitlines()
+    # ADVICE r12: adjacency is too weak a pin — reject a plain Sort with an
+    # Expand ANYWHERE beneath it in the same operator subtree (tree position
+    # = indent depth of the "+-"/":-" connector), not just on the next line.
+    def node_depth(line: str) -> int | None:
+        m = re.search(r"^(\s*)[+:]- ", line)
+        return len(m.group(1)) if m else None
+
     for i, line in enumerate(lines):
-        # a plain Sort operator node (not SortAggregate / SortMergeJoin)
-        if re.search(r"[+:]- Sort\b", line) and i + 1 < len(lines):
-            assert "Expand" not in lines[i + 1], (
-                "Sort directly over Expand: the split aggregate regressed\n"
-                + line + "\n" + lines[i + 1]
+        if not re.search(r"[+:]- Sort\b", line):
+            continue
+        d = node_depth(line)
+        for below in lines[i + 1:]:
+            bd = node_depth(below)
+            if bd is None:
+                break
+            if bd <= d:
+                break  # left the Sort's subtree
+            assert "Expand" not in below, (
+                "Sort over Expand (any depth): the split aggregate "
+                "regressed\n" + line + "\n" + below
             )
     assert "HashAggregate" in plan  # the NDV path stays hash-aggregated
 
