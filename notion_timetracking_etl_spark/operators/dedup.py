@@ -159,6 +159,23 @@ def _rebind_session(df: DataFrame, spark) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+def _scoped_flat_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager :func:`_flat_checkpoint` registered with the scoped-cache pool
+    — for intermediates that MANY downstream legs re-reference in one big
+    plan (the forget reports union ~10 legs over the same base table). A
+    plain persist caches the DATA but every leg's LOGICAL plan still
+    carries the full upstream lineage, and Catalyst re-analyzes it per leg:
+    measured on deletion_propagation_semgate_state, the driver spent 7.3 s
+    of an 18 s run in a zero-stage planning gap before the final job. The
+    checkpoint truncates the lineage to a flat ``LogicalRDD`` leaf (guide
+    §3.3 — materialize to cut planning time), and the stats strip keeps
+    size estimates O(64) bits. Blocks are freed by
+    :func:`release_scoped_caches` like every scoped persist."""
+    out = _flat_checkpoint(df)
+    _SCOPED_CACHES.append(out)
+    return out
+
+
 def release_scoped_caches() -> None:
     """Unpersist every query-scoped intermediate registered since the last
     release. Call after the consuming action completes (bench.py and

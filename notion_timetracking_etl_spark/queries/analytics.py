@@ -1091,7 +1091,10 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") <= _FP_MAX_BASKET)
         .select("basket")
     )
-    bitems = fitems.join(narrow, "basket")
+    # both sides of the pair self-join (the streamed a-side and the
+    # broadcast-built b-side) read bitems — persist so the freq/narrow
+    # joins over the 600k-row items cache run once, not twice
+    bitems = _scoped_persist(fitems.join(narrow, "basket"))
     a = bitems.select(
         "basket", F.col("item").alias("pa"), F.col("cnt").alias("cnt_a")
     )

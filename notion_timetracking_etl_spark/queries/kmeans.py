@@ -84,6 +84,9 @@ def release_session_models() -> None:
     for mem in list(_CELLS_CACHE.values()):
         _free_cells(mem)
     _CELLS_CACHE.clear()
+    for base in list(_SEM_BASE_CACHE.values()):
+        _free_cells(base)
+    _SEM_BASE_CACHE.clear()
 
 
 def fitted_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -314,6 +317,31 @@ def sem_state_base(emb: DataFrame, asg: DataFrame) -> DataFrame:
     )
 
 
+# The materialized routing lake (vec_id, cid, embedding, nrm, sig) — the
+# table sem_state_base's docstring names as what production PERSISTS once
+# per corpus snapshot. Session-cached exactly like _MODEL_CACHE /
+# _CELLS_CACHE (train-once/serve-many; first consumer pays the full
+# assign+hash inside its timed region; release_session_models frees it):
+# both the semdedup cells derivation and the semgate deletion sweep read
+# the same physical state instead of re-planning and re-hashing the
+# assign+SRP chain per consumer.
+_SEM_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def sem_state_base_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _cache_get(_SEM_BASE_CACHE, key)
+    if cached is None:
+        from ..operators.dedup import _flat_checkpoint
+
+        asg, _cent = fitted_model(spark, sf_dir)
+        emb = load_embeddings(spark, sf_dir)
+        cached = _flat_checkpoint(sem_state_base(emb, asg))
+        _SEM_BASE_CACHE[key] = cached
+        _evict_lru(_SEM_BASE_CACHE, _free_cells)
+    return cached
+
+
 def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, cell, embedding, nrm): two-level quantizer membership.
 
@@ -325,9 +353,7 @@ def _refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _cache_get(_CELLS_CACHE, key)
     if cached is not None:
         return cached
-    asg, _cent = fitted_model(spark, sf_dir)
-    emb = load_embeddings(spark, sf_dir)
-    base = sem_state_base(emb, asg)
+    base = sem_state_base_cached(spark, sf_dir)
     bits = sem_bits_agg(base)
     mem = (
         base.crossJoin(F.broadcast(bits))
