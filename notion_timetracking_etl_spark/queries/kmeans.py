@@ -859,7 +859,10 @@ def ann_refresh_frames(
     and pin sampled-vs-full recall agreement (audit_k over-sized = exact
     full truth).
     """
-    from ..operators.dedup import _scoped_persist
+    from ..operators.dedup import (
+        _scoped_flat_checkpoint,
+        _scoped_persist,
+    )
     from ..operators.kmeans import _as_double_vec, _assign, _update, kmeans_fit
     from ..operators.similarity import topk_bruteforce, topk_ivf_kmeans
 
@@ -867,8 +870,12 @@ def ann_refresh_frames(
     _asg_tr, cent_stale = kmeans_fit(old, "vec_id", "embedding", k, iters)
     vec_all = _as_double_vec(emb, "vec_id", "embedding")
     # consumed by flags, refresh filter, re-route anti-join and both
-    # searches — persist once (O(n) two-column rows)
-    asg_all = _scoped_persist(_assign(vec_all, cent_stale))
+    # searches — a flat checkpoint (not persist) so those ~6 legs start
+    # from a LogicalRDD leaf instead of each dragging the argmin expression
+    # tree through Catalyst (the measured §3.3 planning-gap term of the
+    # forget sweeps; this query showed a 2.8 s zero-stage gap before its
+    # final report job)
+    asg_all = _scoped_flat_checkpoint(_assign(vec_all, cent_stale))
 
     coh = asg_all.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
@@ -889,9 +896,12 @@ def ann_refresh_frames(
         .select("cid")
     )
 
-    # m-step over hot-cell members only; cold centroids carry via coalesce
+    # m-step over hot-cell members only; cold centroids carry via coalesce.
+    # cent_fresh is k rows read by the re-route and the whole fresh search
+    # — checkpoint it flat like the fit loop checkpoints its per-iteration
+    # centroids, so the m-step lineage leaves the search legs' plans
     asg_hot = asg_all.join(F.broadcast(hot), "cid")
-    cent_fresh = _update(vec_all, asg_hot, cent_stale)
+    cent_fresh = _scoped_flat_checkpoint(_update(vec_all, asg_hot, cent_stale))
     hot_members = asg_hot.select("vec_id")
     re_routed = _assign(vec_all.join(hot_members, "vec_id"), cent_fresh)
     asg_fresh = asg_all.select("vec_id", "cid").join(
@@ -905,16 +915,17 @@ def ann_refresh_frames(
     # the audit corpus: audit_k smallest deterministic hashes — a
     # TakeOrderedAndProject (distributed partial top-k), never a global
     # window; searches AND truth all run against this fixed-size sample
-    audit = _scoped_persist(
+    audit = _scoped_flat_checkpoint(
         emb.select("vec_id", "embedding")
         .withColumn("_ah", _audit_hash_col())
         .orderBy("_ah", "vec_id")
         .limit(audit_k)
         .drop("_ah")
     )
-    # truth feeds BOTH hit aggregates — persist the O(n_queries * topk)
-    # result so the reuse is guaranteed, not left to ReuseExchange
-    truth = _scoped_persist(
+    # truth feeds BOTH hit aggregates — checkpoint the O(n_queries * topk)
+    # result so the reuse is guaranteed and the brute-force window leaves
+    # the aggregates' plans
+    truth = _scoped_flat_checkpoint(
         topk_bruteforce(audit, queries, k=topk).select("query_id", "vec_id")
     )
     stale_k = topk_ivf_kmeans(
