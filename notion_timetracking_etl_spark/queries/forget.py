@@ -1075,11 +1075,23 @@ def deletion_propagation_multimodal(
     # both threads' edge inputs derive from it, and a cold persist would
     # make them race (block-locked, but serializing) the same fill
     pairs.count()
-    assign_b, assign_a = _cluster_assign_overlapped(
-        (vis, pairs), (alive, pairs_alive)
-    )
-    assign_b = assign_b.withColumnRenamed("cluster_rep", "rep_b")
-    assign_a = assign_a.withColumnRenamed("cluster_rep", "rep_a")
+    # guide §2.6, extended: the two CC loops are barrier loops of tiny
+    # narrow jobs, leaving the executors mostly idle — warm the two gate
+    # persists in the same pool so their candidate/pixel-verify work
+    # back-fills that idle capacity instead of running serially inside the
+    # final report job (counts only warm the scoped persists; values are
+    # untouched)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fb = pool.submit(_cluster_assign, vis, pairs)
+        fa = pool.submit(_cluster_assign, alive, pairs_alive)
+        wb = pool.submit(gb.count)
+        wa = pool.submit(ga.count)
+        assign_b = fb.result().withColumnRenamed("cluster_rep", "rep_b")
+        assign_a = fa.result().withColumnRenamed("cluster_rep", "rep_a")
+        wb.result()
+        wa.result()
     dead_ids = F.broadcast(dead.select(F.col("media_id").alias("dead_id")))
 
     out = (
